@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the catalog's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock seconds across headline queries (excluding
+session startup); per-query seconds are in ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_management_service_run_etl_imputations_spark import catalog
+    from data_management_service_run_etl_imputations_spark.session import get_session
+
+    spark = get_session(app_name="dms-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = catalog.headline_queries()
+    # Warm the JVM + parquet footers once with the flagship so per-query
+    # numbers measure the plan, not first-touch costs.
+    warm = next(iter(headline.values()))
+    warm.fn(spark, sf_dir).limit(1).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, q in sorted(headline.items()):
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        n = df.count()  # full materialization of the result
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Query catalog: every operator from SURVEY.md §2 (and the engine's
+extensions) as a named query over the driver testdata, each paired — where
+ANSI-SQL can express it — with a DuckDB oracle for differential testing.
+
+Modules self-register via :func:`register`; :mod:`..catalog` imports them all
+and exposes the ``queries()`` / ``oracle_sql()`` driver contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    headline: bool = False  # include in bench.py's headline set
+    doc: str = field(default="")
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog.
+
+    ``oracle`` is the equivalent ANSI SQL for DuckDB over the pre-registered
+    testdata views; omit it only for genuinely non-SQL-expressible operators
+    (the driver then records a weaker rows-only check).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, headline, fn.__doc__ or "")
+        return fn
+
+    return deco

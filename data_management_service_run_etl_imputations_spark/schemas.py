@@ -1,0 +1,188 @@
+"""Explicit schema registry + table loaders.
+
+The reference infers every schema dynamically (``pd.read_csv`` with no dtype
+spec, ``function_app.py:69``; DB types via ``pd.read_sql``,
+``function_app.py:196``). At 100 TB, schema inference means an extra full
+scan and non-deterministic typing, so the engine declares every source schema
+up front (SURVEY.md §1.2) and reads with it. ``inferSchema`` remains available
+through :func:`csv_source` to mirror the reference's dynamic mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- driver testdata tables (TESTDATA.md) --------------------------------
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES = tuple(TESTDATA_SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table.
+
+    Maps reference source S5 (full-table JDBC scan, ``function_app.py:192-196``)
+    onto a columnar scan: Catalyst pushes filters and prunes columns into the
+    parquet reader, which the reference did by hand (``function_app.py:199``).
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+# --- reference fixture tables (FIXTURES.md) -------------------------------
+# Inputs of the reference's two sub-pipelines; every column is one the
+# reference reads or writes (citations in FIXTURES.md).
+
+FIXTURE_SCHEMAS: dict[str, T.StructType] = {
+    "time_entries": T.StructType(
+        [
+            T.StructField("time_entry_in_datetime", T.StringType()),
+            T.StructField("time_entry_out_datetime", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("employee_id", T.StringType()),
+            T.StructField("project", T.StringType()),
+            T.StructField("tags", T.StringType()),
+        ]
+    ),
+    "employees": T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("company_name", T.StringType()),
+            T.StructField("price_per_hour", T.DoubleType()),
+            T.StructField("nid", T.StringType()),
+            T.StructField("status", T.StringType()),
+        ]
+    ),
+    "worked_hours": T.StructType(
+        [
+            T.StructField("employeeId", T.StringType()),
+            T.StructField("secondsWorked", T.DoubleType()),
+            T.StructField("secondsToWork", T.DoubleType()),
+            T.StructField("secondsBalance", T.DoubleType()),
+            T.StructField("date", T.StringType()),
+        ]
+    ),
+    "department_assignations": T.StructType(
+        [
+            T.StructField("employee_id", T.StringType()),
+            T.StructField("department_name", T.StringType()),
+            T.StructField("created_at", T.StringType()),
+            T.StructField("updated_at", T.StringType()),
+        ]
+    ),
+    "dim_empleado": T.StructType(
+        [
+            T.StructField("empleado_id", T.IntegerType()),
+            T.StructField("DNI", T.StringType()),
+        ]
+    ),
+    "dim_empresa": T.StructType(
+        [
+            T.StructField("empresa_id", T.IntegerType()),
+            T.StructField("nombre", T.StringType()),
+        ]
+    ),
+    "dim_departamento": T.StructType(
+        [
+            T.StructField("departamento_id", T.IntegerType()),
+            T.StructField("nombre", T.StringType()),
+        ]
+    ),
+}

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference runs eager single-threaded pandas on one Azure Functions worker
+(``function_app.py`` whole file — no parallelism, no spill). Here every query
+is a lazy Catalyst plan; this module centralizes the session configuration the
+engine relies on:
+
+- **AQE on** (runtime re-planning, skew-join splitting, partition coalescing)
+  so plans tuned at local scale survive a 1000-executor 100 TB deployment.
+- **Arrow** for any pandas interchange (Pandas UDFs are the engine's only
+  Python-side execution path, and only where built-ins cannot express the op).
+- **Shuffle partitions** sized from the environment: tests/bench run on
+  ``local[N]`` where N partitions per core is right; on a real cluster the
+  caller overrides (or AQE coalesces).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "dms-imputations-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Local default: ``local[$SPARK_GRAFT_CPUS]`` (falls back to ``local[*]``).
+    On a cluster, pass ``master=None`` with an externally-managed session or
+    set the master explicitly.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: keep file-split sizing explicit so partition counts
+        # are predictable at any SF (default 128m is right for the cluster
+        # target; harmless locally).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
