@@ -13,6 +13,8 @@ from data_management_service_run_etl_imputations_spark.queries import REGISTRY, 
 
 _QUERY_MODULES = [
     "core",
+    "relational",
+    "functions_q",
 ]
 
 for _m in _QUERY_MODULES:

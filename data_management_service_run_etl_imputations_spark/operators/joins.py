@@ -1,0 +1,97 @@
+"""Join operators beyond plain equi-joins — SURVEY.md §2.3.
+
+The one nontrivial reference join is J6, the *fuzzy containment lookup*
+(``function_app.py:233-256``): for each fact string, scan a small dimension
+table in row order and return the id of the FIRST dim row whose ``nombre``
+is a case-insensitive substring of the fact string; null when nothing
+matches. The reference runs it as an O(|fact|·|dim|) Python ``iterrows``
+loop applied per fact row (``function_app.py:258, 268, 335, 345``).
+
+Spark-first rendering: a broadcast theta-join (non-equi containment
+predicate) + a first-match-wins window on the dim's stable order column.
+Everything stays JVM-side / codegen — no Python in the hot path — and the
+fact side streams: at 100 TB the cost is one broadcast of a ≤10⁴-row dim
+and one narrow window over matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fuzzy_containment_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_text: str,
+    dim_text: str,
+    dim_id: str,
+    out_col: str,
+    dim_order: str | None = None,
+    fact_key: str | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = id of the first dim row (by ``dim_order``) whose
+    ``dim_text`` is a case-insensitive substring of ``fact[fact_text]``.
+
+    - ``dim_order``: column defining "first"; the reference relied on silent
+      DataFrame row order (``function_app.py:253``) — here it must be
+      explicit. ``None`` ⇒ use ``dim_id`` (stable, deterministic).
+    - ``fact_key``: unique fact row key for the first-match window. ``None``
+      ⇒ a transient ``monotonically_increasing_id`` is used and dropped.
+
+    Left-join semantics: fact rows matching no dim row survive with a null id
+    (reference returns ``None``, ``function_app.py:256``).
+    """
+    order_col = dim_order or dim_id
+    drop_key = fact_key is None
+    if drop_key:
+        fact_key = "__fuzzy_row_id"
+        fact = fact.withColumn(fact_key, F.monotonically_increasing_id())
+
+    d = dim.select(
+        F.col(dim_id).alias("__dim_id"),
+        F.lower(F.col(dim_text)).alias("__dim_text"),
+        F.col(order_col).alias("__dim_order"),
+    )
+    joined = fact.join(
+        F.broadcast(d),
+        F.instr(F.lower(F.col(fact_text)), F.col("__dim_text")) > 0,
+        "left",
+    )
+    # First match wins: nulls (no match) sort last so a real match is kept
+    # when one exists; ties cannot happen because __dim_order is unique.
+    w = Window.partitionBy(fact_key).orderBy(F.asc_nulls_last("__dim_order"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(out_col, F.col("__dim_id"))
+        .drop("__dim_id", "__dim_text", "__dim_order", "__rn", *([fact_key] if drop_key else []))
+    )
+
+
+def fuzzy_containment_lookup_udf(
+    fact: DataFrame,
+    dim_rows: list[tuple],
+    fact_text: str,
+    out_col: str,
+) -> DataFrame:
+    """Exact-semantics fallback of J6: a Python UDF closing over the dim rows
+    as ``(id, text)`` pairs in priority order — a direct, row-at-a-time
+    mirror of ``get_field_id`` (``function_app.py:233-256``). Kept for
+    differential testing of the theta-join version; never the scale path.
+    """
+    from pyspark.sql import types as T
+
+    pairs = [(int(i), str(t).lower()) for i, t in dim_rows]
+
+    @F.udf(T.IntegerType())
+    def first_containing(s: str | None):
+        if s is None:
+            return None
+        low = s.lower()
+        for dim_id, text in pairs:
+            if text in low:
+                return dim_id
+        return None
+
+    return fact.withColumn(out_col, first_containing(F.col(fact_text)))

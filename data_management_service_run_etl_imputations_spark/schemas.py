@@ -11,6 +11,7 @@ through :func:`csv_source` to mirror the reference's dynamic mode.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --- driver testdata tables (TESTDATA.md) --------------------------------
@@ -119,7 +120,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     onto a columnar scan: Catalyst pushes filters and prunes columns into the
     parquet reader, which the reference did by hand (``function_app.py:199``).
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Nanosecond-precision parquet timestamps arrive as long (see
+    # session.py nanosAsLong). Normalize to Spark's µs TimestampType by
+    # integer-dividing — identical truncation to DuckDB's ns→µs read.
+    declared = TESTDATA_SCHEMAS.get(name)
+    if declared is not None:
+        actual = dict(df.dtypes)
+        for field in declared.fields:
+            if isinstance(field.dataType, T.TimestampType) and actual.get(field.name) == "bigint":
+                # `div` = integer division on longs: float division would
+                # lose precision above 2^53 (ns epochs are ~1.7e18).
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -52,6 +52,10 @@ def get_session(
         # are predictable at any SF (default 128m is right for the cluster
         # target; harmless locally).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Parquet INT64 TIMESTAMP(NANOS) (e.g. pandas-written ns timestamps)
+        # is otherwise rejected; read as long, converted to µs timestamps in
+        # schemas.load_table — same truncation DuckDB applies.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

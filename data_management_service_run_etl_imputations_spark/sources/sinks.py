@@ -1,0 +1,78 @@
+"""Sinks — SURVEY.md §2.1 (S6-S7).
+
+S7 is the reference's core load semantic: *insert-only incremental upsert* —
+read the existing fact table, keep only incoming rows whose composite key is
+not already present, append those (``function_app.py:305-312`` keys
+``(empleado_id, fecha, tarea)``; ``:378-385`` keys ``(fecha, empleado_id)``).
+Re-runs are idempotent by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def incremental_new_rows(
+    incoming: DataFrame, existing: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The filter half of S7 as a pure transformation: incoming rows whose
+    key tuple does not appear in ``existing``.
+
+    The reference compares key tuples after a DB round-trip
+    (``function_app.py:308``) — types may have drifted; we cast both sides
+    to the incoming schema's types before the anti-join so e.g. an int key
+    read back as decimal still matches (SURVEY §7.2).
+
+    Scale: left_anti on the composite key. Spark broadcasts ``existing``'s
+    key projection when small; otherwise a shuffled anti-join — both fine.
+    On Delta/Iceberg targets, swap for ``MERGE WHEN NOT MATCHED THEN INSERT``
+    to make the read-filter-append atomic.
+    """
+    in_types = dict(incoming.dtypes)
+    existing_keys = existing.select(
+        *[F.col(k).cast(in_types[k]).alias(k) for k in keys]
+    ).dropDuplicates(keys)
+    return incoming.join(existing_keys, on=keys, how="left_anti")
+
+
+def append_sink(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """S6 — append with create-if-absent (reference: ``inspect().has_table``
+    + ``to_sql(if_exists='append')``, ``function_app.py:296-301``). Spark's
+    append mode creates the target on first write, so the existence probe
+    disappears."""
+    df.write.mode("append").format(fmt).options(**options).save(path)
+
+
+def incremental_insert_only(
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> int:
+    """S7 end-to-end against a path-backed table: anti-join against current
+    contents, append only novel keys. Returns the number of appended rows.
+
+    NOTE (non-atomic): read-then-append is the reference's exact semantic and
+    is safe for a single writer; concurrent writers need a transactional
+    table format (Delta MERGE) — documented, not silently pretended.
+    """
+    spark = incoming.sparkSession
+    try:
+        existing = spark.read.format(fmt).load(path)
+    except Exception:
+        existing = None
+
+    fresh = (
+        incoming
+        if existing is None
+        else incremental_new_rows(incoming, existing, keys)
+    )
+    # The count also forces evaluation *before* the append below reads the
+    # same path, keeping read-before-write ordering explicit.
+    fresh = fresh.cache()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").format(fmt).save(path)
+    fresh.unpersist()
+    return n

@@ -1,0 +1,146 @@
+"""Operator-level unit tests — one per hard SURVEY.md §2 semantic:
+J6 first-match-wins, A1/A2 determinism, S7 idempotency, F5 spine endpoints,
+F6 duration math (incl. cross-midnight).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.functions.scalars import (
+    duration_hours,
+    parse_timestamp,
+)
+from data_management_service_run_etl_imputations_spark.operators.aggregates import (
+    dedup_keep_last,
+    latest_per_key,
+)
+from data_management_service_run_etl_imputations_spark.operators.joins import (
+    fuzzy_containment_lookup,
+    fuzzy_containment_lookup_udf,
+)
+from data_management_service_run_etl_imputations_spark.sources.readers import date_spine
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    incremental_insert_only,
+    incremental_new_rows,
+)
+
+
+@pytest.fixture()
+def dim(spark):
+    # Overlapping names: 'acme' ⊂ 'acme holdings' — first-match (lower ord) wins.
+    return spark.createDataFrame(
+        [(1, "acme holdings", 1), (2, "acme", 2), (3, "globex", 3)],
+        "empresa_id INT, nombre STRING, ord INT",
+    )
+
+
+def test_fuzzy_first_match_wins(spark, dim):
+    fact = spark.createDataFrame(
+        [
+            (100, "ACME HOLDINGS S.L."),   # matches both acme rows → ord 1 wins
+            (101, "Acme Consulting"),       # only 'acme' → id 2
+            (102, "Globex Corp"),           # id 3
+            (103, "Initech"),               # no match → null
+            (104, None),                    # null input → null
+        ],
+        "k INT, company STRING",
+    )
+    out = fuzzy_containment_lookup(
+        fact, dim, "company", "nombre", "empresa_id", "empresa_out",
+        dim_order="ord", fact_key="k",
+    )
+    got = {r.k: r.empresa_out for r in out.collect()}
+    assert got == {100: 1, 101: 2, 102: 3, 103: None, 104: None}
+
+
+def test_fuzzy_theta_join_matches_udf_reference(spark, dim):
+    """Differential: the scale-path theta-join must agree with the
+    row-at-a-time UDF that mirrors the reference loop exactly."""
+    import random
+
+    rng = random.Random(7)
+    names = ["acme", "ACME Holdings", "globex", "initech", "Acme holdings SA", ""]
+    fact = spark.createDataFrame(
+        [(i, rng.choice(names) + (" inc" if rng.random() < 0.5 else ""))
+         for i in range(300)],
+        "k INT, company STRING",
+    )
+    theta = fuzzy_containment_lookup(
+        fact, dim, "company", "nombre", "empresa_id", "out",
+        dim_order="ord", fact_key="k",
+    )
+    dim_rows = [(r.empresa_id, r.nombre) for r in dim.orderBy("ord").collect()]
+    udf = fuzzy_containment_lookup_udf(fact, dim_rows, "company", "out")
+    t = {r.k: r.out for r in theta.collect()}
+    u = {r.k: r.out for r in udf.collect()}
+    assert t == u
+
+
+def test_dedup_keep_last_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 9, "w")],
+        "dni STRING, empleado_id INT, payload STRING",
+    )
+    out = dedup_keep_last(df, ["dni"], [F.desc("empleado_id")])
+    got = {(r.dni): (r.empleado_id, r.payload) for r in out.collect()}
+    assert got == {"a": (3, "y"), "b": (9, "w")}
+    with pytest.raises(ValueError):
+        dedup_keep_last(df, ["dni"])  # implicit order is a reference bug, refused
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-02", "old"), (1, "2024-01-02", "new2"), (2, "2024-01-01", "only")],
+        "employee_id INT, updated_at STRING, dept STRING",
+    )
+    out = latest_per_key(
+        df, ["employee_id"], [F.desc("updated_at"), F.desc("dept")]
+    )
+    got = {r.employee_id: r.dept for r in out.collect()}
+    assert got == {1: "old", 2: "only"}  # 'old' > 'new2' lexicographically
+
+
+def test_incremental_new_rows_casts_drifted_key_types(spark):
+    incoming = spark.createDataFrame([(1, "2024-01-01"), (2, "2024-01-02")],
+                                     "empleado_id INT, fecha STRING")
+    # existing came back from a round-trip with a wider type
+    existing = spark.createDataFrame([(1, "2024-01-01")],
+                                     "empleado_id LONG, fecha STRING")
+    fresh = incremental_new_rows(incoming, existing, ["empleado_id", "fecha"])
+    assert [r.empleado_id for r in fresh.collect()] == [2]
+
+
+def test_incremental_insert_only_idempotent(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0), (2, "2024-01-01", 6.0)],
+        "empleado_id INT, fecha STRING, horas DOUBLE",
+    )
+    assert incremental_insert_only(batch, path, ["empleado_id", "fecha"]) == 2
+    # re-run: zero appended (reference semantics, function_app.py:305-312)
+    assert incremental_insert_only(batch, path, ["empleado_id", "fecha"]) == 0
+    bigger = batch.unionByName(
+        spark.createDataFrame([(3, "2024-01-02", 7.0)],
+                              "empleado_id INT, fecha STRING, horas DOUBLE")
+    )
+    assert incremental_insert_only(bigger, path, ["empleado_id", "fecha"]) == 1
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_date_spine_inclusive_endpoints(spark):
+    days = [str(r.fecha) for r in date_spine(spark, "2024-01-30", "2024-02-02").collect()]
+    assert sorted(days) == ["2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02"]
+
+
+def test_duration_hours_cross_midnight(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 23:30:00", "2024-01-02 01:00:00"),
+         ("2024-01-01 09:00:00", "2024-01-01 17:15:30")],
+        "t_in STRING, t_out STRING",
+    )
+    out = df.select(
+        duration_hours(parse_timestamp("t_out"), parse_timestamp("t_in")).alias("h")
+    ).collect()
+    assert [round(r.h, 4) for r in out] == [1.5, 8.2583]
