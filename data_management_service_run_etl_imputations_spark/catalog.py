@@ -15,6 +15,7 @@ _QUERY_MODULES = [
     "core",
     "relational",
     "functions_q",
+    "pipelines_q",
 ]
 
 for _m in _QUERY_MODULES:

@@ -1,0 +1,74 @@
+"""Deterministic FIXTURES.md-shaped synthetic inputs, shared by the pipeline
+unit tests and the catalog's pipeline-parity queries (whose DuckDB oracles
+inline the same rows as VALUES).
+
+The rows exercise every generator constraint in FIXTURES.md: overlapping
+fuzzy dim names (first-match-wins), a no-match company, duplicate DNIs,
+multiple department assignations per employee, nulls in comment/tags, an
+employee absent from dim_empleado, multiple entries per grain, and a
+cross-midnight duration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_management_service_run_etl_imputations_spark.schemas import FIXTURE_SCHEMAS
+
+E1, E2, E3 = "emp-guid-1", "emp-guid-2", "emp-guid-3"
+
+FIXTURE_ROWS: dict[str, list[tuple]] = {
+    "time_entries": [
+        ("2024-03-01 09:00:00", "2024-03-01 11:00:00", "taskA", E1, "projX", "tag1"),
+        ("2024-03-01 14:00:00", "2024-03-01 15:00:00", "taskA", E1, "projX", "tag1"),
+        ("2024-03-01 23:30:00", "2024-03-02 01:00:00", None, E1, "projX", None),
+        ("2024-03-01 08:00:00", "2024-03-01 16:00:00", "taskB", E2, "projY", "tag2"),
+        ("2024-03-01 10:00:00", "2024-03-01 12:00:00", "taskC", E3, "projZ", None),
+    ],
+    "employees": [
+        (E1, "ACME HOLDINGS S.L.", 50.0, "DNI-1", "active"),
+        (E2, "Globex Corporation", 60.0, "DNI-2", "active"),
+        (E3, "Initech Unknown", 70.0, "DNI-3", "inactive"),
+    ],
+    "worked_hours": [
+        (E1, 7200.0, 28800.0, -21600.0, "2024-03-01"),
+        (E1, 3600.0, 0.0, 3600.0, "2024-03-01"),
+        (E2, 28800.0, 28800.0, 0.0, "2024-03-01"),
+        (E3, 14400.0, 28800.0, -14400.0, "2024-03-01"),
+    ],
+    "department_assignations": [
+        (E1, "Engineering Dept", "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+        (E1, "Data & Analytics", "2024-02-01 00:00:00", "2024-02-15 00:00:00"),
+        (E2, "Engineering Dept", "2024-01-05 00:00:00", "2024-01-05 00:00:00"),
+    ],
+    "dim_empleado": [(11, "DNI-1"), (21, "DNI-2"), (22, "DNI-2")],
+    "dim_empresa": [(1, "acme holdings"), (2, "acme"), (3, "globex")],
+    "dim_departamento": [(100, "engineering"), (200, "data")],
+}
+
+
+def build_fixture_frames(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        name: spark.createDataFrame(rows, FIXTURE_SCHEMAS[name])
+        for name, rows in FIXTURE_ROWS.items()
+    }
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return f"CAST({v!r} AS DOUBLE)"
+    return repr(v)
+
+
+def fixture_values_cte(name: str, columns: list[str]) -> str:
+    """Render a fixture table as a `name(cols) AS (VALUES ...)` CTE body for
+    the DuckDB oracle, guaranteeing oracle and Spark see identical rows."""
+    rows = ",\n        ".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")"
+        for row in FIXTURE_ROWS[name]
+    )
+    return f"{name}({', '.join(columns)}) AS (VALUES\n        {rows})"

@@ -1,0 +1,147 @@
+"""Pipeline-parity queries: the reference's two sub-pipelines end-to-end,
+over the shared deterministic fixtures, each with a full SQL oracle that
+re-derives the expected output *independently* (correlated-subquery fuzzy
+lookup, QUALIFY latest-dept, group-by-sum) from the same VALUES rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.plans import (
+    build_fichajes,
+    build_imputaciones,
+)
+from data_management_service_run_etl_imputations_spark.plans.fixtures import (
+    build_fixture_frames,
+    fixture_values_cte,
+)
+from data_management_service_run_etl_imputations_spark.queries import register
+
+_FIXTURE_CTES = ",\n    ".join(
+    [
+        fixture_values_cte(
+            "time_entries",
+            ["tin", "tout", "comment", "employee_id", "project", "tags"],
+        ),
+        fixture_values_cte(
+            "employees", ["id", "company_name", "price_per_hour", "nid", "status"]
+        ),
+        fixture_values_cte(
+            "worked_hours",
+            ["employeeId", "secondsWorked", "secondsToWork", "secondsBalance", "date"],
+        ),
+        fixture_values_cte(
+            "department_assignations",
+            ["employee_id", "department_name", "created_at", "updated_at"],
+        ),
+        fixture_values_cte("dim_empleado", ["empleado_id", "dni"]),
+        fixture_values_cte("dim_empresa", ["empresa_id", "nombre"]),
+        fixture_values_cte("dim_departamento", ["departamento_id", "nombre"]),
+    ]
+)
+
+_SHARED_DIM_CTES = """
+    emp_map AS (
+        SELECT dni, MAX(empleado_id) AS empleado_id FROM dim_empleado GROUP BY dni
+    ),
+    latest_dept AS (
+        SELECT employee_id, department_name
+        FROM department_assignations
+        QUALIFY row_number() OVER (
+            PARTITION BY employee_id
+            ORDER BY updated_at DESC, department_name DESC) = 1
+    )
+"""
+
+
+@register(
+    "pipeline_imputaciones",
+    oracle=f"""
+    WITH {_FIXTURE_CTES},
+    {_SHARED_DIM_CTES},
+    te AS (
+        SELECT CAST(CAST(tin AS TIMESTAMP) AS DATE) AS fecha,
+               COALESCE(comment, '') AS tarea,
+               project AS proyecto,
+               COALESCE(tags, 'No especificada') AS etiqueta,
+               employee_id,
+               epoch(CAST(tout AS TIMESTAMP) - CAST(tin AS TIMESTAMP)) / 3600.0
+                   AS horas
+        FROM time_entries
+    ),
+    joined AS (
+        SELECT te.*, e.company_name AS cliente,
+               e.price_per_hour AS precio_hora, m.empleado_id,
+               (SELECT de.empresa_id FROM dim_empresa de
+                WHERE position(lower(de.nombre) IN lower(e.company_name)) > 0
+                ORDER BY de.empresa_id LIMIT 1) AS empresa_id,
+               (SELECT dd.departamento_id FROM dim_departamento dd
+                WHERE ld.department_name IS NOT NULL
+                  AND position(lower(dd.nombre) IN lower(ld.department_name)) > 0
+                ORDER BY dd.departamento_id LIMIT 1) AS departamento_id
+        FROM te
+        JOIN employees e ON te.employee_id = e.id
+        JOIN emp_map m ON e.nid = m.dni
+        LEFT JOIN latest_dept ld ON te.employee_id = ld.employee_id
+    )
+    SELECT fecha, tarea,
+           MIN(cliente) AS cliente, MIN(proyecto) AS proyecto,
+           MIN(etiqueta) AS etiqueta, MIN(precio_hora) AS precio_hora,
+           SUM(horas) AS horas_imputadas,
+           MIN(empresa_id) AS empresa_id,
+           MIN(departamento_id) AS departamento_id,
+           empleado_id
+    FROM joined
+    GROUP BY empleado_id, fecha, tarea
+    """,
+)
+def pipeline_imputaciones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-pipeline A end-to-end (``function_app.py:148-315``) over the
+    shared fixtures; sf_dir unused (pipeline inputs are Sesame-shaped, not
+    TPC-H). The oracle re-derives the output independently in SQL."""
+    fx = build_fixture_frames(spark)
+    return build_imputaciones(
+        fx["time_entries"], fx["employees"], fx["dim_empleado"],
+        fx["dim_empresa"], fx["dim_departamento"], fx["department_assignations"],
+    )
+
+
+@register(
+    "pipeline_fichajes",
+    oracle=f"""
+    WITH {_FIXTURE_CTES},
+    {_SHARED_DIM_CTES},
+    daily AS (
+        SELECT employeeId, date AS fecha,
+               SUM(secondsWorked) AS tiempo_trabajado,
+               SUM(secondsToWork) AS tiempo_teorico
+        FROM worked_hours GROUP BY 1, 2
+    )
+    SELECT d.fecha,
+           CAST(d.tiempo_teorico AS DOUBLE) AS tiempo_teorico,
+           CAST(d.tiempo_trabajado AS DOUBLE) AS tiempo_trabajado,
+           (SELECT de.empresa_id FROM dim_empresa de
+            WHERE e.company_name IS NOT NULL
+              AND position(lower(de.nombre) IN lower(e.company_name)) > 0
+            ORDER BY de.empresa_id LIMIT 1) AS empresa_id,
+           (SELECT dd.departamento_id FROM dim_departamento dd
+            WHERE position(lower(dd.nombre) IN
+                           lower(COALESCE(ld.department_name, 'No asignado'))) > 0
+            ORDER BY dd.departamento_id LIMIT 1) AS departamento_id,
+           m.empleado_id
+    FROM daily d
+    LEFT JOIN employees e ON d.employeeId = e.id
+    LEFT JOIN emp_map m ON e.nid = m.dni
+    LEFT JOIN latest_dept ld ON d.employeeId = ld.employee_id
+    """,
+)
+def pipeline_fichajes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-pipeline B end-to-end (``function_app.py:318-388``) over the
+    shared fixtures."""
+    fx = build_fixture_frames(spark)
+    return build_fichajes(
+        fx["worked_hours"], fx["employees"], fx["dim_empleado"],
+        fx["dim_empresa"], fx["dim_departamento"], fx["department_assignations"],
+    )
