@@ -16,6 +16,11 @@ _QUERY_MODULES = [
     "relational",
     "functions_q",
     "pipelines_q",
+    "text_q",
+    "dedup_q",
+    "similarity_q",
+    "imputation_q",
+    "multimodal_q",
 ]
 
 for _m in _QUERY_MODULES:

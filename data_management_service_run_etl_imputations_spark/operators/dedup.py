@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines (engine extension;
+BASELINE.json north_star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design: every variant avoids the naive O(n²) pairwise scan —
+- exact: one hash aggregate;
+- n-gram Jaccard: shingle-bucket join (only docs sharing a shingle meet);
+- MinHash LSH: band-bucket join (candidates ∝ collisions, not n²);
+- SimHash: band-bucket join on hash segments;
+- embedding: see operators/similarity.py LSH bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.operators.text import tokens_col
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup: group identical content, keep the minimum id as the
+    canonical representative. Returns (id, canonical_id, group_size); rows
+    with group_size == 1 are unique. One shuffle on the content hash."""
+    w = Window.partitionBy(content_col)
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content value."""
+    w = Window.partitionBy(content_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- n-gram (shingle) Jaccard ------------------------------------------------
+
+
+def shingles_col(text_col: str, k: int = 8):
+    """Word k-shingles as an array column: slide a k-token window over the
+    whitespace tokens; documents shorter than k tokens contribute their full
+    token sequence as a single shingle."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by k-shingle Jaccard similarity ≥ threshold.
+
+    Plan shape (the scale path): explode distinct shingles → self-join on
+    shingle (only documents sharing ≥1 shingle ever meet — with k=8 word
+    shingles, unrelated documents collide with negligible probability) →
+    count common shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime; (a*h+b) mod p stays in int64*
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    text_col: str, num_perm: int = 32, k: int = 5, seed: int = 42
+):
+    """MinHash signature column (array<long>, length num_perm) over k-word
+    shingles. Base shingle hash is xxhash64 (JVM-side); permutations are
+    (a·h+b) mod p. Pure column expressions — each doc's signature is computed
+    map-side in one pass, no shuffle."""
+    sh = shingles_col(text_col, k)
+    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % MINHASH_PRIME)
+    params = _perm_params(num_perm, seed)
+
+    def _perm_min(a: int, b: int):
+        # Closure (not lambda defaults): Spark binds a Column to EVERY
+        # declared lambda parameter. Operands are reduced below 2^31 so the
+        # product stays exact in int64.
+        return F.array_min(
+            F.transform(
+                hashes,
+                lambda h: ((h % 2**31) * ((a % 2**31) or 1) + b) % MINHASH_PRIME,
+            )
+        )
+
+    return F.array(*[_perm_min(a, b) for a, b in params])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    ``num_perm // bands`` rows; docs sharing any band hash become a pair.
+    Returns (id_a, id_b, est_jaccard) with est_jaccard = signature agreement.
+
+    Scale: candidates come from band-bucket joins (shuffle on band hash);
+    the n² scan never happens. Tune bands/rows for the target similarity
+    threshold via the standard S-curve.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_perm, k, seed).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(agree.cast("double") / F.lit(num_perm), 6).alias("est_jaccard"),
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+
+def simhash_col(text_col: str, bits: int = 16):
+    """SimHash fingerprint: per token, xxhash64; per bit position, sum +1/-1
+    across tokens; sign → bit. Pure column expressions (one aggregate over
+    the token-hash array per bit — Python builds the expression tree once;
+    nothing runs per-row in Python). Near-dups differ in few bits.
+
+    Default 16 bits keeps the expression tree small while the banding in
+    :func:`simhash_near_duplicates` scales to any ``bits`` that divides
+    evenly; raise for lower collision rates on huge corpora.
+    """
+    toks = tokens_col(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_sum(p: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for p in range(bits):
+        weight = -(1 << 63) if p == 63 else (1 << p)
+        out = out.bitwiseXOR(
+            F.when(_bit_sum(p) > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the ``bits``-bit fingerprint into
+    ``bands`` segments (pigeonhole: hamming ≤ bands-1 ⇒ at least one segment
+    equal), join on equal segments, verify hamming distance exactly.
+    Returns (id_a, id_b, hamming)."""
+    seg_bits = bits // bands
+    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), i * seg_bits)
+                        .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                        .alias("segment"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.segment")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.segment") == F.col("b.segment"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,67 @@
+"""Missing-value imputation — the north-star extension the repo name puns on
+(BASELINE.json: "maps to Spark's DataFrame operations and MLlib for missing
+value handling").
+
+Two tiers:
+- :func:`impute_with_group_stats` — SQL-expressible global/group-wise
+  mean/median fill via window functions (oracle-checkable).
+- :func:`ml_imputer` — ``pyspark.ml.feature.Imputer`` (mean/median/mode),
+  the MLlib path for feature pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def impute_with_group_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    strategy: str = "mean",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill nulls in ``value_col`` with the group (or global) statistic.
+
+    mean/median ignore nulls (matching every SQL engine). Groups that are
+    entirely null fall back to the global statistic; if that is also null
+    the value stays null.
+
+    Scale: one window (no self-join); with group_cols the stat is computed
+    per partition key — Spark pushes partial aggregation map-side. median
+    uses the exact percentile; swap for approx_percentile at extreme scale.
+    """
+    if strategy == "mean":
+        agg = F.avg
+    elif strategy == "median":
+        agg = F.median
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r} (mean|median)")
+
+    out_col = out_col or value_col
+    w_group = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    w_global = Window.partitionBy()
+    group_stat = agg(value_col).over(w_group)
+    global_stat = agg(value_col).over(w_global)
+    return df.withColumn(
+        out_col, F.coalesce(F.col(value_col), group_stat, global_stat)
+    )
+
+
+def ml_imputer(
+    df: DataFrame,
+    input_cols: list[str],
+    strategy: str = "median",
+    suffix: str = "_imputed",
+) -> DataFrame:
+    """MLlib Imputer: fit per-column statistics, transform to ``*{suffix}``
+    output columns. Strategies: mean | median | mode."""
+    from pyspark.ml.feature import Imputer
+
+    imputer = Imputer(
+        inputCols=input_cols,
+        outputCols=[c + suffix for c in input_cols],
+        strategy=strategy,
+    )
+    return imputer.fit(df).transform(df)

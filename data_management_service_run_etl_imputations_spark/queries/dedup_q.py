@@ -1,0 +1,122 @@
+"""Deduplication queries over documents/embeddings (engine extension).
+
+Exact, n-gram Jaccard and embedding-cosine variants are oracle-checked;
+MinHash-LSH and SimHash are sketch-based (not ANSI-SQL-expressible without
+re-implementing xxhash64) → rows-only driver check + recall/containment
+unit tests against the exact variants in tests/test_dedup_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_management_service_run_etl_imputations_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from data_management_service_run_etl_imputations_spark.operators.similarity import (
+    embedding_near_duplicates,
+)
+from data_management_service_run_etl_imputations_spark.queries import register
+from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+               CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS group_size
+        FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical representative (min id) + group size per
+    identical text. One hash-partition window, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1,
+                              greatest(len(t) - 7, 1))) AS i) g
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(CAST(c.n_common AS DOUBLE)
+                     / (sa.n + sb.n - c.n_common), 6) AS jaccard
+        FROM common c
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+        WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 8-word-shingle Jaccard ≥ 0.8. Shingle-bucket join:
+    only documents sharing a shingle ever meet (no n² scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=8, threshold=0.8)
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms)+LSH(8 bands) candidate pairs with estimated Jaccard
+    ≥ 0.5. The sketch path for corpus-scale near-dedup: candidates come from
+    band-bucket collisions, cost ∝ collisions not n². Verified against exact
+    n-gram Jaccard in unit tests (no SQL oracle: xxhash64 sketches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "doc_id", "text", num_perm=32, bands=8).filter(
+        "est_jaccard >= 0.5"
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 32 bits, 4-band pigeonhole
+    join). Rows-only check (xxhash64-based); determinism + exact-dup
+    containment unit-tested. 32 bits keeps the small-vocab synthetic docs
+    from collapsing into one bucket; raise to 64 for real corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=3, bands=4, bits=32
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold over all pairs (exact
+    variant; the LSH bucket join in operators/similarity.py is the scale
+    path). Threshold 0.35 ≈ the 99.9th percentile of pairwise cosine in the
+    synthetic embeddings (max 0.51 — no planted duplicate clusters), so the
+    result is non-trivial; for real corpora use 0.9+."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.35)

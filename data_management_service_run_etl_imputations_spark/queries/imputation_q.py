@@ -1,0 +1,77 @@
+"""Missing-value imputation queries (the repo-name pun, north_star item).
+
+The testdata has no nulls, so missingness is synthesized deterministically
+(values of 'error' events are treated as missing) — both engines apply the
+identical mask, then impute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.operators.imputation import (
+    impute_with_group_stats,
+)
+from data_management_service_run_etl_imputations_spark.queries import register
+from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+_MASK = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
+
+
+@register(
+    "impute_group_mean",
+    oracle=f"""
+        SELECT event_id, user_id,
+               ROUND(COALESCE({_MASK},
+                              AVG({_MASK}) OVER (PARTITION BY user_id),
+                              AVG({_MASK}) OVER ()), 6) AS value_imputed
+        FROM events
+    """,
+)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: null values filled with the per-user mean,
+    falling back to the global mean for all-null groups. One window, no
+    self-join."""
+    events = load_table(spark, sf_dir, "events")
+    masked = events.withColumn(
+        "value_masked",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    out = impute_with_group_stats(
+        masked, "value_masked", ["user_id"], strategy="mean", out_col="value_imputed"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_imputed", 6).alias("value_imputed")
+    )
+
+
+@register(
+    "impute_group_median",
+    oracle=f"""
+        WITH g AS (
+            SELECT user_id, median({_MASK}) AS med
+            FROM events GROUP BY user_id
+        ),
+        gstat AS (SELECT median({_MASK}) AS gmed FROM events)
+        SELECT e.event_id, e.user_id,
+               ROUND(COALESCE({_MASK}, g.med, gstat.gmed), 6) AS value_imputed
+        FROM events e
+        LEFT JOIN g ON e.user_id = g.user_id
+        CROSS JOIN gstat
+    """,
+)
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation (exact median; swap to approx_percentile at
+    extreme scale)."""
+    events = load_table(spark, sf_dir, "events")
+    masked = events.withColumn(
+        "value_masked",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    out = impute_with_group_stats(
+        masked, "value_masked", ["user_id"], strategy="median", out_col="value_imputed"
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_imputed", 6).alias("value_imputed")
+    )

@@ -1,0 +1,163 @@
+"""Unit tests for the non-oracle-checkable extension operators: sketch-based
+dedup (MinHash-LSH, SimHash), LSH ANN recall, MLlib imputer, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_col,
+    simhash_near_duplicates,
+)
+from data_management_service_run_etl_imputations_spark.operators.imputation import (
+    impute_with_group_stats,
+    ml_imputer,
+)
+from data_management_service_run_etl_imputations_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    with_binary_metadata,
+)
+from data_management_service_run_etl_imputations_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the old oak door beside the garden wall"
+)
+
+
+@pytest.fixture(scope="module")
+def doc_corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                               # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),     # near dup of 0
+        (3, "completely different short text about spark engines"),
+        (4, "another unrelated document mentioning nothing similar at all "
+            "with plenty of words to shingle across the window boundary"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(doc_corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_candidates(
+            doc_corpus, "doc_id", "text", num_perm=32, bands=8, k=5
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0          # exact dup → identical signature
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup → banded collision
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_minhash_est_tracks_exact_jaccard(doc_corpus):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            doc_corpus, "doc_id", "text", k=5, threshold=0.0
+        ).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_candidates(
+            doc_corpus, "doc_id", "text", num_perm=32, bands=8, k=5
+        ).collect()
+    }
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.35  # 32-perm sketch tolerance
+
+
+def test_simhash_deterministic_and_dup_identical(spark, doc_corpus):
+    a = doc_corpus.select("doc_id", simhash_col("text").alias("sh")).collect()
+    b = doc_corpus.select("doc_id", simhash_col("text").alias("sh")).collect()
+    assert {r.doc_id: r.sh for r in a} == {r.doc_id: r.sh for r in b}
+    sh = {r.doc_id: r.sh for r in a}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+
+
+def test_simhash_near_duplicates_pairs(doc_corpus):
+    pairs = {(r.id_a, r.id_b) for r in
+             simhash_near_duplicates(doc_corpus, "doc_id", "text",
+                                     max_hamming=3).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, dims=64, k=5, n_planes=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # multi-probe 8-plane LSH on 64-dim random data: expect decent recall
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_ml_imputer_median(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (100.0,), (None,)], "x DOUBLE"
+    )
+    out = ml_imputer(df, ["x"], strategy="median")
+    filled = [r.x_imputed for r in out.collect() if r.x is None]
+    assert filled == [2.0]
+
+
+def test_impute_group_stats_all_null_group_falls_back_global(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None), ("a", None)],
+        "g STRING, v DOUBLE",
+    )
+    out = impute_with_group_stats(df, "v", ["g"], strategy="mean", out_col="vi")
+    got = {(r.g, r.v): r.vi for r in out.collect()}
+    assert got[("a", None)] == 2.0   # group mean
+    assert got[("b", None)] == 2.0   # all-null group → global mean
+
+
+def test_multimodal_metadata_and_features(spark):
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc123"), "image/png", {"w": "10"}),
+         (2, "audio", bytearray(b""), "audio/wav", {})],
+        "asset_id LONG, kind STRING, payload BINARY, mime STRING, meta MAP<STRING,STRING>",
+    )
+    meta = with_binary_metadata(assets).collect()
+    by_id = {r.asset_id: r for r in meta}
+    assert by_id[1].n_bytes == 6
+    assert len(by_id[1].content_sha256) == 64
+
+    feats = extract_features(assets, dims=8).collect()
+    fb = {r.asset_id: r for r in feats}
+    assert len(fb[1].feature) == 8
+    assert abs(sum(fb[1].feature) - 1.0) < 1e-5  # normalized histogram
+    assert fb[2].n_bytes == 0
+
+    with pytest.raises(NotImplementedError):
+        extract_features(assets, strict=True)
+
+
+def test_frame_sample_plan(spark):
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(b"v"), "video/mp4", {"n_frames": "95"}),
+         (2, "image", bytearray(b"i"), "image/png", {})],
+        "asset_id LONG, kind STRING, payload BINARY, mime STRING, meta MAP<STRING,STRING>",
+    )
+    rows = frame_sample_plan(assets, every_n=10, max_frames=8).collect()
+    assert {r.asset_id for r in rows} == {1}
+    assert [r.frame_index for r in rows] == [0, 10, 20, 30, 40, 50, 60, 70]
