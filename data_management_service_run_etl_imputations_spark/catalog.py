@@ -21,6 +21,7 @@ _QUERY_MODULES = [
     "similarity_q",
     "imputation_q",
     "multimodal_q",
+    "streaming_q",
 ]
 
 for _m in _QUERY_MODULES:

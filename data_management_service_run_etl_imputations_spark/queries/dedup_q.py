@@ -41,6 +41,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    headline=True,
     oracle=r"""
         WITH toks AS (
             SELECT doc_id,
@@ -76,7 +77,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=8, threshold=0.8)
 
 
-@register("dedup_minhash_lsh")
+@register("dedup_minhash_lsh", headline=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms)+LSH(8 bands) candidate pairs with estimated Jaccard
     ≥ 0.5. The sketch path for corpus-scale near-dedup: candidates come from

@@ -21,6 +21,7 @@ _MASK = "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
 
 @register(
     "impute_group_mean",
+    headline=True,
     oracle=f"""
         SELECT event_id, user_id,
                ROUND(COALESCE({_MASK},

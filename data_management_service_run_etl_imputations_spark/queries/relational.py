@@ -97,6 +97,7 @@ def j10_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j6_fuzzy_containment_lookup",
+    headline=True,
     oracle="""
         WITH kw(kid, name, ord) AS (
             VALUES (10, 'spark', 1), (20, 'window', 2), (30, 'vector', 3),
@@ -318,6 +319,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_rank_lag_running",
+    headline=True,
     oracle="""
         SELECT l_orderkey, l_linenumber, l_quantity,
                ROW_NUMBER() OVER w AS rn,

@@ -18,6 +18,7 @@ TOP_K = 10
 
 @register(
     "ann_bruteforce_topk",
+    headline=True,
     oracle=f"""
         WITH q AS (SELECT vec_id AS query_id,
                           CAST(embedding AS DOUBLE[]) AS qv

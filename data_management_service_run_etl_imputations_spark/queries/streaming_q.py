@@ -1,0 +1,124 @@
+"""Streaming queries: real ``readStream`` plans executed with
+Trigger.AvailableNow into a memory sink (bounded deterministic replay), so
+the driver can batch-compare them against SQL oracles. The same plans run
+unmodified as continuous streams on a cluster.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_management_service_run_etl_imputations_spark.queries import register
+from data_management_service_run_etl_imputations_spark.streaming.events import (
+    foreach_batch_incremental,
+    read_events_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@register(
+    "streaming_tumbling_agg",
+    headline=True,
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows over the event stream
+    (readStream → window agg → AvailableNow replay). Epoch-aligned windows
+    ≡ date_trunc('hour') in the batch oracle."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(tumbling_window_agg(stream, "1 hour"))
+
+
+@register(
+    "streaming_sliding_agg",
+    oracle="""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                   value
+            FROM events
+        )
+        SELECT window_start, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM assigned GROUP BY 1
+    """,
+)
+def streaming_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in exactly
+    two windows — the oracle materializes that assignment explicitly."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(sliding_window_agg(stream, "1 hour", "30 minutes"))
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+        WITH d AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts - LAG(ts) OVER w) >= 300 OR
+                             LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM d
+        )
+        SELECT MIN(ts) AS session_start, user_id,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        FROM s GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-minute-gap session windows (stateful streaming agg). The
+    oracle derives the same sessions with gaps-and-islands: a new session
+    starts when the gap to the previous event is ≥ the 300 s timeout."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(session_window_agg(stream, "5 minutes"))
+
+
+@register(
+    "streaming_foreach_batch_merge",
+    oracle="""
+        SELECT event_id, user_id, value FROM events
+    """,
+)
+def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7-as-streaming: foreachBatch insert-only merge (anti-join on
+    event_id) into a parquet target — the streaming twin of the reference's
+    idempotent load (function_app.py:305-312). Bounded replay of the whole
+    stream ⇒ the target equals the distinct input set."""
+    target = f"{tempfile.gettempdir()}/stream_merge_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    foreach_batch_incremental(stream, target, ["event_id"])
+    return spark.read.parquet(target)
+
+
+@register("streaming_stateful_user_totals")
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    totals. Rows-only driver check (the final update per user equals the
+    batch aggregate — asserted in unit tests)."""
+    from data_management_service_run_etl_imputations_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(running_user_totals(stream), output_mode="update")

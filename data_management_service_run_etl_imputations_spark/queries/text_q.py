@@ -79,6 +79,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_score",
+    headline=True,
     oracle=rf"""
         WITH t AS (
             SELECT doc_id, text,

@@ -1,0 +1,149 @@
+"""Structured Streaming over the events table — the engine's streaming
+story (extension: the reference is batch-only, SURVEY.md §2.9; its closest
+analogues are the per-day chunked ingest S3 and the idempotent incremental
+load S7, which here become a real stream with watermarks and a foreachBatch
+merge).
+
+Everything is expressed against ``readStream`` so the same code runs
+continuously on a cluster; tests and catalog queries drive it with
+``Trigger.AvailableNow`` (bounded replay of the parquet files) + a memory
+sink, which makes results deterministic and collectable.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns epoch (parquet NANOS)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. At scale this is a
+    date-partitioned directory (or Kafka); here the single parquet file is
+    selected via pathGlobFilter. ns-long timestamps are normalized to µs
+    TimestampType exactly as the batch loader does (schemas.load_table)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling windows with a watermark: counts + sums per
+    (window, event_type). Late data beyond the watermark is dropped —
+    state is bounded, the requirement for an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each event contributes to
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based): a session closes after ``gap``
+    of inactivity. State is per (user, open session) and bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a memory
+    sink and return the (batch) result table. Deterministic bounded replay —
+    the bridge between the streaming plans above and the batch-compare
+    driver/oracle harness. Stateful applyInPandasWithState plans require
+    ``output_mode='update'``."""
+    name = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def foreach_batch_incremental(
+    stream: DataFrame, path: str, keys: list[str]
+) -> None:
+    """S7-as-streaming: every micro-batch is merged insert-only into the
+    target via the same anti-join sink the batch pipelines use
+    (reference semantics at function_app.py:305-312, applied per batch).
+    Runs to completion with AvailableNow."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        incremental_insert_only,
+    )
+
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, _epoch: incremental_insert_only(batch_df, path, keys)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", path + "_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
