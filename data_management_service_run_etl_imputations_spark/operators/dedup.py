@@ -72,10 +72,14 @@ def ngram_jaccard_pairs(
     count common shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # Join on the shingle's 64-bit hash, not the string: ~5× fewer shuffle
+    # bytes per row and a cheaper join key. A hash collision could at worst
+    # inflate n_common by 1 in ~2^-64 of pairs — negligible for candidate
+    # generation (and the threshold filter).
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(text_col, k)).alias("shingle"),
-    )
+    ).select("id", F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
