@@ -22,6 +22,7 @@ _QUERY_MODULES = [
     "imputation_q",
     "multimodal_q",
     "streaming_q",
+    "advanced_q",
 ]
 
 for _m in _QUERY_MODULES:
