@@ -184,3 +184,68 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: a KMeans coarse quantizer partitions the
+    corpus into ``n_centroids`` cells; each query searches only its
+    ``n_probe`` nearest cells, exact-ranking within candidates.
+
+    Scale shape: the quantizer is fit once on a sample (driver holds only
+    n_centroids × dims floats); assignment is a map with a broadcast
+    centroid table; the search is an equi-join on cell id — candidates
+    ∝ n_probe/n_centroids of the corpus, never |Q|×|C|. The classic
+    FAISS-IVF layout rendered as DataFrame ops.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
+
+    # Query → its n_probe nearest centroids (centroid table is tiny: rank
+    # per query over a broadcast cross of n_centroids rows).
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = queries.sparkSession.createDataFrame(centroids, "cell INT, centroid ARRAY<DOUBLE>")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = (
+        q.join(F.broadcast(cent_df))
+        .withColumn("dist", -cosine_col(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        F.broadcast(q_cells)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

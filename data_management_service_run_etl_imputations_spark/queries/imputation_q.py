@@ -76,3 +76,31 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.round("value_imputed", 6).alias("value_imputed")
     )
+
+
+@register(
+    "impute_ml_global_mean",
+    oracle=f"""
+        SELECT event_id,
+               ROUND(COALESCE({_MASK}, AVG({_MASK}) OVER ()), 6)
+                   AS value_imputed
+        FROM events
+    """,
+)
+def impute_ml_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib path (north_star: 'MLlib for missing value handling'):
+    pyspark.ml.feature.Imputer with the mean strategy — fit computes the
+    non-null column mean, transform fills. Oracle: global-mean COALESCE."""
+    from data_management_service_run_etl_imputations_spark.operators.imputation import (
+        ml_imputer,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    masked = events.withColumn(
+        "value_masked",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    out = ml_imputer(masked, ["value_masked"], strategy="mean")
+    return out.select(
+        "event_id", F.round("value_masked_imputed", 6).alias("value_imputed")
+    )

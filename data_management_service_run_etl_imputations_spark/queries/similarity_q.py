@@ -60,3 +60,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = len(emb.select("embedding").head()[0])
     out = lsh_topk(emb, queries, dims=dims, k=TOP_K, n_planes=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer (16 cells), query probes its 4
+    nearest cells, exact rank within candidates — the FAISS-IVF layout as
+    DataFrame ops. Rows-only check (KMeans-dependent); recall vs brute
+    force asserted in unit tests."""
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -161,3 +161,25 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(assets, every_n=10, max_frames=8).collect()
     assert {r.asset_id for r in rows} == {1}
     assert [r.frame_index for r in rows] == [0, 10, 20, 30, 40, 50, 60, 70]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing half the cells on clustered-ish random data: expect ≥0.4 mean
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
