@@ -57,6 +57,29 @@ def shingles_col(text_col: str, k: int = 8):
     )
 
 
+def shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int, distinct: bool = True
+) -> DataFrame:
+    """(id, h) rows: 64-bit hashes of the k-token shingles of each document.
+
+    Hot-path twin of :func:`shingles_col`: hashes the sliced token ARRAY
+    structurally (``xxhash64`` on array<string>) — no per-shingle string
+    concatenation — and dedups AFTER hashing via a shuffle (codegen hash
+    aggregate) instead of the interpreted O(n²) ``array_distinct``. Equal
+    shingles ⇔ equal hashes (w.h.p.), which is all set arithmetic needs.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(starts, lambda i: F.xxhash64(F.slice(toks, i, k)))
+        ).alias("h"),
+    )
+    return sh.dropDuplicates(["id", "h"]) if distinct else sh
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -72,14 +95,15 @@ def ngram_jaccard_pairs(
     count common shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # Join on the shingle's 64-bit hash, not the string: ~5× fewer shuffle
-    # bytes per row and a cheaper join key. A hash collision could at worst
-    # inflate n_common by 1 in ~2^-64 of pairs — negligible for candidate
-    # generation (and the threshold filter).
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, k)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("shingle"))
+    # Join on 64-bit shingle hashes, not strings: fewer shuffle bytes, no
+    # per-shingle string building, and distinct-after-hash replaces the
+    # interpreted array_distinct (see shingle_hashes). A hash collision
+    # could inflate n_common by 1 in ~2^-64 of pairs — negligible.
+    # localCheckpoint: the frame feeds the self-join's BOTH sides plus the
+    # sizes aggregate — compute the shingle pipeline once, not three times.
+    sh = shingle_hashes(df, id_col, text_col, k).withColumnRenamed(
+        "h", "shingle"
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
@@ -139,10 +163,10 @@ def minhash_signatures(
     Operands are reduced below 2^31 so products stay exact in int64.
     """
     params = _perm_params(num_perm, seed)
-    h = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(text_col, k)).alias("shingle"),
-    ).select("id", (F.abs(F.xxhash64("shingle")) % MINHASH_PRIME).alias("h"))
+    # distinct=False: duplicate shingles cannot change a min.
+    h = shingle_hashes(df, id_col, text_col, k, distinct=False).select(
+        "id", (F.abs(F.col("h")) % MINHASH_PRIME).alias("h")
+    )
     reduced = F.col("h") % (2**31)
     mins = h.groupBy("id").agg(
         *[
