@@ -23,6 +23,7 @@ _QUERY_MODULES = [
     "multimodal_q",
     "streaming_q",
     "advanced_q",
+    "breadth_q",
 ]
 
 for _m in _QUERY_MODULES:

@@ -1,0 +1,195 @@
+"""Breadth coverage: the remaining SQL-surface shapes a user of a general
+analytics engine reaches for — pivot, correlated subqueries, exact
+percentiles, string-distance, map/array manipulation, conditional
+aggregation. All oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.queries import register
+from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order totals by priority × status. Explicit pivot
+    values keep the plan one-pass (no extra distinct scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("f_total"),
+        F.col("O").alias("o_total"),
+        F.col("P").alias("p_total"),
+    )
+
+
+@register(
+    "correlated_exists_subquery",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+    """,
+)
+def correlated_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS correlated subqueries via the SQL frontend —
+    Catalyst decorrelates both into semi/anti joins."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+        """
+    )
+
+
+@register(
+    "scalar_correlated_subquery",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               ROUND(o_totalprice - (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                     WHERE o2.o_custkey = o.o_custkey), 6)
+                   AS diff_from_cust_avg
+        FROM orders o
+    """,
+)
+def scalar_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-row aggregate of a sibling set) —
+    decorrelated by Catalyst into an aggregate + join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sc_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               ROUND(o_totalprice - (SELECT AVG(o2.o_totalprice) FROM orders_sc_v o2
+                                     WHERE o2.o_custkey = o.o_custkey), 6)
+                   AS diff_from_cust_avg
+        FROM orders_sc_v o
+        """
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 6)  AS p90,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (`percentile` = sort-based;
+    at 100 TB swap for approx_percentile's one-pass sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "string_distance_levenshtein",
+    oracle="""
+        SELECT p.p_partkey,
+               levenshtein(p.p_brand, 'Brand#33') AS dist_to_brand33,
+               CASE WHEN levenshtein(p.p_brand, 'Brand#33') <= 1
+                    THEN 'near' ELSE 'far' END AS proximity
+        FROM part p
+    """,
+)
+def string_distance_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (the fuzzy-matching companion to the J6
+    containment join)."""
+    part = load_table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_brand"), F.lit("Brand#33"))
+    return part.select(
+        "p_partkey",
+        dist.alias("dist_to_brand33"),
+        F.when(dist <= 1, "near").otherwise("far").alias("proximity"),
+    )
+
+
+@register(
+    "map_array_manipulation",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               len(string_split(event_type, '')) AS type_chars,
+               array_to_string(list_sort(string_split(event_type, '')), '') AS sorted_chars,
+               list_contains(string_split('signup purchase', ' '), event_type)
+                   AS is_conversion
+        FROM events
+    """,
+)
+def map_array_manipulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: split/sort/join/contains over derived arrays (SURVEY
+    §1.3: arrays/maps supported beyond the reference's scalar-only types)."""
+    events = load_table(spark, sf_dir, "events")
+    chars = F.filter(F.split("event_type", ""), lambda c: c != "")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.size(chars).cast("long").alias("type_chars"),
+        F.array_join(F.array_sort(chars), "").alias("sorted_chars"),
+        F.array_contains(F.split(F.lit("signup purchase"), " "), F.col("event_type")).alias(
+            "is_conversion"
+        ),
+    )
+
+
+@register(
+    "conditional_aggregation",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS n_errors,
+               ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 6)
+                   AS purchase_value,
+               ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6)
+                   AS avg_click_value
+        FROM events GROUP BY user_id
+    """,
+)
+def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregates (count/sum/avg over predicated
+    subsets in one pass)."""
+    events = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return events.groupBy("user_id").agg(
+        F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.round(F.sum(F.when(is_purchase, F.col("value"))), 6).alias("purchase_value"),
+        F.round(F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 6).alias(
+            "avg_click_value"
+        ),
+    )
