@@ -1,0 +1,79 @@
+"""Plan-level scale evidence: the optimizations SCALE.md claims must be
+visible in the physical plan — partition pruning on partitioned layouts,
+shuffle-free joins on bucketed tables, filter pushdown to parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_pruning_on_date_partitioned_layout(spark, sf_dir, tmp_path):
+    """Writing events date-partitioned (the 100 TB layout for S3-style
+    per-day data) lets a date filter prune partitions at planning time."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_partitioned")
+    events.write.partitionBy("event_date").parquet(path)
+
+    pruned = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "event_date" in plan
+    n_days = (
+        spark.read.parquet(path).select("event_date").distinct().count()
+    )
+    assert n_days > 20  # layout actually split by day
+    assert pruned.count() > 0
+    # the scan must read one partition, not all: partition count in the scan
+    # is reflected by the pruned row count << total
+    assert pruned.count() < events.count() / 10
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key pre-partitions data so the join
+    runs with ZERO Exchange (the co-located join strategy for repeated
+    large-large joins at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # explicit path option: external tables under tmp (warehouse.dir is a
+    # static conf and cannot be changed on a live session)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "orders_b")
+    ).mode("overwrite").saveAsTable("orders_b")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "lineitem_b")
+    ).mode("overwrite").saveAsTable("lineitem_b")
+
+    joined = (
+        spark.table("lineitem_b")
+        .hint("merge")
+        .join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    plan = _plan(joined)
+    join_section = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+    # no shuffle below the join: bucketed scans satisfy the distribution
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert joined.count() > 0
+
+
+@pytest.mark.parametrize(
+    "column,value", [("o_orderstatus", "F")]
+)
+def test_filter_pushdown_reaches_parquet(spark, sf_dir, column, value):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col(column) == value)
+    plan = _plan(orders)
+    assert "PushedFilters" in plan and column in plan
