@@ -31,9 +31,17 @@ def incremental_new_rows(
     """
     in_types = dict(incoming.dtypes)
     existing_keys = existing.select(
-        *[F.col(k).cast(in_types[k]).alias(k) for k in keys]
-    ).dropDuplicates(keys)
-    return incoming.join(existing_keys, on=keys, how="left_anti")
+        *[F.col(k).cast(in_types[k]).alias(f"__ex_{k}") for k in keys]
+    ).dropDuplicates([f"__ex_{k}" for k in keys])
+    # Null-safe equality: a null key component must match a stored null —
+    # the reference's pandas tuple-isin treats NaN as equal
+    # (function_app.py:308; pipeline B's empleado_id is nullable, :381),
+    # and plain equality would re-append null-keyed rows on every run.
+    cond = None
+    for k in keys:
+        c = incoming[k].eqNullSafe(F.col(f"__ex_{k}"))
+        cond = c if cond is None else cond & c
+    return incoming.join(existing_keys, cond, "left_anti")
 
 
 def append_sink(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:

@@ -144,3 +144,19 @@ def test_duration_hours_cross_midnight(spark):
         duration_hours(parse_timestamp("t_out"), parse_timestamp("t_in")).alias("h")
     ).collect()
     assert [round(r.h, 4) for r in out] == [1.5, 8.2583]
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """Backs the agg_approx_distinct rows-only query: HLL++ at rsd=0.01
+    stays within 5% of the exact distinct count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.05, (r.l_returnflag, r.approx, r.exact)

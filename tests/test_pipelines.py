@@ -129,3 +129,30 @@ def test_incremental_rerun_appends_zero(spark, fixtures, tmp_path_factory):
     assert n1 == fact.count() and n1 > 0
     assert incremental_insert_only(fact, path, keys) == 0  # idempotent
     assert spark.read.parquet(path).count() == n1
+
+
+def test_run_etl_end_to_end_and_rerun(spark, fixtures, tmp_path_factory):
+    """The CLI runner's core: full window ETL, both facts loaded, re-run
+    appends zero (reference entry-point semantics, function_app.py:23-53)."""
+    from data_management_service_run_etl_imputations_spark.plans.run import (
+        run_etl,
+        validate_date,
+    )
+
+    base = tmp_path_factory.mktemp("etl")
+    input_dir, output_dir = str(base / "in"), str(base / "out")
+    import os
+
+    os.makedirs(input_dir)
+    for name, df in fixtures.items():
+        df.write.parquet(f"{input_dir}/{name}.parquet")
+
+    counts = run_etl(spark, input_dir, output_dir, "2024-03-01", "2024-03-31")
+    assert counts["fact_imputaciones"] > 0 and counts["fact_fichajes"] > 0
+    again = run_etl(spark, input_dir, output_dir, "2024-03-01", "2024-03-31")
+    assert again == {"fact_imputaciones": 0, "fact_fichajes": 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_date("03/01/2024")
