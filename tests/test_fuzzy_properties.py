@@ -1,0 +1,81 @@
+"""Property-based tests for the fuzzy containment lookup (SURVEY.md §5
+item 4): containment semantics, no-match → null, dim-order determinism.
+
+Hypothesis generates fact strings from a small alphabet so containment hits
+are frequent; each property is checked against a pure-Python reference of
+``get_field_id`` (function_app.py:233-256) semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_management_service_run_etl_imputations_spark.operators.joins import (
+    fuzzy_containment_lookup,
+)
+
+DIM_ROWS = [(1, "ab"), (2, "abc"), (3, "xy"), (4, "q")]
+
+
+def reference_lookup(s: str | None) -> int | None:
+    """Pure-Python mirror of the reference loop: first dim row (in order)
+    whose text is a case-insensitive substring."""
+    if s is None:
+        return None
+    low = s.lower()
+    for dim_id, text in DIM_ROWS:
+        if text in low:
+            return dim_id
+    return None
+
+
+facts_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="abcxyzq ABQ", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame(
+        [(i, t, ordn) for ordn, (i, t) in enumerate(DIM_ROWS, start=1)],
+        "empresa_id INT, nombre STRING, ord INT",
+    )
+
+
+@settings(
+    max_examples=12,  # each example is a Spark job — keep the count sane
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(facts=facts_strategy)
+def test_fuzzy_lookup_matches_reference_semantics(spark, dim, facts):
+    fact_df = spark.createDataFrame(
+        list(enumerate(facts)), "k INT, company STRING"
+    )
+    out = fuzzy_containment_lookup(
+        fact_df, dim, "company", "nombre", "empresa_id", "out",
+        dim_order="ord", fact_key="k",
+    )
+    got = {r.k: r.out for r in out.collect()}
+    expected = {i: reference_lookup(s) for i, s in enumerate(facts)}
+    assert got == expected
+
+
+def test_fuzzy_lookup_deterministic_across_runs(spark, dim):
+    facts = [(i, "xabcq"[: (i % 5) + 1]) for i in range(50)]
+    fact_df = spark.createDataFrame(facts, "k INT, company STRING")
+    runs = [
+        {r.k: r.out for r in fuzzy_containment_lookup(
+            fact_df, dim, "company", "nombre", "empresa_id", "out",
+            dim_order="ord", fact_key="k",
+        ).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
