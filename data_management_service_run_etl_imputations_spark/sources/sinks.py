@@ -84,3 +84,50 @@ def incremental_insert_only(
         fresh.write.mode("append").format(fmt).save(path)
     fresh.unpersist()
     return n
+
+
+def merge_upsert(
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Full upsert (UPDATE existing keys + INSERT new ones) against a
+    path-backed table — the engine's superset of the reference's
+    insert-only S7 for users who need updates.
+
+    Rendering without a transactional format: existing rows whose key is
+    NOT in the batch survive (null-safe anti-join), the whole batch wins
+    for its keys, and the union rewrites the target. At scale, on plain
+    parquet, restrict the rewrite with partition-overwrite
+    (``partitionOverwriteMode=dynamic``) or use Delta/Iceberg MERGE —
+    rewrite-all is the correctness baseline, not the 100 TB path.
+    Returns {"updated": n, "inserted": n}.
+    """
+    spark = incoming.sparkSession
+    try:
+        existing = spark.read.format(fmt).load(path)
+    except Exception:
+        existing = None
+
+    if existing is None:
+        n = incoming.count()
+        incoming.write.mode("overwrite").format(fmt).save(path)
+        return {"updated": 0, "inserted": n}
+
+    untouched = incremental_new_rows(existing, incoming, keys)
+    merged = untouched.unionByName(incoming.select(*existing.columns)).cache()
+    total = merged.count()
+    n_untouched = untouched.count()
+    n_existing = existing.count()
+    # Rewrite via a temp location: the plan reads the target path, so an
+    # in-place overwrite would clobber its own input mid-job.
+    tmp = path + "__rewrite"
+    merged.write.mode("overwrite").format(fmt).save(tmp)
+    merged.unpersist()
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    n_updated = n_existing - n_untouched
+    return {"updated": n_updated, "inserted": total - n_untouched - n_updated}

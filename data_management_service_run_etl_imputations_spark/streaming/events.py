@@ -147,3 +147,13 @@ def foreach_batch_incremental(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once-per-key within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps state only for ``watermark`` of
+    event time (vs plain dropDuplicates whose state grows forever) — the
+    dedup-at-ingest building block for at-least-once upstreams."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -160,3 +160,29 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     )
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact < 0.05, (r.l_returnflag, r.approx, r.exact)
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "fact_upsert")
+    first = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0), (2, "2024-01-01", 6.0)],
+        "empleado_id INT, fecha STRING, horas DOUBLE",
+    )
+    assert merge_upsert(first, path, ["empleado_id", "fecha"]) == {
+        "updated": 0, "inserted": 2,
+    }
+    second = spark.createDataFrame(
+        [(2, "2024-01-01", 9.5), (3, "2024-01-02", 7.0)],
+        "empleado_id INT, fecha STRING, horas DOUBLE",
+    )
+    assert merge_upsert(second, path, ["empleado_id", "fecha"]) == {
+        "updated": 1, "inserted": 1,
+    }
+    rows = {(r.empleado_id, r.fecha): r.horas
+            for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "2024-01-01"): 5.0, (2, "2024-01-01"): 9.5,
+                    (3, "2024-01-02"): 7.0}

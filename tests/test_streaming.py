@@ -62,3 +62,24 @@ def test_stateful_totals_equal_batch(spark, sf_dir):
     s = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in streamed}
     b = {r.user_id: (r.n, round(r.tv, 4)) for r in batch}
     assert s == b
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Duplicated input stream → deduped output equals the distinct batch."""
+    from data_management_service_run_etl_imputations_spark.streaming.events import (
+        dedup_stream_within_watermark,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "ts", "value")
+    doubled = stream.unionByName(stream)  # at-least-once delivery simulation
+    deduped = dedup_stream_within_watermark(doubled, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.table("dedup_stream_t").count()
+    assert n == load_table(spark, sf_dir, "events").count()
