@@ -35,8 +35,12 @@ def main() -> None:
     for name, q in sorted(headline.items()):
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
-        n = df.count()  # full materialization of the result
+        # noop write forces FULL evaluation of every output column;
+        # count() would let Catalyst prune unused projections (windows,
+        # derived columns) and under-report projection-heavy queries.
+        df.write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
+        n = df.count()  # untimed, for the report line
         per_query[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
