@@ -29,6 +29,7 @@ def fuzzy_containment_lookup(
     out_col: str,
     dim_order: str | None = None,
     fact_key: str | None = None,
+    max_dim_expr_rows: int = 1024,
 ) -> DataFrame:
     """Attach ``out_col`` = id of the first dim row (by ``dim_order``) whose
     ``dim_text`` is a case-insensitive substring of ``fact[fact_text]``.
@@ -41,10 +42,49 @@ def fuzzy_containment_lookup(
 
     Left-join semantics: fact rows matching no dim row survive with a null id
     (reference returns ``None``, ``function_app.py:256``).
+
+    Two physical strategies, picked by dim size:
+
+    1. **Projection path** (dim ≤ ``max_dim_expr_rows``): the dim rows are
+       collected once at plan time (bounded — same budget as a broadcast)
+       and unrolled into a single narrow expression
+       ``array_min(array_compact(array(when(contains, struct(ord, id)),
+       ...)))``. No join node, no shuffle, no row explosion — the fact side
+       streams through whole-stage codegen untouched. This is the 100 TB
+       path for the reference's actual dims (≤10⁴ rows): per-row work is
+       identical to the theta-join's predicate evaluation, but nothing else.
+    2. **Theta-join path** (larger dims): broadcast non-equi join + a
+       ``min_by`` hash aggregate to keep the first match per fact row.
     """
     if out_col in fact.columns:
         raise ValueError(f"out_col {out_col!r} already exists on the fact side")
     order_col = dim_order or dim_id
+
+    dim_rows = None
+    if max_dim_expr_rows > 0:
+        # limit(n+1) bounds the collect even if the dim is unexpectedly huge.
+        probe = dim.select(dim_id, dim_text, order_col).limit(
+            max_dim_expr_rows + 1
+        ).collect()
+        if len(probe) <= max_dim_expr_rows:
+            dim_rows = probe
+    if dim_rows is not None:
+        if not dim_rows:
+            return fact.withColumn(out_col, F.lit(None).cast("long"))
+        lowered = F.lower(F.col(fact_text))
+        candidates = F.array(
+            *[
+                F.when(
+                    F.instr(lowered, F.lit(str(r[1]).lower())) > 0,
+                    F.struct(
+                        F.lit(r[2]).alias("o"), F.lit(r[0]).alias("i")
+                    ),
+                )
+                for r in dim_rows
+            ]
+        )
+        first_match = F.array_min(F.array_compact(candidates))
+        return fact.withColumn(out_col, first_match["i"])
     drop_key = fact_key is None
     if drop_key:
         fact_key = "__fuzzy_row_id"

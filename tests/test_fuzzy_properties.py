@@ -55,13 +55,14 @@ def dim(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(facts=facts_strategy)
-def test_fuzzy_lookup_matches_reference_semantics(spark, dim, facts):
+@pytest.mark.parametrize("max_expr", [1024, 0])  # projection / theta-join path
+def test_fuzzy_lookup_matches_reference_semantics(spark, dim, max_expr, facts):
     fact_df = spark.createDataFrame(
         list(enumerate(facts)), "k INT, company STRING"
     )
     out = fuzzy_containment_lookup(
         fact_df, dim, "company", "nombre", "empresa_id", "out",
-        dim_order="ord", fact_key="k",
+        dim_order="ord", fact_key="k", max_dim_expr_rows=max_expr,
     )
     got = {r.k: r.out for r in out.collect()}
     expected = {i: reference_lookup(s) for i, s in enumerate(facts)}

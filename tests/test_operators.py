@@ -36,7 +36,8 @@ def dim(spark):
     )
 
 
-def test_fuzzy_first_match_wins(spark, dim):
+@pytest.mark.parametrize("max_expr", [1024, 0])  # projection path / theta-join path
+def test_fuzzy_first_match_wins(spark, dim, max_expr):
     fact = spark.createDataFrame(
         [
             (100, "ACME HOLDINGS S.L."),   # matches both acme rows → ord 1 wins
@@ -49,15 +50,17 @@ def test_fuzzy_first_match_wins(spark, dim):
     )
     out = fuzzy_containment_lookup(
         fact, dim, "company", "nombre", "empresa_id", "empresa_out",
-        dim_order="ord", fact_key="k",
+        dim_order="ord", fact_key="k", max_dim_expr_rows=max_expr,
     )
     got = {r.k: r.empresa_out for r in out.collect()}
     assert got == {100: 1, 101: 2, 102: 3, 103: None, 104: None}
 
 
-def test_fuzzy_theta_join_matches_udf_reference(spark, dim):
-    """Differential: the scale-path theta-join must agree with the
-    row-at-a-time UDF that mirrors the reference loop exactly."""
+@pytest.mark.parametrize("max_expr", [1024, 0])
+def test_fuzzy_theta_join_matches_udf_reference(spark, dim, max_expr):
+    """Differential: both physical strategies (projection unroll and
+    theta-join) must agree with the row-at-a-time UDF that mirrors the
+    reference loop exactly."""
     import random
 
     rng = random.Random(7)
@@ -69,7 +72,7 @@ def test_fuzzy_theta_join_matches_udf_reference(spark, dim):
     )
     theta = fuzzy_containment_lookup(
         fact, dim, "company", "nombre", "empresa_id", "out",
-        dim_order="ord", fact_key="k",
+        dim_order="ord", fact_key="k", max_dim_expr_rows=max_expr,
     )
     dim_rows = [(r.empresa_id, r.nombre) for r in dim.orderBy("ord").collect()]
     udf = fuzzy_containment_lookup_udf(fact, dim_rows, "company", "out")
