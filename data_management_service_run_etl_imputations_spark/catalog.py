@@ -24,6 +24,7 @@ _QUERY_MODULES = [
     "streaming_q",
     "advanced_q",
     "breadth_q",
+    "tpch_q",
 ]
 
 for _m in _QUERY_MODULES:

@@ -29,6 +29,8 @@ ALLOWED_CROSS = {
     "pipeline_imputaciones",
     "pipeline_fichajes",
     "scalar_correlated_subquery",
+    "tpch_q22_dormant_customers",  # single-row scalar-average broadcast NLJ
+
     "impute_group_mean",   # global-stat window = single-partition by design
     "impute_group_median",
     "impute_ml_global_mean",
