@@ -49,6 +49,33 @@ def impute_with_group_stats(
     )
 
 
+def impute_forward_fill(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Time-series forward fill (LOCF — last observation carried forward):
+    nulls take the most recent non-null value within the group, in
+    ``order_cols`` order. Leading nulls (no prior observation) stay null.
+
+    Scale: one running window per group — ``last(ignorenulls=True)`` over
+    ROWS UNBOUNDED PRECEDING is a single-pass frame, no self-join, no
+    driver round-trip. With time-partitioned input, partition by the series
+    key so each group sorts locally within its shuffle partition.
+    """
+    out_col = out_col or value_col
+    w = (
+        Window.partitionBy(*(group_cols or []))
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
 def ml_imputer(
     df: DataFrame,
     input_cols: list[str],

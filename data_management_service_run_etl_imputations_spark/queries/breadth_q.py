@@ -193,3 +193,91 @@ def conditional_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_click_value"
         ),
     )
+
+
+@register(
+    "window_analytics_extended",
+    oracle="""
+        SELECT c_custkey,
+               c_mktsegment,
+               ntile(4) OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic window battery: ntile / percent_rank /
+    cume_dist per market segment. The (acctbal, custkey) order makes every
+    row its own peer group — deterministic across engines. One window
+    partition = one shuffle; all three functions share the sort."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "unpivot_nation_metrics",
+    oracle="""
+        WITH m AS (
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                   SUM(c_acctbal) AS total_bal,
+                   AVG(c_acctbal) AS avg_bal
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, 'n_customers' AS metric,
+               ROUND(n_customers, 6) AS metric_value FROM m
+        UNION ALL
+        SELECT c_nationkey, 'total_bal', ROUND(total_bal, 6) FROM m
+        UNION ALL
+        SELECT c_nationkey, 'avg_bal', ROUND(avg_bal, 6) FROM m
+    """,
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-nation metrics to long (nation, metric,
+    value) triples — the inverse of pivot. Spark's native unpivot is a
+    zero-shuffle Expand node over the aggregated (already tiny) frame."""
+    customer = load_table(spark, sf_dir, "customer")
+    wide = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.sum("c_acctbal").alias("total_bal"),
+        F.avg("c_acctbal").alias("avg_bal"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"],
+        ["n_customers", "total_bal", "avg_bal"],
+        "metric",
+        "metric_value",
+    ).select(
+        "c_nationkey", "metric", F.round("metric_value", 6).alias("metric_value")
+    )
+
+
+@register(
+    "agg_collect_sorted_set",
+    oracle="""
+        SELECT c_nationkey,
+               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: sorted distinct segment list per nation.
+    collect_set is an unordered accumulator — array_sort makes the result
+    deterministic (never rely on collect_set order)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )

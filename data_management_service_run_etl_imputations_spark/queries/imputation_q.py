@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.operators.imputation import (
+    impute_forward_fill,
     impute_with_group_stats,
 )
 from data_management_service_run_etl_imputations_spark.queries import register
@@ -75,6 +76,38 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", F.round("value_imputed", 6).alias("value_imputed")
+    )
+
+
+@register(
+    "impute_forward_fill",
+    oracle=f"""
+        SELECT event_id, user_id,
+               ROUND(last_value({_MASK} IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 6) AS value_ff
+        FROM events
+    """,
+)
+def impute_forward_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) imputation: per-user event series in time order,
+    nulls carry the last observed value forward; leading nulls stay null.
+    One running window — no self-join, no driver round-trip."""
+    events = load_table(spark, sf_dir, "events")
+    masked = events.withColumn(
+        "value_masked",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    out = impute_forward_fill(
+        masked,
+        "value_masked",
+        order_cols=["ts", "event_id"],
+        group_cols=["user_id"],
+        out_col="value_ff",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_ff", 6).alias("value_ff")
     )
 
 

@@ -140,3 +140,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the character sequence, mod 1e9+7)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_LOWER_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                                DESC, tf.term
+                   ) AS rn
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf
+        FROM scored WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document (ties broken by term). Plan shape:
+    explode tokens → per-(doc,term) counts → per-term document frequency →
+    idf broadcast back onto tf → per-doc top-k window. The df table is
+    vocabulary-sized (≪ corpus), so the idf join broadcasts; n_docs rides
+    along as a literal-free single-row broadcast, never a collected value."""
+    from data_management_service_run_etl_imputations_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+    )

@@ -30,6 +30,7 @@ ALLOWED_CROSS = {
     "pipeline_fichajes",
     "scalar_correlated_subquery",
     "tpch_q22_dormant_customers",  # single-row scalar-average broadcast NLJ
+    "text_tfidf_top_terms",  # single-row n_docs broadcast NLJ
 
     "impute_group_mean",   # global-stat window = single-partition by design
     "impute_group_median",
