@@ -25,6 +25,7 @@ _QUERY_MODULES = [
     "advanced_q",
     "breadth_q",
     "tpch_q",
+    "sources_q",
 ]
 
 for _m in _QUERY_MODULES:

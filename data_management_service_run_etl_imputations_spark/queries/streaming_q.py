@@ -10,6 +10,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.queries import register
 from data_management_service_run_etl_imputations_spark.streaming.events import (
@@ -18,8 +19,10 @@ from data_management_service_run_etl_imputations_spark.streaming.events import (
     run_available_now,
     session_window_agg,
     sliding_window_agg,
+    stream_static_join,
     tumbling_window_agg,
 )
+from data_management_service_run_etl_imputations_spark.schemas import load_table
 
 
 @register(
@@ -109,6 +112,36 @@ def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
     foreach_batch_incremental(stream, target, ["event_id"])
     return spark.read.parquet(target)
+
+
+@register(
+    "streaming_static_dim_join",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment AS segment,
+               c.c_nationkey AS nationkey
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+    """,
+)
+def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: purchases enriched with the customer dimension
+    (user_id → c_custkey). The static side re-resolves every micro-batch —
+    the streaming pattern for slowly-changing dims — and broadcasts, so the
+    stream side never shuffles. Append-mode (no aggregation, no state)."""
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    enriched = stream_static_join(
+        stream, dim, stream.user_id == dim.c_custkey, "left"
+    ).select("event_id", "user_id", "event_type", "segment", "nationkey")
+    return run_available_now(enriched, output_mode="append")
 
 
 @register("streaming_stateful_user_totals")

@@ -106,6 +106,18 @@ def session_window_agg(
     )
 
 
+def stream_static_join(
+    events: DataFrame, dim: DataFrame, on, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich an unbounded stream with a (periodically
+    re-read) dimension table. Supported natively by Structured Streaming
+    for inner/left-outer with a static right side; the static side is
+    re-resolved per micro-batch, so slowly-changing dims pick up updates
+    without restarting the query. At scale the dim broadcasts — no state,
+    no watermark needed (unlike stream-stream joins)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def run_available_now(
     stream_df: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:
