@@ -357,3 +357,67 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- near-dup clustering (connected components) -------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node's
+    label converges to the minimum node id reachable through the edge set.
+    Returns (``id_col``, component). Nodes with no edges are their own
+    component — the full ``nodes`` frame is labeled, not just edge
+    endpoints.
+
+    This is the cluster-assignment step of a dedup pipeline: candidate
+    pairs (MinHash/shingle/SimHash) become transitive duplicate groups, and
+    ``component`` is the canonical (minimum) doc id to keep.
+
+    Scale posture: each iteration is one symmetric-edge join + one min
+    aggregate — all shuffles on the node id key, reusable partitioning.
+    Rounds needed = graph diameter (near-dup clusters are shallow — single
+    digits); each round's frame is ``localCheckpoint``-ed to cut lineage
+    growth, and convergence is detected with a count of changed labels
+    (one action per round, the standard Spark trade for iterative
+    algorithms; GraphX/GraphFrames' Pregel loop does the same). For
+    adversarially deep graphs switch to the large-star/small-star
+    alternation, which converges in O(log n) rounds.
+    """
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+                F.col("component").alias("__old"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("component") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "component")

@@ -39,11 +39,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(docs, "doc_id", "text")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    headline=True,
-    oracle=r"""
-        WITH toks AS (
+# Shared oracle fragment: the k=8 word-shingle Jaccard≥0.8 candidate pairs
+# (used by dedup_ngram_jaccard and, as the edge set, by the
+# connected-components cluster oracle).
+_NGRAM_PAIR_CTES = r"""
+        toks AS (
             SELECT doc_id,
                    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
             FROM documents
@@ -60,14 +60,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM sh a JOIN sh b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b,
+                   ROUND(CAST(c.n_common AS DOUBLE)
+                         / (sa.n + sb.n - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN sizes sa ON c.id_a = sa.doc_id
+            JOIN sizes sb ON c.id_b = sb.doc_id
+            WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.8
         )
-        SELECT c.id_a, c.id_b,
-               ROUND(CAST(c.n_common AS DOUBLE)
-                     / (sa.n + sb.n - c.n_common), 6) AS jaccard
-        FROM common c
-        JOIN sizes sa ON c.id_a = sa.doc_id
-        JOIN sizes sb ON c.id_b = sb.doc_id
-        WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.8
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    headline=True,
+    oracle=f"""
+        WITH {_NGRAM_PAIR_CTES}
+        SELECT id_a, id_b, jaccard FROM pairs
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,3 +132,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is non-trivial; for real corpora use 0.9+."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.35)
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, MIN(dst) AS component
+        FROM reach GROUP BY src
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: candidate pairs (8-word-shingle Jaccard
+    ≥ 0.8) become transitive duplicate groups via connected components
+    (min-label propagation); every document gets the minimum reachable
+    doc_id as its canonical ``component``. The keep-one-per-cluster policy
+    of a corpus dedup pipeline is then ``filter(doc_id == component)``.
+    Oracle: recursive reachability CTE over the same edge set."""
+    from data_management_service_run_etl_imputations_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=8, threshold=0.8)
+    return connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
