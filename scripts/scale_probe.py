@@ -1,0 +1,153 @@
+"""Scale probe: replicate the sf0.1 testdata N× (default 10×, ~6M lineitem
+rows) with per-replica key offsets that preserve FK relationships, then run
+a subset of catalog queries against the replicated store and report wall
+clock per query. This is the reproducible source of SCALE.md's scaling
+table — evidence that plan shapes hold past the bench SF, not proof of
+cluster behavior.
+
+Replication semantics:
+- fact/bridge tables (lineitem, orders, customer, supplier, part, events,
+  documents, embeddings): key columns get ``replica * (max_key + 1)``
+  offsets so each replica is an internally-consistent copy;
+- dimension tables (nation, region) are NOT replicated — every replica's
+  rows reference the same dims, as a real multi-tenant/multi-period store
+  would;
+- document texts are copied verbatim, so dedup workloads see an N-fold
+  duplicated corpus (duplication factor grows with the probe — that is the
+  realistic stress for dedup, but remember it when comparing dedup
+  numbers across factors).
+
+Usage:
+    python scripts/scale_probe.py [--factor 10] [--queries a3_pricing_summary,...]
+
+Writes replicated parquet under .scale_probe/x{factor}/ (gitignored; reused
+if already present) and prints one JSON line per query plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+# (table, [key columns to offset]) — offsets are per-column maxima so FK
+# pairs (l_orderkey↔o_orderkey etc.) shift identically on both sides.
+REPLICATED: list[tuple[str, list[str]]] = [
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("orders", ["o_orderkey", "o_custkey"]),
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("part", ["p_partkey"]),
+    ("events", ["event_id", "user_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+DIMS = ["nation", "region"]
+
+DEFAULT_QUERIES = [
+    "a3_pricing_summary",
+    "flagship_daily_customer_revenue",
+    "topk_customers_by_revenue",
+    "smj_large_large_join",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume",
+    "j6_fuzzy_containment_lookup",
+    "hypertable_time_bucket_rollup",
+    "text_tfidf_top_terms",
+    "dedup_minhash_lsh",
+    "window_rank_lag_running",
+]
+
+
+def build(spark, src: str, dst: str, factor: int) -> None:
+    marker = os.path.join(dst, "_PROBE_READY")
+    if os.path.exists(marker):
+        print(f"# reusing {dst}", file=sys.stderr)
+        return
+    os.makedirs(dst, exist_ok=True)
+    for table, keys in REPLICATED:
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        maxima = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
+        replicas = []
+        for i in range(factor):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(int(maxima[k] + 1) * i))
+            replicas.append(r)
+        out = replicas[0]
+        for r in replicas[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+        print(f"# built {table} ×{factor}", file=sys.stderr)
+    for table in DIMS:
+        spark.read.parquet(f"{src}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{table}.parquet")
+    with open(marker, "w") as f:
+        f.write(f"factor={factor} src={src}\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--work",
+        default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe"),
+    )
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+
+    from data_management_service_run_etl_imputations_spark import catalog
+    from data_management_service_run_etl_imputations_spark.session import get_session
+
+    spark = get_session(app_name="dms-spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dst = os.path.join(args.work, f"x{args.factor}")
+    build(spark, args.src, dst, args.factor)
+
+    names = [n for n in args.queries.split(",") if n]
+    qs = catalog.queries()
+    results: dict[str, float] = {}
+    for name in names:
+        if name not in qs:
+            print(f"# unknown query {name}, skipping", file=sys.stderr)
+            continue
+        # min of 3 passes: pass 1 is dominated by cold page-cache reads of
+        # the freshly written probe parquet, and this host shows heavy
+        # noisy-neighbor variance (same plan swings 1 s ↔ 25 s between
+        # runs) — the minimum is the plan-scaling signal SCALE.md tracks.
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, dst).write.mode("overwrite").format("noop").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        results[name] = min(times)
+        print(
+            json.dumps(
+                {"query": name, "sec": min(times), "passes": times, "factor": args.factor}
+            )
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_total",
+                "factor": args.factor,
+                "value": round(sum(results.values()), 3),
+                "unit": "sec",
+                "queries": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
