@@ -77,3 +77,59 @@ def test_filter_pushdown_reaches_parquet(spark, sf_dir, column, value):
     orders = load_table(spark, sf_dir, "orders").filter(F.col(column) == value)
     plan = _plan(orders)
     assert "PushedFilters" in plan and column in plan
+
+
+# --- plan shapes of the round-1 additions ------------------------------------
+
+
+def test_fuzzy_projection_path_has_no_join_node(spark, sf_dir):
+    """J6 with a small dim must plan as scan+project only: no join operator,
+    no Exchange — the whole lookup rides the fact scan."""
+    from data_management_service_run_etl_imputations_spark import catalog
+
+    df = catalog.queries()["j6_fuzzy_containment_lookup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_unpivot_plans_as_expand_single_shuffle(spark, sf_dir):
+    """Native unpivot is an Expand over the aggregated frame — exactly one
+    Exchange (the aggregation's own), none added by the melt."""
+    from data_management_service_run_etl_imputations_spark import catalog
+
+    df = catalog.queries()["unpivot_nation_metrics"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # agg partial->final pair only (AQE may print one)
+
+
+def test_tfidf_idf_join_broadcasts(spark, sf_dir):
+    """The vocabulary-sized df table must broadcast onto tf — a shuffled
+    join here would re-shuffle the exploded token table a second time."""
+    from data_management_service_run_etl_imputations_spark import catalog
+
+    df = catalog.queries()["text_tfidf_top_terms"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join_with_pushed_date_window(spark, sf_dir):
+    """Q4's EXISTS compiles to one LeftSemi join and the order-date window
+    reaches the orders parquet scan as a pushed filter."""
+    from data_management_service_run_etl_imputations_spark import catalog
+
+    df = catalog.queries()["tpch_q4_order_priority"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_hypertable_rollup_partial_aggregation(spark, sf_dir):
+    """The time-bucket rollup must show map-side partial aggregation — at
+    100 TB the pre-shuffle combine is what keeps the shuffle tiny."""
+    from data_management_service_run_etl_imputations_spark import catalog
+
+    df = catalog.queries()["hypertable_time_bucket_rollup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
