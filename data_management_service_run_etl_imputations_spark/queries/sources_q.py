@@ -121,3 +121,57 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_l_quantity", 6).alias("sum_l_quantity"),
         F.col("count_l_extendedprice").cast("long").alias("count_l_extendedprice"),
     )
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+        WITH ch AS (
+            SELECT user_id, ts, MAX(value) AS value
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id, ts
+        ),
+        ded AS (
+            SELECT user_id, ts, value,
+                   LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM ch
+        ),
+        f AS (
+            SELECT user_id, ts, value FROM ded
+            WHERE prev IS NULL OR prev <> value
+        )
+        SELECT user_id,
+               ROUND(value, 6) AS value,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   AS is_current
+        FROM f
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from a change log: signup events become a
+    versioned per-user dim — each attribute change opens a version valid
+    until the next change (null = current), consecutive re-statements
+    collapsed. The dimension-side complement of the reference's fact-side
+    incremental load (S7): history is kept, not skipped. One lead() window
+    per step; the incremental twin (operators/scd.py:scd2_apply_batch) is
+    fold-equivalent and unit-tested against this rebuild."""
+    from data_management_service_run_etl_imputations_spark.operators.scd import (
+        scd2_from_history,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    changes = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = scd2_from_history(changes, ["user_id"], "ts", ["value"])
+    return out.select(
+        "user_id",
+        F.round("value", 6).alias("value"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
