@@ -420,4 +420,14 @@ def connected_components(
         labels = new_labels.drop("__old")
         if changed == 0:
             break
+    else:
+        # Exhausted max_iter while labels were still moving: returning the
+        # partially-propagated labels would silently split long path-shaped
+        # clusters into wrong components. Fail loudly — the caller raises
+        # max_iter or switches to the large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter (graph "
+            "diameter exceeds it) or use large-star/small-star alternation"
+        )
     return labels.select(F.col("id").alias(id_col), "component")

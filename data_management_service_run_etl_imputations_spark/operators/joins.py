@@ -59,6 +59,11 @@ def fuzzy_containment_lookup(
     if out_col in fact.columns:
         raise ValueError(f"out_col {out_col!r} already exists on the fact side")
     order_col = dim_order or dim_id
+    # Both physical strategies must agree exactly: the id column keeps the
+    # dim's dtype, and a dim row with NULL text matches nothing (in the theta
+    # path instr(x, NULL) is NULL ⇒ no match; the projection path must not
+    # stringify None into a matchable 'none').
+    id_type = dim.schema[dim_id].dataType.simpleString()
 
     dim_rows = None
     if max_dim_expr_rows > 0:
@@ -69,15 +74,17 @@ def fuzzy_containment_lookup(
         if len(probe) <= max_dim_expr_rows:
             dim_rows = probe
     if dim_rows is not None:
+        dim_rows = [r for r in dim_rows if r[1] is not None]
         if not dim_rows:
-            return fact.withColumn(out_col, F.lit(None).cast("long"))
+            return fact.withColumn(out_col, F.lit(None).cast(id_type))
         lowered = F.lower(F.col(fact_text))
         candidates = F.array(
             *[
                 F.when(
                     F.instr(lowered, F.lit(str(r[1]).lower())) > 0,
                     F.struct(
-                        F.lit(r[2]).alias("o"), F.lit(r[0]).alias("i")
+                        F.lit(r[2]).alias("o"),
+                        F.lit(r[0]).cast(id_type).alias("i"),
                     ),
                 )
                 for r in dim_rows

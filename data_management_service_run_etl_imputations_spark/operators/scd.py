@@ -58,20 +58,77 @@ def scd2_apply_batch(
     key_cols: list[str],
     ts_col: str,
     attr_cols: list[str],
+    on_out_of_order: str = "rebuild",
 ) -> DataFrame:
     """Merge one change batch into an existing SCD2 dim (schema as produced
     by :func:`scd2_from_history`). Batch rows later than a key's current
     version with different attributes expire it; unchanged re-statements
     are ignored. Returns the new full dim state.
 
-    Plan shape: the batch is first collapsed to its own mini-history (the
-    same window as the rebuild), then one left join against the current
-    slice decides expire-vs-ignore — historical (non-current) rows pass
-    through untouched, so at scale the join touches only |keys|, not
-    |versions|. On a transactional store this is the classic Delta/Iceberg
-    ``MERGE`` with an expire-update + insert branch; on plain parquet the
-    returned frame is rewritten via the overwrite sink.
+    Late-arriving data (a batch row at or before a key's current
+    ``valid_from``) cannot be folded in by the incremental expire/insert
+    branches — naively inserting it would leave two ``is_current`` rows for
+    the key. ``on_out_of_order`` picks the policy:
+
+    - ``"rebuild"`` (default): keys with any late row are rebuilt exactly —
+      their existing versions are re-expanded into a change log, unioned
+      with their batch rows, and re-run through :func:`scd2_from_history`.
+      Only the affected keys pay the rebuild; in-order keys keep the cheap
+      incremental path. Result equals a full rebuild over the combined log.
+    - ``"drop"``: late batch rows are discarded; in-order rows still apply.
+    - ``"error"``: raise ``ValueError`` if any late row exists (forces an
+      eager check of the batch).
+
+    Plan shape (in-order path): the batch is first collapsed to its own
+    mini-history (the same window as the rebuild), then one left join
+    against the current slice decides expire-vs-ignore — historical
+    (non-current) rows pass through untouched, so at scale the join touches
+    only |keys|, not |versions|. On a transactional store this is the
+    classic Delta/Iceberg ``MERGE`` with an expire-update + insert branch;
+    on plain parquet the returned frame is rewritten via the overwrite sink.
     """
+    if on_out_of_order not in ("rebuild", "drop", "error"):
+        raise ValueError(f"on_out_of_order={on_out_of_order!r}")
+
+    key_eq_late = [F.col(c) == F.col(f"__k_{c}") for c in key_cols]
+    cur_from = current.filter(F.col("is_current")).select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols],
+        F.col("valid_from").alias("__cur_from"),
+    )
+    late_keys = (
+        batch.join(cur_from, key_eq_late)
+        .filter(F.col(ts_col) <= F.col("__cur_from"))
+        .select(*key_cols)
+        .distinct()
+    )
+    if on_out_of_order == "error":
+        if late_keys.limit(1).count() > 0:
+            raise ValueError(
+                "scd2_apply_batch: batch contains rows at or before a key's "
+                "current valid_from (out-of-order data); pass "
+                "on_out_of_order='rebuild' or 'drop'"
+            )
+        rebuild_out = None
+    elif on_out_of_order == "drop":
+        batch = (
+            batch.join(cur_from, key_eq_late, "left")
+            .filter(
+                F.col("__cur_from").isNull()
+                | (F.col(ts_col) > F.col("__cur_from"))
+            )
+            .select(*batch.columns)
+        )
+        rebuild_out = None
+    else:  # rebuild affected keys exactly from their combined change log
+        cur_late = current.join(late_keys, key_cols, "left_semi")
+        batch_late = batch.join(late_keys, key_cols, "left_semi")
+        log = cur_late.select(
+            *key_cols, *attr_cols, F.col("valid_from").alias(ts_col)
+        ).unionByName(batch_late.select(*key_cols, *attr_cols, ts_col))
+        rebuild_out = scd2_from_history(log, key_cols, ts_col, attr_cols)
+        current = current.join(late_keys, key_cols, "left_anti")
+        batch = batch.join(late_keys, key_cols, "left_anti")
+
     versioned_batch = scd2_from_history(batch, key_cols, ts_col, attr_cols)
 
     cur = current.filter(F.col("is_current"))
@@ -123,4 +180,7 @@ def scd2_apply_batch(
         "left_anti",
     )
 
-    return hist.unionByName(expired).unionByName(new_rows)
+    out = hist.unionByName(expired).unionByName(new_rows)
+    if rebuild_out is not None:
+        out = out.unionByName(rebuild_out)
+    return out

@@ -17,7 +17,7 @@ from data_management_service_run_etl_imputations_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from data_management_service_run_etl_imputations_spark.operators.similarity import (
-    embedding_near_duplicates,
+    embedding_near_duplicates_blocked,
 )
 from data_management_service_run_etl_imputations_spark.queries import register
 from data_management_service_run_etl_imputations_spark.schemas import load_table
@@ -125,13 +125,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold over all pairs (exact
-    variant; the LSH bucket join in operators/similarity.py is the scale
-    path). Threshold 0.35 ≈ the 99.9th percentile of pairwise cosine in the
-    synthetic embeddings (max 0.51 — no planted duplicate clusters), so the
-    result is non-trivial; for real corpora use 0.9+."""
+    """Embedding near-dup pairs: cosine ≥ threshold, computed WITHOUT an
+    all-pairs join — KMeans metric blocking with a triangle-inequality
+    cell-pair bound gives exact recall on an equi-join plan
+    (operators/similarity.py:embedding_near_duplicates_blocked); the
+    all-pairs form remains as the oracle. Threshold 0.35 ≈ the 99.9th
+    percentile of pairwise cosine in the synthetic embeddings (max 0.51 —
+    no planted duplicate clusters), so the result is non-trivial; for real
+    corpora use 0.9+, where the bound also prunes most cell pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.35)
+    return embedding_near_duplicates_blocked(emb, threshold=0.35, n_cells=16)
 
 
 @register(

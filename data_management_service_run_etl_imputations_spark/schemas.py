@@ -119,7 +119,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Maps reference source S5 (full-table JDBC scan, ``function_app.py:192-196``)
     onto a columnar scan: Catalyst pushes filters and prunes columns into the
     parquet reader, which the reference did by hand (``function_app.py:199``).
+
+    Works under any caller-supplied SparkSession: the confs the read path
+    *requires* (nanos-as-long for events.parquet, UTC session TZ) are applied
+    here at read time, not assumed from the session factory.
     """
+    from data_management_service_run_etl_imputations_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Nanosecond-precision parquet timestamps arrive as long (see
     # session.py nanosAsLong). Normalize to Spark's µs TimestampType by

@@ -21,6 +21,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs the engine *requires for correctness* (not just performance). Every
+# one of these is runtime-settable on Spark 4.x, so they can be applied to a
+# session the caller built themselves (e.g. the driver harness injects its own
+# vanilla SparkSession — round-1 lesson: `spark.sql.legacy.parquet.nanosAsLong`
+# lived only in this factory, so every events.parquet scan under the injected
+# session died with PARQUET_TYPE_ILLEGAL). Performance confs (AQE, shuffle
+# partitions, maxPartitionBytes) stay factory-only: plans are correct without
+# them, just slower.
+RUNTIME_REQUIRED_CONFS: dict[str, str] = {
+    # events.parquet is INT64 TIMESTAMP(NANOS) at every SF; without this the
+    # scan itself is rejected. Read as long; schemas.load_table converts to
+    # µs timestamps (same truncation DuckDB applies on its ns→µs read).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle hashes compare timestamp *values*; session TZ must match the
+    # UTC-normalized testdata regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Pandas-UDF paths assume Arrow interchange (both for speed and for
+    # consistent null/array handling in grouped-map shapes).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply every correctness-bearing conf to an externally-built session.
+
+    Idempotent and cheap (conf reads are local). Called from
+    ``schemas.load_table`` and the catalog dispatch so the engine gives correct
+    results under *any* SparkSession, not just ones built by
+    :func:`get_session`.
+    """
+    for key, want in RUNTIME_REQUIRED_CONFS.items():
+        spark.conf.set(key, want)
+    return spark
+
+
 def get_session(
     app_name: str = "dms-imputations-spark",
     master: str | None = None,

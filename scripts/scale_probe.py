@@ -7,8 +7,10 @@ cluster behavior.
 
 Replication semantics:
 - fact/bridge tables (lineitem, orders, customer, supplier, part, events,
-  documents, embeddings): key columns get ``replica * (max_key + 1)``
-  offsets so each replica is an internally-consistent copy;
+  documents, embeddings): key columns get ``replica * domain_stride``
+  offsets, where the stride is shared by every column in a key domain (PK
+  and all FKs referencing it), so each replica is an internally-consistent
+  copy whose FKs resolve within the same replica;
 - dimension tables (nation, region) are NOT replicated — every replica's
   rows reference the same dims, as a real multi-tenant/multi-period store
   would;
@@ -36,17 +38,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-# (table, [key columns to offset]) — offsets are per-column maxima so FK
-# pairs (l_orderkey↔o_orderkey etc.) shift identically on both sides.
-REPLICATED: list[tuple[str, list[str]]] = [
-    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
-    ("orders", ["o_orderkey", "o_custkey"]),
-    ("customer", ["c_custkey"]),
-    ("supplier", ["s_suppkey"]),
-    ("part", ["p_partkey"]),
-    ("events", ["event_id", "user_id"]),
-    ("documents", ["doc_id"]),
-    ("embeddings", ["vec_id"]),
+# Key DOMAINS: every column in a domain (PK side and every FK referencing
+# it) shifts by the SAME stride — the domain-wide max — so replica i's FKs
+# land on replica i's keys. Per-column maxima would break FKs whose value
+# range is a strict subset of the referenced key's (events.user_id maxes at
+# c_custkey/10; a per-column offset pointed replica-i events at replica-0
+# customers).
+KEY_DOMAINS: dict[str, list[tuple[str, str]]] = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "custkey": [
+        ("customer", "c_custkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ],
+    "eventkey": [("events", "event_id")],
+    "dockey": [("documents", "doc_id"), ("embeddings", "vec_id")],
+}
+REPLICATED_TABLES = [
+    "lineitem",
+    "orders",
+    "customer",
+    "supplier",
+    "part",
+    "events",
+    "documents",
+    "embeddings",
 ]
 DIMS = ["nation", "region"]
 
@@ -71,14 +89,27 @@ def build(spark, src: str, dst: str, factor: int) -> None:
         print(f"# reusing {dst}", file=sys.stderr)
         return
     os.makedirs(dst, exist_ok=True)
-    for table, keys in REPLICATED:
+    # Pass 1: one stride per key domain = max over every member column.
+    stride: dict[str, int] = {}
+    for domain, members in KEY_DOMAINS.items():
+        m = 0
+        for table, col in members:
+            df = spark.read.parquet(f"{src}/{table}.parquet")
+            m = max(m, int(df.agg(F.max(col)).collect()[0][0]))
+        stride[domain] = m + 1
+    col_stride: dict[tuple[str, str], int] = {
+        (table, col): stride[domain]
+        for domain, members in KEY_DOMAINS.items()
+        for table, col in members
+    }
+    for table in REPLICATED_TABLES:
         df = spark.read.parquet(f"{src}/{table}.parquet")
-        maxima = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
+        keys = [c for (t, c) in col_stride if t == table]
         replicas = []
         for i in range(factor):
             r = df
             for k in keys:
-                r = r.withColumn(k, F.col(k) + F.lit(int(maxima[k] + 1) * i))
+                r = r.withColumn(k, F.col(k) + F.lit(col_stride[(table, k)] * i))
             replicas.append(r)
         out = replicas[0]
         for r in replicas[1:]:

@@ -33,3 +33,54 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = {r.id: r.component for r in connected_components(nodes, edges).collect()}
     assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iter with labels still moving must fail loudly, not
+    return partially-propagated (wrong) components (round-2 ADVICE)."""
+    import pytest
+
+    from data_management_service_run_etl_imputations_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 10
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+
+
+def test_blocked_near_duplicates_equals_exact(spark):
+    """Metric-blocked (KMeans cell + triangle-inequality pruning) near-dup
+    must reproduce the all-pairs result exactly — the bound guarantees
+    recall at ANY threshold — and its plan must contain no cartesian."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_blocked,
+    )
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 5 == 0:  # planted near-duplicates
+            rows.append((1000 + i, [float(x + rng.gauss(0, 0.01)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    for t in (0.5, 0.95):
+        exact = sorted(
+            map(tuple, embedding_near_duplicates(df, threshold=t).collect())
+        )
+        blocked_df = embedding_near_duplicates_blocked(
+            df, threshold=t, n_cells=6
+        )
+        blocked = sorted(map(tuple, blocked_df.collect()))
+        assert blocked == exact, f"threshold={t}"
+        plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -57,6 +57,28 @@ def test_fuzzy_first_match_wins(spark, dim, max_expr):
 
 
 @pytest.mark.parametrize("max_expr", [1024, 0])
+def test_fuzzy_null_dim_text_matches_nothing(spark, max_expr):
+    """A dim row with NULL text must match nothing on BOTH physical
+    strategies (round-2 ADVICE: the projection path stringified None into
+    'none', silently matching facts containing that substring), and the
+    output id must keep the dim column's dtype on both paths."""
+    dim_with_null = spark.createDataFrame(
+        [(1, None, 1), (2, "acme", 2)], "empresa_id INT, nombre STRING, ord INT"
+    )
+    fact = spark.createDataFrame(
+        [(100, "none of the above"), (101, "acme corp"), (102, "zzz")],
+        "k INT, company STRING",
+    )
+    out = fuzzy_containment_lookup(
+        fact, dim_with_null, "company", "nombre", "empresa_id", "out",
+        dim_order="ord", fact_key="k", max_dim_expr_rows=max_expr,
+    )
+    assert out.schema["out"].dataType.simpleString() == "int"
+    got = {r.k: r.out for r in out.collect()}
+    assert got == {100: None, 101: 2, 102: None}
+
+
+@pytest.mark.parametrize("max_expr", [1024, 0])
 def test_fuzzy_theta_join_matches_udf_reference(spark, dim, max_expr):
     """Differential: both physical strategies (projection unroll and
     theta-join) must agree with the row-at-a-time UDF that mirrors the
@@ -189,3 +211,49 @@ def test_merge_upsert_updates_and_inserts(spark, tmp_path):
             for r in spark.read.parquet(path).collect()}
     assert rows == {(1, "2024-01-01"): 5.0, (2, "2024-01-01"): 9.5,
                     (3, "2024-01-02"): 7.0}
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    """Dynamic-partition-overwrite upsert: untouched partitions keep their
+    exact files (same names, same bytes); only the batch's partitions are
+    rewritten. This is the scale path merge_upsert's docstring points to."""
+    import os
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "fact_part")
+    first = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0), (2, "2024-01-01", 6.0),
+         (3, "2024-01-02", 7.0), (4, "2024-01-03", 8.0)],
+        "empleado_id INT, fecha STRING, horas DOUBLE",
+    )
+    assert merge_upsert_partitioned(
+        first, path, ["empleado_id", "fecha"], "fecha"
+    ) == {"updated": 0, "inserted": 4}
+
+    def files_of(day):
+        d = os.path.join(path, f"fecha={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    untouched_before = files_of("2024-01-02"), files_of("2024-01-03")
+
+    batch = spark.createDataFrame(
+        [(2, "2024-01-01", 9.5), (5, "2024-01-01", 1.0)],
+        "empleado_id INT, fecha STRING, horas DOUBLE",
+    )
+    assert merge_upsert_partitioned(
+        batch, path, ["empleado_id", "fecha"], "fecha"
+    ) == {"updated": 1, "inserted": 1}
+
+    assert (files_of("2024-01-02"), files_of("2024-01-03")) == untouched_before
+    # partition dir values are type-inferred on read-back → stringify
+    rows = {(r.empleado_id, str(r.fecha)): r.horas
+            for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "2024-01-01"): 5.0, (2, "2024-01-01"): 9.5,
+                    (5, "2024-01-01"): 1.0, (3, "2024-01-02"): 7.0,
+                    (4, "2024-01-03"): 8.0}

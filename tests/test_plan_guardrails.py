@@ -24,7 +24,6 @@ from data_management_service_run_etl_imputations_spark import catalog
 ALLOWED_CROSS = {
     "ann_bruteforce_topk",
     "ann_ivf_topk",  # query × n_centroids ranking — bounded by design
-    "dedup_embedding_cosine",
     "j6_fuzzy_containment_lookup",
     "pipeline_imputaciones",
     "pipeline_fichajes",

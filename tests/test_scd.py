@@ -77,6 +77,49 @@ def test_scd2_batch_fold_equals_rebuild(spark):
     assert _rows(state) == _rows(full)
 
 
+def test_scd2_out_of_order_batch_rebuild_equals_full(spark):
+    """Late-arriving batch (rows at/before the key's current valid_from)
+    under the default rebuild policy must equal a full rebuild over the
+    combined log — and never leave two is_current rows per key (the
+    round-2 ADVICE bug: insert-without-expiry)."""
+    base = spark.createDataFrame(
+        [(1, _ts(5), "C"), (2, _ts(2), "X")], SCHEMA
+    )
+    state = scd2_from_history(base, ["k"], "ts", ["attr"])
+    # key 1 gets a LATE row (day 3 < current valid_from day 5) plus an
+    # in-order one (day 8); key 2 stays in-order.
+    batch = spark.createDataFrame(
+        [(1, _ts(3), "B"), (1, _ts(8), "D"), (2, _ts(9), "Y")], SCHEMA
+    )
+    out = scd2_apply_batch(state, batch, ["k"], "ts", ["attr"])
+    combined = spark.createDataFrame(
+        [(1, _ts(5), "C"), (2, _ts(2), "X"),
+         (1, _ts(3), "B"), (1, _ts(8), "D"), (2, _ts(9), "Y")],
+        SCHEMA,
+    )
+    assert _rows(out) == _rows(scd2_from_history(combined, ["k"], "ts", ["attr"]))
+    current_per_key = (
+        out.filter("is_current").groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in current_per_key)
+
+
+def test_scd2_out_of_order_batch_drop_and_error(spark):
+    import pytest
+
+    base = spark.createDataFrame([(1, _ts(5), "C")], SCHEMA)
+    state = scd2_from_history(base, ["k"], "ts", ["attr"])
+    late = spark.createDataFrame([(1, _ts(3), "B")], SCHEMA)
+    dropped = scd2_apply_batch(
+        state, late, ["k"], "ts", ["attr"], on_out_of_order="drop"
+    )
+    assert _rows(dropped) == _rows(state)
+    with pytest.raises(ValueError, match="out-of-order"):
+        scd2_apply_batch(
+            state, late, ["k"], "ts", ["attr"], on_out_of_order="error"
+        )
+
+
 def test_scd2_batch_restatement_then_change_single_batch(spark):
     """One batch whose first row restates current attrs and whose second
     differs: current must expire at the SECOND row's ts and exactly one
