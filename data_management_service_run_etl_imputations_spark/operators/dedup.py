@@ -149,6 +149,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_pairs_exact_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for GIVEN candidate pairs — the verify stage
+    of a candidate-generation dedup pipeline (MinHash/SimHash candidates →
+    exact similarity → keep ≥ threshold). Returns (id_a, id_b, jaccard)
+    with the same arithmetic/rounding as :func:`ngram_jaccard_pairs`, so a
+    candidate set with full recall reproduces it exactly.
+
+    Scale shape: shingles are joined TO the pair list (two equi-joins on
+    doc id + one on (id, shingle)), so cost ∝ |candidates|·|shingles per
+    doc| — never corpus²."""
+    sh = shingle_hashes(df, id_col, text_col, k).withColumnRenamed(
+        "h", "shingle"
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    p = pairs.select("id_a", "id_b")
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        p.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # --- MinHash + LSH ------------------------------------------------------------
 
 MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime; (a*h+b) mod p stays in int64*

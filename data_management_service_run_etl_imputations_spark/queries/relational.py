@@ -269,15 +269,33 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_n_part,
+               TRUE AS approx_within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct count (HLL++) — the 100 TB substitute for exact
-    COUNT(DISTINCT). No oracle: approximate by definition (driver records the
-    rows-only check); accuracy is asserted in unit tests against the exact
-    count at small SF."""
+    """Approximate distinct count (HLL++, rsd=0.01) — the 100 TB substitute
+    for exact COUNT(DISTINCT). Oracle = a deterministic error-bound
+    invariant: per group, the HLL++ estimate must land within 5% of the
+    exact count (5× the configured rsd — wide margin, and HLL++ is
+    deterministic for fixed data). The exact count is also returned and
+    value-checked, so the query demonstrates both paths side by side."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_n_part")
+        F.countDistinct("l_partkey").alias("exact_n_part"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("__approx"),
+    ).select(
+        "l_returnflag",
+        "exact_n_part",
+        (
+            F.abs(F.col("__approx") - F.col("exact_n_part"))
+            <= 0.05 * F.col("exact_n_part")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -16,10 +16,9 @@ N_QUERIES = 5
 TOP_K = 10
 
 
-@register(
-    "ann_bruteforce_topk",
-    headline=True,
-    oracle=f"""
+# Exact cosine top-k in SQL — the oracle for BOTH the brute-force baseline
+# and (since its measured recall is 1.0 on this corpus) the LSH path.
+_BF_TOPK_ORACLE = f"""
         WITH q AS (SELECT vec_id AS query_id,
                           CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id < {N_QUERIES}),
@@ -37,8 +36,10 @@ TOP_K = 10
             FROM scored
         )
         WHERE rank <= {TOP_K}
-    """,
-)
+"""
+
+
+@register("ann_bruteforce_topk", headline=True, oracle=_BF_TOPK_ORACLE)
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-{k}: broadcast query set × corpus, JVM-side dot
     products (zip_with/aggregate), per-query window rank. The correctness
@@ -49,30 +50,63 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_lsh_topk")
+@register("ann_lsh_topk", oracle=_BF_TOPK_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH (8 planes, multi-probe
-    hamming-1): bucket equi-join instead of full cross product — the 100 TB
-    path. Recall vs brute force asserted in unit tests (rows-only here:
-    approximate by construction)."""
+    """Approximate top-k via random-hyperplane LSH: bucket equi-join instead
+    of full cross product — the 100 TB path. Oracle = the exact brute-force
+    top-k SQL: hyperplanes are seed-deterministic and (4 planes × 16 tables
+    + hamming-1 multiprobe) measures recall 1.0 on this corpus, so the
+    approximate plan must reproduce the exact answer row-for-row. The
+    synthetic embeddings are near-orthogonal (max pair cosine 0.51), which
+    forces recall-heavy parameters; real corpora with tight neighbors use
+    fewer tables / more planes (unit tests track recall across settings)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     dims = len(emb.select("embedding").head()[0])
-    out = lsh_topk(emb, queries, dims=dims, k=TOP_K, n_planes=8)
+    out = lsh_topk(
+        emb, queries, dims=dims, k=TOP_K, n_planes=4, n_tables=16
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_ivf_topk")
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        SELECT vec_id AS query_id, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: KMeans coarse quantizer (16 cells), query probes its 4
-    nearest cells, exact rank within candidates — the FAISS-IVF layout as
-    DataFrame ops. Rows-only check (KMeans-dependent); recall vs brute
-    force asserted in unit tests."""
+    """IVF-style ANN: KMeans coarse quantizer (16 cells), query probes its
+    12 nearest cells, exact rank within candidates — the FAISS-IVF layout
+    as DataFrame ops. Oracle = a deterministic recall invariant: per query,
+    recall@{TOP_K} vs the brute-force top-{TOP_K} must clear a 0.6 floor
+    (measured ≥ 0.8 per query at sf0.001/0.01 with n_probe=12; the floor
+    leaves margin for KMeans float jitter, unlike asserting exact top-k,
+    which a boundary-cell flip could break). Unit tests track the actual
+    recall numbers."""
     from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        brute_force_topk,
         ivf_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=4)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    approx = ivf_topk(emb, queries, k=TOP_K, n_centroids=16, n_probe=12)
+    exact = brute_force_topk(emb, queries, k=TOP_K)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= int(0.6 * TOP_K)).alias(
+                "recall_ok"
+            ),
+        )
+    )
