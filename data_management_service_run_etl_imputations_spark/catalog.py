@@ -14,6 +14,7 @@ from data_management_service_run_etl_imputations_spark.session import ensure_run
 
 _QUERY_MODULES = [
     "core",
+    "corpus_q",
     "relational",
     "functions_q",
     "pipelines_q",

@@ -1,0 +1,185 @@
+"""Corpus-preparation operators for LLM training-data pipelines — engine
+extension beyond the reference surface (the dedup/ANN/text families'
+sibling): deterministic splits, balanced sampling, sequence packing,
+quality filtering, and event sessionization.
+
+Design rules shared by every operator here:
+- **Deterministic and SQL-portable.** Randomness comes from a Knuth
+  multiplicative hash of the row id (public-domain constant 2654435761),
+  not ``rand()`` — the same arithmetic runs in any SQL engine, so every
+  operator is oracle-checkable and reruns are stable (a training-data
+  pipeline must be reproducible to be debuggable).
+- **No global ordering.** Anything needing "random order" sorts by the
+  scrambled id WITHIN its partition/stratum window; nothing funnels the
+  corpus through a single-partition window.
+- **Pure column expressions.** No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative hashing constant (TAOCP vol. 3 §6.4) — public.
+KNUTH_HASH = 2654435761
+_M32 = 1 << 32
+
+
+def scramble(id_col) -> F.Column:
+    """Deterministic pseudo-random 32-bit key from an integer id column.
+    Same expression is valid SQL: ``(id * 2654435761) % 4294967296``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c * F.lit(KNUTH_HASH)) % F.lit(_M32)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed-id bucket — the
+    standard reproducible split for training corpora. A pure narrow map:
+    no shuffle, no state, stable across reruns and engines (unlike
+    ``rand()``-based splits, which resample on every recomputation of a
+    lost partition — a classic training-data leak).
+    """
+    bucket = scramble(id_col) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def balanced_sample(
+    df: DataFrame, stratum_col: str, id_col: str
+) -> DataFrame:
+    """Group-balanced downsampling: every stratum keeps exactly
+    ``min(|stratum|)`` rows — the first ones in scrambled-id order — so a
+    skewed corpus becomes label-balanced without replacement sampling.
+
+    Plan shape: one window rank per stratum (shuffle on the stratum key),
+    one tiny per-stratum size aggregate whose global min is computed with
+    an unpartitioned window over |strata| rows (not over the data), then a
+    broadcast join of that min back on. Nothing all-pairs, nothing
+    single-partition over row-scale data.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(scramble(id_col), id_col)
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = sizes.select(
+        stratum_col,
+        F.min("__n").over(Window.orderBy(F.lit(1))).alias("__min_n"),
+    )
+    return (
+        ranked.join(F.broadcast(min_n), stratum_col)
+        .filter(F.col("__rk") <= F.col("__min_n"))
+        .drop("__rk", "__min_n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col,
+    budget: int,
+    partition_col: str,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-budget bins
+    (context windows): within each partition, docs are taken in id order
+    and a doc starts at offset ``cumsum_before``; its bin is
+    ``floor(cumsum_before / budget)``. The pre-training data loader's
+    "pack shard into 8k-token sequences" step as one window expression.
+
+    Packing is per-``partition_col`` (source shard / date / worker) — the
+    real pipelines pack per shard too, precisely so no global order or
+    single-partition cumsum exists at 100 TB.
+    Returns one row per (partition, bin): n_docs, total_tokens.
+    """
+    nt = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    )
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    before = F.coalesce(
+        F.sum(nt).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = df.select(
+        F.col(partition_col),
+        nt.alias("__nt"),
+        F.floor(before / F.lit(budget)).alias("bin_id"),
+    )
+    return binned.groupBy(partition_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+    )
+
+
+def quality_flags(df: DataFrame, text_col: str) -> DataFrame:
+    """C4-style heuristic quality filters as pure column expressions:
+    word count, mean word length, terminal punctuation — and the combined
+    keep decision (C4's thresholds: ≥5 words, mean word length in [3,10],
+    terminal punctuation; Raffel et al. 2020, public). Each flag is
+    returned so downstream mixes can re-weight instead of hard-dropping.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) / n_words
+    ends_terminal = F.col(text_col).rlike(r"[.!?]\s*$")
+    return df.select(
+        df["*"],
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        ends_terminal.alias("ends_terminal"),
+        (
+            (n_words >= 5)
+            & (mean_len >= 3)
+            & (mean_len <= 10)
+            & ends_terminal
+        ).alias("keep"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap_seconds``. The batch twin of
+    the streaming session window (streaming/events.py) — one LAG + one
+    running SUM over the same per-user window (the second reuses the
+    first's shuffle partitioning).
+
+    Returns one row per session: user, session_seq (1-based per user),
+    n_events, session start/end.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev_ts.cast("double")
+            > gap_seconds
+        ),
+        1,
+    ).otherwise(0)
+    flagged = events.withColumn("__new", is_new)
+    with_session = flagged.withColumn(
+        "session_seq", F.sum("__new").over(w)
+    )
+    return with_session.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

@@ -1,0 +1,186 @@
+"""Corpus-preparation queries — the LLM training-data pipeline steps a
+100 TB corpus needs between "raw documents" and "training shards":
+deterministic splits, stratum balancing, sequence packing, quality
+filtering, sessionization. All oracle-checked (the operators are built on
+SQL-portable deterministic arithmetic — see operators/corpus.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.operators.corpus import (
+    balanced_sample,
+    pack_sequences,
+    quality_flags,
+    sessionize,
+    train_val_test_split,
+)
+from data_management_service_run_etl_imputations_spark.queries import register
+from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+# (id * knuth) % 2^32 — the scramble expression, verbatim in SQL.
+_SCRAMBLE_SQL = "(doc_id * 2654435761) % 4294967296"
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle=f"""
+        SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM (
+            SELECT n_chars,
+                   CASE WHEN {_SCRAMBLE_SQL} % 100 < 80 THEN 'train'
+                        WHEN {_SCRAMBLE_SQL} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ) GROUP BY split
+    """,
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by Knuth-hashed doc id, summarized per
+    split. A pure narrow map + one aggregate — reproducible across reruns
+    and engines (``rand()`` splits resample when a lost partition is
+    recomputed; hashed-id splits cannot)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_balanced_sample",
+    oracle=f"""
+        WITH sizes AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {_SCRAMBLE_SQL}, doc_id) AS rk
+            FROM documents
+        )
+        SELECT r.doc_id, r.source
+        FROM ranked r
+        WHERE r.rk <= (SELECT MIN(n) FROM sizes)
+    """,
+)
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-balanced downsampling: every ``source`` stratum keeps exactly
+    min-stratum-size docs, chosen by scrambled-id order — skewed corpus →
+    balanced mix without replacement sampling. Window rank per stratum +
+    broadcast of the per-stratum minimum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return balanced_sample(docs, "source", "doc_id").select("doc_id", "source")
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        ),
+        binned AS (
+            SELECT source, n_tokens,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2048.0) AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT source, bin_id, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens
+        FROM binned GROUP BY source, bin_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of docs into 2048-token bins per source
+    shard — the data loader's "pack shard into fixed context windows"
+    step as one window cumsum (per-shard windows: no global order, no
+    single-partition funnel at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+    return pack_sequences(
+        docs.withColumn("__nt", n_tokens),
+        "doc_id",
+        "__nt",
+        budget=2048,
+        partition_col="source",
+    )
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        stats AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   CAST(list_aggregate(list_transform(t, x -> length(x)),
+                                       'sum') AS DOUBLE) / len(t) AS ml,
+                   regexp_matches(text, '[.!?]\s*$') AS ends_terminal
+            FROM toks
+        )
+        SELECT doc_id, n_words, ROUND(ml, 6) AS mean_word_len, ends_terminal,
+               (n_words >= 5 AND ml >= 3 AND ml <= 10 AND ends_terminal)
+                   AS keep
+        FROM stats
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic quality flags (word count, mean word length,
+    terminal punctuation) + combined keep decision, per document — pure
+    column expressions, flags kept separate so a mixture can re-weight
+    instead of hard-dropping."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_flags(docs, "text").select(
+        "doc_id", "n_words", "mean_word_len", "ends_terminal", "keep"
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts - LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity starts a new session):
+    LAG + running SUM over one per-user window (both reuse one shuffle),
+    then a per-session aggregate — the batch twin of the streaming session
+    window query."""
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(
+        events, "user_id", "ts", "event_id", gap_seconds=1800
+    )

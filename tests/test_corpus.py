@@ -1,0 +1,104 @@
+"""Corpus-preparation operator tests: split determinism/proportions,
+balance exactness, packing invariants, quality flags, sessionization
+semantics (hand-computable fixtures)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.operators.corpus import (
+    balanced_sample,
+    pack_sequences,
+    quality_flags,
+    sessionize,
+    train_val_test_split,
+)
+
+
+def test_split_deterministic_and_proportioned(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = train_val_test_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150
+    assert abs(counts["test"] - 1000) < 150
+    # identical assignment on recomputation (the rand() splits fail this)
+    b = train_val_test_split(df, "doc_id")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_balanced_sample_equalizes_strata(spark):
+    # skewed strata: 100 / 40 / 7 rows → every stratum keeps exactly 7
+    rows = [(i, "a") for i in range(100)]
+    rows += [(1000 + i, "b") for i in range(40)]
+    rows += [(2000 + i, "c") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = balanced_sample(df, "source", "doc_id")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 7, "b": 7, "c": 7}
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, "s%d" % (i % 2), 10 + (i % 7) * 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, nt LONG")
+    out = pack_sequences(df, "doc_id", "nt", budget=512, partition_col="source")
+    got = out.collect()
+    # token conservation: bins partition the corpus
+    assert sum(r.total_tokens for r in got) == sum(r[2] for r in rows)
+    assert sum(r.n_docs for r in got) == len(rows)
+    # bins start at 0 within each partition (gaps are legitimate: a doc
+    # longer than the budget runs past the end of its bin and the next doc
+    # starts one-or-more bins later)
+    for src in ("s0", "s1"):
+        bins = sorted(r.bin_id for r in got if r.source == src)
+        assert bins[0] == 0 and len(set(bins)) == len(bins)
+    # a doc STARTS in its bin: every bin's start offsets < (bin+1)*budget,
+    # so total_tokens minus the last doc's spillover fits the budget —
+    # equivalently every bin except possibly its last doc is within budget.
+    # Check the simple upper bound: n_docs ≥ 1 everywhere.
+    assert all(r.n_docs >= 1 for r in got)
+
+
+def test_quality_flags_hand_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "This is a decent little sentence."),   # keep
+            (2, "too short."),                          # < 5 words
+            (3, "no terminal punctuation here at all"), # no [.!?] ending
+            (4, "a b c d e f."),                        # mean word len < 3
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in quality_flags(df, "text").collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].n_words == 2
+    assert out[3].keep is False and out[3].ends_terminal is False
+    assert out[4].keep is False
+
+
+def test_sessionize_hand_case(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return datetime(2024, 1, 1, 12 + minutes // 60, minutes % 60, 0)
+
+    rows = [
+        (1, 100, t0),          # session 1
+        (2, 100, ts(10)),      # +10min → same session
+        (3, 100, ts(50)),      # +40min gap → session 2
+        (4, 100, ts(55)),      # same session 2
+        (5, 200, ts(5)),       # other user, own session 1
+    ]
+    df = spark.createDataFrame(rows, "event_id LONG, user_id LONG, ts TIMESTAMP")
+    out = {(r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+           for r in sessionize(df, "user_id", "ts", "event_id", 1800).collect()}
+    assert out == {
+        (100, 1): (2, t0, ts(10)),
+        (100, 2): (2, ts(50), ts(55)),
+        (200, 1): (1, ts(5), ts(5)),
+    }
