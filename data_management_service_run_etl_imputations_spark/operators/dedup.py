@@ -156,6 +156,7 @@ def verify_pairs_exact_jaccard(
     text_col: str,
     k: int = 8,
     threshold: float = 0.8,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for GIVEN candidate pairs — the verify stage
     of a candidate-generation dedup pipeline (MinHash/SimHash candidates →
@@ -165,10 +166,14 @@ def verify_pairs_exact_jaccard(
 
     Scale shape: shingles are joined TO the pair list (two equi-joins on
     doc id + one on (id, shingle)), so cost ∝ |candidates|·|shingles per
-    doc| — never corpus²."""
-    sh = shingle_hashes(df, id_col, text_col, k).withColumnRenamed(
-        "h", "shingle"
-    ).localCheckpoint(eager=False)
+    doc| — never corpus². Pass ``shingles`` (a distinct (id, h) frame, e.g.
+    the one the candidate generator already computed) to share one shingle
+    scan across the candidate and verify stages of a pipeline."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_hashes(df, id_col, text_col, k)
+    ).withColumnRenamed("h", "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     p = pairs.select("id_a", "id_b")
@@ -216,6 +221,7 @@ def minhash_signatures(
     num_perm: int = 32,
     k: int = 5,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>[num_perm]) MinHash signatures over k-word
     shingles.
@@ -230,10 +236,15 @@ def minhash_signatures(
     Operands are reduced below 2^31 so products stay exact in int64.
     """
     params = _perm_params(num_perm, seed)
-    # distinct=False: duplicate shingles cannot change a min.
-    h = shingle_hashes(df, id_col, text_col, k, distinct=False).select(
-        "id", (F.abs(F.col("h")) % MINHASH_PRIME).alias("h")
+    # distinct=False: duplicate shingles cannot change a min. A caller that
+    # also needs the shingles (candidate→verify pipelines) passes them in
+    # so the tokenize/shingle scan runs once.
+    base = (
+        shingles
+        if shingles is not None
+        else shingle_hashes(df, id_col, text_col, k, distinct=False)
     )
+    h = base.select("id", (F.abs(F.col("h")) % MINHASH_PRIME).alias("h"))
     reduced = F.col("h") % (2**31)
     mins = h.groupBy("id").agg(
         *[
@@ -252,6 +263,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     k: int = 5,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``num_perm // bands`` rows; docs sharing any band hash become a pair.
@@ -262,7 +274,7 @@ def minhash_lsh_candidates(
     threshold via the standard S-curve.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k, seed)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k, seed, shingles)
     # Lineage cut: the banded frame feeds BOTH sides of the self-join —
     # without it Spark recomputes the signature aggregation per side.
     sig = sig.localCheckpoint(eager=False)

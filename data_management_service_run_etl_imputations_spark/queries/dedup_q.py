@@ -107,12 +107,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     match iff LSH candidate recall is 1.0 on this corpus (2-row bands put
     the S-curve's steep edge well below 0.8: P(miss | j=0.8) = (1-0.8²)¹⁶
     ≈ 8·10⁻⁸; verified deterministic-zero-miss at sf0.001/0.01)."""
+    from data_management_service_run_etl_imputations_spark.operators.dedup import shingle_hashes
+
     docs = load_table(spark, sf_dir, "documents")
+    # One tokenize/shingle scan feeds BOTH the signature pipeline and the
+    # exact-verify join (localCheckpoint inside each consumer cuts lineage).
+    sh_all = shingle_hashes(
+        docs, "doc_id", "text", k=8, distinct=False
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(
-        docs, "doc_id", "text", num_perm=32, bands=16, k=8
+        docs, "doc_id", "text", num_perm=32, bands=16, k=8, shingles=sh_all
     )
     return verify_pairs_exact_jaccard(
-        docs, cands, "doc_id", "text", k=8, threshold=0.8
+        docs, cands, "doc_id", "text", k=8, threshold=0.8,
+        shingles=sh_all.dropDuplicates(["id", "h"]),
     )
 
 
