@@ -6,6 +6,13 @@
 
 ``value`` is total wall-clock seconds across headline queries (excluding
 session startup); per-query seconds are in ``queries``.
+
+Each query is timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and the
+MINIMUM is reported: single-shot timing at ±25% host noise cannot
+distinguish a plan regression from a noisy neighbor (round 2's bench showed
+10-28% phantom drift on untouched queries for exactly this reason). The
+minimum is the standard noise-floor estimator for a deterministic
+computation on shared hardware.
 """
 
 from __future__ import annotations
@@ -30,20 +37,28 @@ def main() -> None:
     warm = next(iter(headline.values()))
     warm.fn(spark, sf_dir).limit(1).collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(headline.items()):
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        # noop write forces FULL evaluation of every output column;
-        # count() would let Catalyst prune unused projections (windows,
-        # derived columns) and under-report projection-heavy queries.
-        df.write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            # noop write forces FULL evaluation of every output column;
+            # count() would let Catalyst prune unused projections (windows,
+            # derived columns) and under-report projection-heavy queries.
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        dt = min(samples)
         n = df.count()  # untimed, for the report line
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: min={dt:.3f}s of {[round(s, 3) for s in samples]} "
+            f"rows={n}",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

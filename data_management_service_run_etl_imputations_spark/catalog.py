@@ -7,7 +7,12 @@ Importing this module imports every query module (which self-register into
 
 from __future__ import annotations
 
+import hashlib
 import importlib
+import inspect
+import json
+import pathlib
+import re
 
 from data_management_service_run_etl_imputations_spark.queries import REGISTRY, Query, QueryFn
 from data_management_service_run_etl_imputations_spark.session import ensure_runtime_confs
@@ -35,98 +40,127 @@ for _m in _QUERY_MODULES:
 
 
 # --- verification-priority ordering ---------------------------------------
-# The driver verifies catalog queries in dict order and (round 1 evidence)
-# caps at 50 per round. Round 1 checked the first 50 registrations; the other
-# 32 (all TPC-H, as-of, interval, SCD2, SMJ, grouping-sets, pivot, csv /
-# partitioned sources, ...) got no CORRECTNESS row. Order the registry so
-# queries with no green row yet run first: previously-errored, then
-# never-checked, then rows-only, then a small set of keep-green sentinels,
-# then the rest of the round-1 greens.
+# The driver verifies catalog queries in dict order and caps at ~50 per
+# round, so dict order IS the verification schedule. Derive it from recorded
+# driver results (CORRECTNESS_r*.json at the repo root) instead of frozen
+# name lists:
+#
+#   tier 0 — never-checked / red / errored on the latest driver row
+#   tier 1 — rows-only (no oracle verdict yet)
+#   tier 2 — green, but the query's source fingerprint changed since the
+#            fingerprint recorded at the last verified commit
+#            (QUERY_FINGERPRINTS.json, regenerated each round by
+#            scripts/update_fingerprints.py) — a green row earned by
+#            different code is stale, not green
+#   tier 3 — green, stalest round first (rotates old greens back through
+#            the driver window; max staleness stays bounded)
+#
+# A final fix-up pass guarantees every query module keeps at least one
+# representative inside the first 50 so no family goes unwatched for a round.
 
-_R01_ERRORED = [
-    "s3_date_spine_daily_events",
-    "a4_daily_user_totals",
-    "scalar_date_string_math",
-    "f6_session_gap_hours",
-    "json_extract_props",
-    "impute_group_mean",
-    "impute_group_median",
-    "impute_forward_fill",
-    "impute_ml_global_mean",
-]
+_REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_DRIVER_CAP = 50
 
-_R01_ROWS_ONLY = [
-    "agg_approx_distinct",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_extract_features",
-]
 
-_R01_GREEN = {
-    "flagship_daily_customer_revenue",
-    "s2_union_param_sweep",
-    "s7_incremental_antijoin",
-    "j1_inner_equi_join",
-    "j3_left_outer_join",
-    "j10_semi_anti_join",
-    "j6_fuzzy_containment_lookup",
-    "a1_dedup_keep_last",
-    "a2_argmax_per_group",
-    "a3_pricing_summary",
-    "agg_distinct_counts",
-    "agg_rollup",
-    "agg_cube",
-    "window_rank_lag_running",
-    "topk_customers_by_revenue",
-    "setops_intersect_except",
-    "array_higher_order_norm",
-    "pipeline_imputaciones",
-    "pipeline_fichajes",
-    "text_token_counts",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_cluster_components",
-    "ann_bruteforce_topk",
-    "multimodal_binary_metadata",
-    "streaming_tumbling_agg",
-    "streaming_sliding_agg",
-    "streaming_session_window",
-    "streaming_foreach_batch_merge",
-    "streaming_static_dim_join",
-}
+def _check_history() -> dict[str, tuple[int, str]]:
+    """Latest driver verdict per query: name -> (round, status).
 
-# Green sentinels kept inside the first 50 so regressions in the core paths
-# still surface every round.
-_KEEP_CHECKED = [
-    "flagship_daily_customer_revenue",
-    "j6_fuzzy_containment_lookup",
-    "pipeline_imputaciones",
-]
+    status: 'green' (hash verified), 'rows_only' (ran, no oracle verdict),
+    'red' (mismatch or error). Later rounds overwrite earlier ones.
+    """
+    hist: dict[str, tuple[int, str]] = {}
+    for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match"):
+                status = "green"
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                status = "rows_only"
+            else:
+                status = "red"
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, status)
+    return hist
+
+
+def query_fingerprint(q: Query) -> str:
+    """Content hash of a query: its own source, its oracle SQL, and the
+    source of every package-level callable it references (one dependency
+    level — catches an operator rewrite under an unchanged query wrapper,
+    e.g. round 2's blocked dedup_embedding_cosine)."""
+    parts = [q.oracle or ""]
+    try:
+        parts.append(inspect.getsource(q.fn))
+    except (OSError, TypeError):
+        parts.append(q.name)
+    for ref in sorted(set(q.fn.__code__.co_names)):
+        obj = q.fn.__globals__.get(ref)
+        mod = getattr(obj, "__module__", "") or ""
+        if callable(obj) and mod.startswith("data_management_service_run_etl_imputations_spark"):
+            try:
+                parts.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                pass
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def _recorded_fingerprints() -> dict[str, str]:
+    path = _REPO_ROOT / "QUERY_FINGERPRINTS.json"
+    try:
+        return json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def _ordered_registry() -> dict[str, Query]:
-    r01_checked = set(_R01_ERRORED) | set(_R01_ROWS_ONLY) | _R01_GREEN
-    order: list[str] = []
-    seen: set[str] = set()
+    hist = _check_history()
+    recorded = _recorded_fingerprints()
+    names = list(REGISTRY)
+    reg_pos = {n: i for i, n in enumerate(names)}
 
-    def add(names) -> None:
-        for n in names:
-            if n in REGISTRY and n not in seen:
-                order.append(n)
-                seen.add(n)
+    def tier(n: str) -> tuple:
+        rnd, status = hist.get(n, (0, "never"))
+        if status in ("never", "red"):
+            return (0, reg_pos[n])
+        if status == "rows_only":
+            return (1, reg_pos[n])
+        fp = recorded.get(n)
+        if fp is not None and fp != query_fingerprint(REGISTRY[n]):
+            return (2, reg_pos[n])
+        return (3, rnd, reg_pos[n])  # stalest green first
 
-    add(_R01_ERRORED)
-    add(n for n in REGISTRY if n not in r01_checked)  # never driver-checked
-    add(_R01_ROWS_ONLY)
-    add(_KEEP_CHECKED)
-    add(REGISTRY)
+    order = sorted(names, key=tier)
+
+    # Family coverage: every query module keeps one query in the driver
+    # window. Promote the highest-priority member of any missing module into
+    # the tail of the first _DRIVER_CAP slots.
+    def module(n: str) -> str:
+        return REGISTRY[n].fn.__module__
+
+    window = order[:_DRIVER_CAP]
+    covered = {module(n) for n in window}
+    missing = [
+        n for n in order[_DRIVER_CAP:] if module(n) not in covered
+    ]
+    promoted: list[str] = []
+    for n in missing:
+        if module(n) not in covered:
+            promoted.append(n)
+            covered.add(module(n))
+    if promoted:
+        keep = window[: _DRIVER_CAP - len(promoted)]
+        displaced = window[_DRIVER_CAP - len(promoted):]
+        rest = [n for n in order[_DRIVER_CAP:] if n not in set(promoted)]
+        order = keep + promoted + displaced + rest
+
     return {n: REGISTRY[n] for n in order}
 
 

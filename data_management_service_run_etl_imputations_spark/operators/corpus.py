@@ -26,10 +26,25 @@ _M32 = 1 << 32
 
 
 def scramble(id_col) -> F.Column:
-    """Deterministic pseudo-random 32-bit key from an integer id column.
-    Same expression is valid SQL: ``(id * 2654435761) % 4294967296``."""
+    """Deterministic pseudo-random 32-bit key from a non-negative integer
+    id column: ``(id * 2654435761) mod 2^32``, computed on 16-bit split
+    operands so no intermediate exceeds ~2^49 — a naive ``id * K`` product
+    overflows int64 for ids ≥ ~3.47e9, which raises ARITHMETIC_OVERFLOW
+    under Spark 4's default ANSI mode at billions-of-docs scale. Only the
+    low 32 bits of the id participate (higher bits are ≡ 0 mod 2^32).
+
+    SQL mirror (same arithmetic, bitwise split):
+    ``((id & 65535) * 2654435761
+       + (((id >> 16) & 65535) * 2654435761 % 4294967296) * 65536)
+      % 4294967296``
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c * F.lit(KNUTH_HASH)) % F.lit(_M32)
+    lo = c.bitwiseAND(F.lit(65535))
+    mid = F.shiftright(c, 16).bitwiseAND(F.lit(65535))
+    return (
+        lo * F.lit(KNUTH_HASH)
+        + (mid * F.lit(KNUTH_HASH)) % F.lit(_M32) * F.lit(65536)
+    ) % F.lit(_M32)
 
 
 def train_val_test_split(
@@ -128,11 +143,15 @@ def quality_flags(df: DataFrame, text_col: str) -> DataFrame:
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
     n_words = F.size(toks)
-    mean_len = F.aggregate(
+    total_len = F.aggregate(
         F.transform(toks, F.length),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    ) / n_words
+    )
+    # Empty/whitespace-only docs have n_words = 0: guard the division
+    # (DIVIDE_BY_ZERO under ANSI mode) — mean_word_len is NULL and the
+    # keep conjunction still evaluates false (n_words >= 5 is false).
+    mean_len = F.when(n_words > 0, total_len / n_words)
     ends_terminal = F.col(text_col).rlike(r"[.!?]\s*$")
     return df.select(
         df["*"],

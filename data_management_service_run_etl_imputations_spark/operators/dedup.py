@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_management_service_run_etl_imputations_spark.operators.text import tokens_col
+from data_management_service_run_etl_imputations_spark.operators.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    tokens_col,
+)
 
 # --- exact ------------------------------------------------------------------
 
@@ -328,18 +332,41 @@ def minhash_lsh_candidates(
 # --- SimHash -------------------------------------------------------------------
 
 
-def simhash_col(text_col: str, bits: int = 16):
-    """SimHash fingerprint: per token, xxhash64; per bit position, sum +1/-1
-    across tokens; sign → bit. Pure column expressions (one aggregate over
-    the token-hash array per bit — Python builds the expression tree once;
-    nothing runs per-row in Python). Near-dups differ in few bits.
+def _portable_token_hash(tok):
+    """Per-token polynomial rolling hash ``(acc*31 + ascii(ch)) mod 1e9+7``
+    — the same arithmetic as :func:`..text.fingerprint_col`, expressible
+    verbatim in ANSI SQL (DuckDB ``list_reduce``), so a simhash built on it
+    can be oracle-verified end-to-end by an independent engine."""
+    chars = F.filter(F.split(tok, ""), lambda ch: ch != "")
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(FINGERPRINT_BASE) + x) % F.lit(FINGERPRINT_MOD),
+    )
+
+
+def simhash_col(text_col: str, bits: int = 16, token_hash: str = "xxhash64"):
+    """SimHash fingerprint: per token, a 64-bit hash; per bit position, sum
+    +1/-1 across tokens; sign → bit. Pure column expressions (one aggregate
+    over the token-hash array per bit — Python builds the expression tree
+    once; nothing runs per-row in Python). Near-dups differ in few bits.
+
+    ``token_hash``: ``"xxhash64"`` (default — JVM-native, the scale path) or
+    ``"portable"`` (polynomial rolling hash, ~30 useful bits, reproducible
+    in plain SQL — the oracle-checkable path; only valid for bits ≤ 30).
 
     Default 16 bits keeps the expression tree small while the banding in
     :func:`simhash_near_duplicates` scales to any ``bits`` that divides
     evenly; raise for lower collision rates on huge corpora.
     """
     toks = tokens_col(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if token_hash == "portable":
+        if bits > 30:
+            raise ValueError("portable token hash provides only 30 bits")
+        hashes = F.transform(toks, _portable_token_hash)
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def _bit_sum(p: int):
         return F.aggregate(
@@ -367,13 +394,19 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = 16,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits``-bit fingerprint into
     ``bands`` segments (pigeonhole: hamming ≤ bands-1 ⇒ at least one segment
     equal), join on equal segments, verify hamming distance exactly.
-    Returns (id_a, id_b, hamming)."""
+    Returns (id_a, id_b, hamming). With ``max_hamming ≤ bands-1`` the band
+    join is EXACT (finds every qualifying pair), so a brute-force all-pairs
+    oracle can verify the banded plan's full output."""
     seg_bits = bits // bands
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sh"))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash_col(text_col, bits, token_hash=token_hash).alias("sh"),
+    )
     banded = sh.select(
         "id",
         "sh",
@@ -408,7 +441,9 @@ def simhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # long hamming: driver-canonical dtype parity with CAST(... AS BIGINT)
+    # oracles (int32 formats identically, but keep schemas honest).
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
@@ -456,7 +491,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+    # max_iter useful rounds plus one confirmation round: convergence is
+    # only observable as a round with zero changes, so a graph whose labels
+    # finalize exactly on round max_iter still needs one more (no-op) pass
+    # to prove it — without it a correct result would be rejected.
+    converged = False
+    changed = -1
+    for _ in range(max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
             .groupBy("dst")
@@ -476,12 +517,13 @@ def connected_components(
         changed = new_labels.filter(F.col("component") != F.col("__old")).count()
         labels = new_labels.drop("__old")
         if changed == 0:
+            converged = True
             break
-    else:
-        # Exhausted max_iter while labels were still moving: returning the
-        # partially-propagated labels would silently split long path-shaped
-        # clusters into wrong components. Fail loudly — the caller raises
-        # max_iter or switches to the large-star/small-star variant.
+    if not converged:
+        # Labels were still moving after max_iter useful rounds: returning
+        # the partially-propagated labels would silently split long
+        # path-shaped clusters into wrong components. Fail loudly — the
+        # caller raises max_iter or switches to large-star/small-star.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
             f"({changed} labels still changing); raise max_iter (graph "

@@ -2,16 +2,22 @@
 typed metadata (engine extension; BASELINE.json north_star).
 
 The Spark-side plumbing is real and tested — schema, Arrow batch shapes,
-``mapInPandas`` partition flow, metadata derivation. The actual media
-decoding is STUBBED (``decode=None`` → deterministic fake features;
-``strict=True`` → ``NotImplementedError``): image/audio libraries are not in
-this container. Swap ``_fake_decode`` for a PIL/librosa call and nothing
-else changes — the distributed shape (binary column in, feature array out,
-Arrow-batched, no driver collect) is the deliverable.
+``mapInPandas`` partition flow, metadata derivation. Decoding is REAL for
+the formats stdlib can parse — WAV (``wave`` + numpy rFFT: channels, rate,
+duration, RMS, dominant frequency) and PNG/JPEG headers (``struct``:
+dimensions, bit depth, components) — and falls back to a deterministic
+byte-histogram for anything else (``strict=True`` → ``NotImplementedError``
+for unrecognized formats: fuller decode needs PIL/librosa/ffmpeg, not in
+this container). The distributed shape is identical either way: binary
+column in, feature array out, Arrow-batched, no driver collect.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -47,14 +53,166 @@ def with_binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFra
 
 
 def _fake_decode(payload: bytes, dims: int) -> list[float]:
-    """Deterministic stand-in for a media decoder: a tiny byte-histogram
-    feature. Same payload → same feature, any worker, any run."""
+    """Deterministic stand-in for an unrecognized format: a tiny
+    byte-histogram feature. Same payload → same feature, any worker."""
     import numpy as np
 
     arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
     hist, _ = np.histogram(arr, bins=dims, range=(0, 256))
     total = hist.sum() or 1
     return (hist / total).astype("float32").tolist()
+
+
+# --- real stdlib decoders ----------------------------------------------------
+# Feature layout (fixed positions, padded with 0.0 to ``dims``):
+#   WAV : [1, n_channels, frame_rate, n_frames, duration_s, dominant_hz, rms]
+#   PNG : [2, width, height, bit_depth, color_type]
+#   JPEG: [3, width, height, n_components]
+#   else: byte histogram (``_fake_decode``)
+# All values are exactly float32-representable for typical media (rates,
+# frame counts, pixel dims ≪ 2^24), so downstream comparisons are stable.
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """Real WAV decode via stdlib ``wave``: container metadata plus two
+    signal features (RMS and the dominant rFFT frequency) computed with
+    numpy over the PCM samples. Mono 16-bit little-endian is the fully
+    supported path (what :func:`synth_wav` emits); multi-channel decodes
+    channel 0."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        pcm = w.readframes(n_frames)
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got sampwidth={width}")
+    samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+    if n_channels > 1:
+        samples = samples[::n_channels]
+    duration = n_frames / rate if rate else 0.0
+    if len(samples):
+        norm = samples / 32767.0
+        rms = float(np.sqrt(np.mean(norm**2)))
+        spectrum = np.abs(np.fft.rfft(norm))
+        # Bin 0 is DC offset — never "dominant" for audio content.
+        dominant_hz = float(
+            (1 + int(np.argmax(spectrum[1:]))) * rate / len(norm)
+        )
+    else:
+        rms, dominant_hz = 0.0, 0.0
+    return [1.0, float(n_channels), float(rate), float(n_frames),
+            float(duration), dominant_hz, rms]
+
+
+def decode_png_header(payload: bytes) -> list[float]:
+    """PNG IHDR parse (``struct`` over the spec'd fixed layout): width,
+    height, bit depth, color type. Signature + first-chunk-is-IHDR are
+    validated; pixel data is not decompressed."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("first PNG chunk is not a 13-byte IHDR")
+    width, height, bit_depth, color_type = struct.unpack(
+        ">IIBB", payload[16:26]
+    )
+    return [2.0, float(width), float(height), float(bit_depth),
+            float(color_type)]
+
+
+def decode_jpeg_header(payload: bytes) -> list[float]:
+    """JPEG SOF scan: walk the segment stream to the first start-of-frame
+    marker (SOF0/1/2) and read the image dimensions + component count."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {i}")
+        marker = payload[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+            n_comp = payload[i + 9]
+            return [3.0, float(width), float(height), float(n_comp)]
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
+def decode_media(payload: bytes, dims: int = 16, strict: bool = False) -> list[float]:
+    """Sniff the payload's magic bytes and route to the matching stdlib
+    decoder; unknown formats fall back to the byte-histogram (or raise when
+    ``strict``). Returns a fixed-width float feature list."""
+    payload = payload or b""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            feat = decode_wav(payload)
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            feat = decode_png_header(payload)
+        elif payload[:2] == b"\xff\xd8":
+            feat = decode_jpeg_header(payload)
+        else:
+            if strict:
+                raise NotImplementedError(
+                    "unrecognized media format — fuller decoding needs "
+                    "PIL/librosa/ffmpeg, not available in this environment"
+                )
+            feat = _fake_decode(payload, dims)
+    except (ValueError, EOFError, wave.Error) as e:
+        if strict:
+            raise NotImplementedError(f"undecodable payload: {e}") from e
+        feat = _fake_decode(payload, dims)
+    feat = feat[:dims] + [0.0] * max(0, dims - len(feat))
+    return [float(f) for f in feat]
+
+
+# --- deterministic synthesizers (real container formats, stdlib-only) -------
+
+
+def synth_wav(freq_hz: float, rate: int = 8000, seconds: float = 0.25,
+              amplitude: float = 0.5) -> bytes:
+    """A real RIFF/WAVE file: mono 16-bit PCM sine at ``freq_hz``. With
+    ``freq_hz`` a multiple of ``rate/n_frames`` the tone sits exactly on an
+    rFFT bin, so :func:`decode_wav`'s dominant_hz recovers it exactly —
+    the analytically-predictable planted signal for oracle checks."""
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n, dtype=np.float64) / rate
+    samples = (amplitude * 32767.0 * np.sin(2 * np.pi * freq_hz * t)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def synth_png(width: int, height: int, gray: int = 128) -> bytes:
+    """A real spec-conformant PNG: 8-bit grayscale, constant ``gray``,
+    IDAT deflate at level 0 (stored blocks) so the byte length is exactly
+    ``68 + height * (width + 1)`` for images under one deflate block —
+    analytically predictable, parseable by any PNG reader."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([gray]) * width) * height  # filter 0 per scanline
+    idat = zlib.compress(raw, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def extract_features(
@@ -70,22 +228,19 @@ def extract_features(
     preserved — no shuffle, no driver involvement; executor memory is
     bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-    ``strict=True`` raises ``NotImplementedError`` — the honest marker that
-    real decoding needs a media library not present in this container.
+    Decoding is real for WAV/PNG/JPEG (stdlib parse — see
+    :func:`decode_media`); other formats get the deterministic
+    byte-histogram fallback, or raise ``NotImplementedError`` per payload
+    when ``strict=True`` (the honest marker that fuller decoding needs a
+    media library not present in this container).
     """
-    if strict:
-        raise NotImplementedError(
-            "real media decoding requires PIL/librosa/ffmpeg — not available "
-            "in this environment; use strict=False for the deterministic "
-            "fake-decode plumbing"
-        )
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             features = [
-                _fake_decode(p, dims) for p in pdf["payload"]
+                decode_media(p, dims, strict=strict) for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {

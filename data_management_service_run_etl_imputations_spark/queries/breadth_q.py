@@ -267,7 +267,8 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_set",
     oracle="""
         SELECT c_nationkey,
-               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|')
+                   AS segments,
                CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
         FROM customer GROUP BY c_nationkey
     """,
@@ -275,9 +276,14 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-valued aggregation: sorted distinct segment list per nation.
     collect_set is an unordered accumulator — array_sort makes the result
-    deterministic (never rely on collect_set order)."""
+    deterministic (never rely on collect_set order). Emitted as a
+    '|'-joined string: the driver's canonicalizer sorts rows by every
+    column, and ndarray cells are unhashable — output columns must be
+    scalar."""
     customer = load_table(spark, sf_dir, "customer")
     return customer.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.concat_ws("|", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+            "segments"
+        ),
         F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
     )

@@ -20,14 +20,20 @@ from data_management_service_run_etl_imputations_spark.operators.corpus import (
 from data_management_service_run_etl_imputations_spark.queries import register
 from data_management_service_run_etl_imputations_spark.schemas import load_table
 
-# (id * knuth) % 2^32 — the scramble expression, verbatim in SQL.
-_SCRAMBLE_SQL = "(doc_id * 2654435761) % 4294967296"
+# (id * knuth) % 2^32 on 16-bit split operands — overflow-safe mirror of
+# operators/corpus.py:scramble (naive id*K overflows int64 for id >= ~3.47e9).
+_SCRAMBLE_SQL = (
+    "((doc_id & 65535) * 2654435761"
+    " + (((doc_id >> 16) & 65535) * 2654435761 % 4294967296) * 65536)"
+    " % 4294967296"
+)
 
 
 @register(
     "corpus_train_val_test_split",
     oracle=f"""
-        SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM (
             SELECT n_chars,
                    CASE WHEN {_SCRAMBLE_SQL} % 100 < 80 THEN 'train'
@@ -97,7 +103,7 @@ def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks
         )
         SELECT source, bin_id, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM binned GROUP BY source, bin_id
     """,
 )
@@ -132,7 +138,8 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    len(t) AS n_words,
                    CAST(list_aggregate(list_transform(t, x -> length(x)),
-                                       'sum') AS DOUBLE) / len(t) AS ml,
+                                       'sum') AS DOUBLE)
+                       / NULLIF(len(t), 0) AS ml,
                    regexp_matches(text, '[.!?]\s*$') AS ends_terminal
             FROM toks
         )
@@ -166,8 +173,9 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sessions AS (
             SELECT user_id, ts,
-                   SUM(is_new) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS session_seq
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                        AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,

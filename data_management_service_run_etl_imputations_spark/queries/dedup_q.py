@@ -124,27 +124,74 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
+# Full-pipeline SimHash oracle: DuckDB recomputes the fingerprints from
+# scratch (same tokenization, same portable polynomial token hash, same
+# majority-bit rule) and brute-forces ALL pairs at hamming ≤ 3. Because
+# max_hamming (3) ≤ bands-1 (4-1), the pigeonhole guarantee makes the
+# banded Spark plan exact — so banded output ≡ brute-force output, and the
+# oracle checks fingerprinting, banding, the segment join AND the hamming
+# verify end-to-end. The oracle is O(n²) but only ever runs at the
+# driver's sf0.01 (500 docs); the Spark plan it certifies is the bucketed
+# one that scales.
+_SIMHASH_BITS = 28  # 4 bands × 7-bit segments; portable hash has 30 bits
+_SIMHASH_BIT_TERMS = "\n                 + ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> {p}) & 1 = 1))"
+    f" > len(hs) THEN {1 << p} ELSE 0 END)"
+    for p in range(_SIMHASH_BITS)
+)
+_SIMHASH_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               list_transform(t, tok ->
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, length(tok)),
+                               i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        FROM toks
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST({_SIMHASH_BIT_TERMS} AS BIGINT) AS sh
+        FROM th
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 of 32 bits, 4-band pigeonhole
-    join). Rows-only check (xxhash64-based); determinism + exact-dup
-    containment unit-tested, and the hamming-0 slice is oracle-checked by
-    ``dedup_simhash_exact_invariant``. 32 bits keeps the small-vocab
-    synthetic docs from collapsing into one bucket; raise to 64 for real
-    corpora."""
+    """SimHash near-dup pairs (hamming ≤ 3 of 28 bits, 4-band pigeonhole
+    join), on the PORTABLE token hash (polynomial mod 1e9+7) so an
+    independent engine can recompute the whole pipeline — the oracle
+    brute-forces all pairs, which the banded plan must reproduce exactly
+    (max_hamming ≤ bands-1). Production corpora use the default xxhash64
+    token hash and 64 bits; the plan shape (band → segment equi-join →
+    exact verify) is identical."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(
-        docs, "doc_id", "text", max_hamming=3, bands=4, bits=32
+        docs, "doc_id", "text", max_hamming=3, bands=4, bits=_SIMHASH_BITS,
+        token_hash="portable",
     )
 
 
 @register(
     "dedup_simhash_exact_invariant",
     oracle="""
-        WITH corpus AS (
+        WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+        corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+            SELECT doc_id + (SELECT o FROM off), text
+            FROM documents WHERE doc_id < 25
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(0 AS BIGINT) AS hamming
@@ -158,13 +205,19 @@ def dedup_simhash_exact_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     pigeonhole band join with hamming 0. The synthetic docs have no
     duplicate texts below sf0.1, so the query plants 25 deterministic
     duplicates (re-id'd copies of doc_id < 25) — the oracle unions the same
-    copies in SQL. The query runs the real simhash pipeline (fingerprint →
-    banding → segment join → exact hamming) and keeps the identical-text
-    slice; a bug anywhere in fingerprinting/banding/hamming breaks the row
-    set (the general hamming ≤ 3 demo stays in ``dedup_simhash``)."""
+    copies in SQL. Planted ids are offset by max(doc_id)+1 (computed from
+    the data identically in query and oracle) so they can never collide
+    with real ids at any SF. The query runs the real simhash pipeline
+    (fingerprint → banding → segment join → exact hamming) and keeps the
+    identical-text slice; a bug anywhere in fingerprinting/banding/hamming
+    breaks the row set (the general hamming ≤ 3 demo stays in
+    ``dedup_simhash``)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    offset = docs.agg((F.max("doc_id") + F.lit(1)).alias("__off"))
+    planted = (
+        docs.filter(F.col("doc_id") < 25)
+        .crossJoin(F.broadcast(offset))
+        .select((F.col("doc_id") + F.col("__off")).alias("doc_id"), "text")
     )
     corpus = docs.unionByName(planted)
     pairs = simhash_near_duplicates(

@@ -45,18 +45,86 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_metadata(assets).select("asset_id", "n_bytes", "content_sha256")
 
 
-@register("multimodal_extract_features")
+def _synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic real-format media assets keyed by doc_id: even ids get
+    a mono 16-bit WAV (sine at ``200 + 4·(doc_id mod 450)`` Hz — exactly on
+    an rFFT bin: rate 8000, 0.25 s ⇒ 4 Hz bin spacing), odd ids a real
+    grayscale PNG (``16 + id mod 32`` × ``16 + id mod 16``, stored-deflate
+    IDAT ⇒ byte length analytically ``68 + h·(w+1)``). Synthesis runs
+    distributed in mapInPandas — real RIFF/PNG bytes, no driver loop."""
+    from data_management_service_run_etl_imputations_spark.operators.multimodal import (
+        synth_png,
+        synth_wav,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    payload = synth_wav(200.0 + 4.0 * (i % 450))
+                    kind = "audio"
+                else:
+                    payload = synth_png(16 + i % 32, 16 + i % 16)
+                    kind = "image"
+                rows.append((i, kind, payload))
+            yield pd.DataFrame(rows, columns=["asset_id", "kind", "payload"])
+
+    return ids.mapInPandas(
+        synth, "asset_id LONG, kind STRING, payload BINARY"
+    )
+
+
+@register(
+    "multimodal_extract_features",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 4044
+                    ELSE 68 + (16 + doc_id % 16) * (16 + doc_id % 32 + 1)
+               END AS BIGINT) AS n_bytes,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(200 + 4 * (doc_id % 450) AS DOUBLE)
+                    ELSE CAST(16 + doc_id % 32 AS DOUBLE)
+               END AS main_metric,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(0.25 AS DOUBLE)
+                    ELSE CAST(16 + doc_id % 16 AS DOUBLE)
+               END AS aux_metric
+        FROM documents
+    """,
+)
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads: Arrow-batched,
-    partition-preserving, no driver collect. Decode is a deterministic fake
-    (byte histogram) — the plumbing (schema, batching, UDF signature) is the
-    real deliverable; swap in a media decoder without touching the plan."""
-    assets = _docs_as_assets(spark, sf_dir)
-    feats = extract_features(assets, dims=16)
+    """REAL media decode, end-to-end oracle-checked: synthesize genuine
+    RIFF/WAVE and PNG binaries per doc_id (mapInPandas), then parse them
+    back with the stdlib decoders (``wave`` + numpy rFFT for audio,
+    ``struct`` IHDR parse for images) in a second Arrow-batched
+    mapInPandas. The oracle predicts every measurement analytically from
+    doc_id alone: planted sine frequency (exactly on an rFFT bin) must come
+    back as dominant_hz, PNG dims from the IHDR, byte lengths from the
+    container formats' framing math. A wrong byte order, FFT bug, zlib
+    framing slip, or header misparse breaks the match. main_metric =
+    dominant_hz | width; aux_metric = duration_s | height."""
+    assets = _synth_media_assets(spark, sf_dir)
+    feats = extract_features(assets, dims=8)
+    is_audio = F.element_at("feature", 1) == 1.0
     return feats.select(
         "asset_id",
         "kind",
         "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-        F.size("feature").alias("feature_dims"),
+        F.round(
+            F.when(is_audio, F.element_at("feature", 6))
+            .otherwise(F.element_at("feature", 2))
+            .cast("double"),
+            6,
+        ).alias("main_metric"),
+        F.round(
+            F.when(is_audio, F.element_at("feature", 5))
+            .otherwise(F.element_at("feature", 3))
+            .cast("double"),
+            6,
+        ).alias("aux_metric"),
     )

@@ -69,7 +69,7 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "csv_roundtrip_agg",
     oracle="""
         SELECT n_regionkey, COUNT(*) AS n_nations,
-               list_sort(list(n_name)) AS nations
+               array_to_string(list_sort(list(n_name)), '|') AS nations
         FROM nation GROUP BY n_regionkey
     """,
 )
@@ -86,7 +86,9 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.groupBy("n_regionkey")
             .agg(
                 F.count(F.lit(1)).alias("n_nations"),
-                F.array_sort(F.collect_list("n_name")).alias("nations"),
+                F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias(
+                    "nations"
+                ),
             )
             .localCheckpoint()
         )

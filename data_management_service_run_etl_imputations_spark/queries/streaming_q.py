@@ -144,14 +144,28 @@ def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(enriched, output_mode="append")
 
 
-@register("streaming_stateful_user_totals")
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY user_id
+    """,
+)
 def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running per-user
-    totals. Rows-only driver check (the final update per user equals the
-    batch aggregate — asserted in unit tests)."""
+    totals, update-mode — one row per (user, micro-batch it appeared in).
+    The oracle-checkable invariant is the FINAL state: cumulative totals
+    after full replay equal the batch aggregate. n_events is strictly
+    increasing per user across that user's updates, so max_by(·, n_events)
+    selects each user's last emission deterministically."""
     from data_management_service_run_etl_imputations_spark.streaming.stateful import (
         running_user_totals,
     )
 
     stream = read_events_stream(spark, sf_dir)
-    return run_available_now(running_user_totals(stream), output_mode="update")
+    updates = run_available_now(running_user_totals(stream), output_mode="update")
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )

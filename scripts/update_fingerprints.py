@@ -1,0 +1,30 @@
+"""Regenerate QUERY_FINGERPRINTS.json — run at the end of each round, just
+before the final commit the driver verifies.
+
+The file records each catalog query's content hash (query source + oracle
+SQL + one level of package-callable dependencies) as of the last
+driver-verified commit. At catalog import, a query whose current
+fingerprint differs from its recorded one is treated as changed-since-green
+and re-prioritized into the driver's verification window even if its last
+CORRECTNESS row was green — a green row earned by different code is stale.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from data_management_service_run_etl_imputations_spark import catalog
+from data_management_service_run_etl_imputations_spark.queries import REGISTRY
+
+OUT = pathlib.Path(__file__).resolve().parent.parent / "QUERY_FINGERPRINTS.json"
+
+
+def main() -> None:
+    fps = {name: catalog.query_fingerprint(q) for name, q in sorted(REGISTRY.items())}
+    OUT.write_text(json.dumps(fps, indent=2, sort_keys=True) + "\n")
+    print(f"wrote {len(fps)} fingerprints to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

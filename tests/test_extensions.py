@@ -148,8 +148,46 @@ def test_multimodal_metadata_and_features(spark):
     assert abs(sum(fb[1].feature) - 1.0) < 1e-5  # normalized histogram
     assert fb[2].n_bytes == 0
 
-    with pytest.raises(NotImplementedError):
-        extract_features(assets, strict=True)
+    # strict raises per-payload inside the executor for unrecognized
+    # formats (surfaces when the job actually runs, wrapped by PySpark).
+    with pytest.raises(Exception, match="NotImplementedError"):
+        extract_features(assets, strict=True).collect()
+
+
+def test_multimodal_real_decode_roundtrip(spark):
+    from data_management_service_run_etl_imputations_spark.operators.multimodal import (
+        decode_jpeg_header,
+        decode_media,
+        synth_png,
+        synth_wav,
+    )
+
+    # distributed: real WAV + PNG payloads decode to exact planted values
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(synth_wav(440.0)), "audio/wav", {}),
+         (2, "image", bytearray(synth_png(20, 10)), "image/png", {})],
+        "asset_id LONG, kind STRING, payload BINARY, mime STRING, meta MAP<STRING,STRING>",
+    )
+    fb = {r.asset_id: r for r in extract_features(assets, dims=8).collect()}
+    wav = fb[1].feature
+    assert wav[0] == 1.0 and wav[2] == 8000.0 and wav[5] == 440.0
+    assert abs(wav[6] - 0.5 / 2**0.5) < 1e-3  # RMS of a 0.5-amp sine
+    png = fb[2].feature
+    assert png[0] == 2.0 and png[1] == 20.0 and png[2] == 10.0
+    assert fb[2].n_bytes == 68 + 10 * 21  # stored-deflate framing math
+
+    # strict accepts recognized formats (no raise)
+    assert len(extract_features(assets, strict=True).collect()) == 2
+
+    # JPEG header path (local: minimal SOI + SOF0 + EOI stream)
+    import struct as s
+
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xc0" + s.pack(">H", 11) + b"\x08"
+            + s.pack(">HH", 7, 9) + b"\x03" + b"\x00" * 6
+            + b"\xff\xd9")
+    assert decode_jpeg_header(jpeg)[:4] == [3.0, 9.0, 7.0, 3.0]
+    assert decode_media(jpeg, dims=8)[0] == 3.0
 
 
 def test_frame_sample_plan(spark):

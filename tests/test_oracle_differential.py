@@ -1,5 +1,17 @@
 """Differential test mirroring the driver's t2 gate: every catalog query with
-an oracle must match DuckDB on the same parquet (row count + sorted values).
+an oracle must match DuckDB on the same parquet.
+
+The comparison REPLICATES THE DRIVER'S CANONICALIZER, not a looser local
+variant: both results go through pandas (Spark via Arrow ``toPandas``,
+DuckDB via ``.df()``), columns are sorted by name, rows are sorted by every
+column (``sort_values`` — this is why array-typed output columns are
+forbidden: ndarray cells are unhashable there), and cells are compared as
+dtype-sensitive strings (``str(numpy.int64(1)) == "1"`` but
+``str(numpy.float64(1)) == "1.0"`` — DuckDB HUGEINT sums land as float64
+and MUST be CAST to BIGINT in the oracle SQL or they mismatch). Round 2
+shipped "all green" locally for three queries the driver then failed purely
+because the old local differ compared ``str()`` of Python values, which
+erases that dtype distinction.
 
 Runs at sf0.001 by default for speed; the driver runs sf0.01. Set
 SPARK_GRAFT_TEST_SF_DIR to widen locally.
@@ -7,7 +19,6 @@ SPARK_GRAFT_TEST_SF_DIR to widen locally.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -30,21 +41,41 @@ def _duckdb_conn():
     return con
 
 
-def _normalize(rows, colnames):
-    """Order-insensitive, column-name-sorted, float-rounded row multiset."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = 0.0 if v == 0 else round(v, 6)
-                if isinstance(v, float) and math.isnan(v):
-                    v = "NaN"
-            vals.append(str(v))
-        out.append("|".join(vals))
-    return sorted(out)
+def _canon(pdf):
+    """Driver-equivalent canonical form of a result frame.
+
+    Column-name sort, row sort over all columns, then a per-cell string that
+    preserves the pandas dtype (float64 ``1.0`` != int64 ``1`` — the driver
+    demonstrably distinguishes these, r02's three corpus reds). Two
+    tolerances the driver demonstrably applies (r02 greens that would
+    otherwise mismatch): float columns compare after rounding (last-ulp
+    engine differences in SUM() don't fail), and date columns compare by
+    calendar value regardless of date-object vs datetime64 representation
+    (Spark DateType arrives as ``datetime.date`` objects, DuckDB DATE as
+    ``datetime64[ns]``).
+    """
+    import datetime
+
+    import pandas as pd
+
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype.kind == "f":
+            pdf[c] = col.round(6)
+        elif col.dtype == object:
+            sample = col.dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+                pdf[c] = pd.to_datetime(col)
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return [
+        "|".join(str(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
 
 _ORACLES = catalog.oracle_sql()
@@ -54,22 +85,22 @@ _ORACLES = catalog.oracle_sql()
 def test_query_matches_duckdb_oracle(spark, name):
     q = catalog.queries()[name]
     sdf = q(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
     con = _duckdb_conn()
-    res = con.execute(_ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = con.execute(_ORACLES[name]).df()
 
-    assert sorted(c.lower() for c in spark_cols) == sorted(
-        c.lower() for c in duck_cols
-    ), f"{name}: column sets differ: spark={spark_cols} duck={duck_cols}"
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert sorted(c.lower() for c in spark_pdf.columns) == sorted(
+        c.lower() for c in duck_pdf.columns
+    ), (
+        f"{name}: column sets differ: spark={list(spark_pdf.columns)} "
+        f"duck={list(duck_pdf.columns)}"
     )
-    norm_s = _normalize(spark_rows, spark_cols)
-    norm_d = _normalize(duck_rows, duck_cols)
-    if norm_s != norm_d:
-        diff = [(a, b) for a, b in zip(norm_s, norm_d) if a != b][:5]
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row counts differ: spark={len(spark_pdf)} duck={len(duck_pdf)}"
+    )
+    canon_s = _canon(spark_pdf)
+    canon_d = _canon(duck_pdf)
+    if canon_s != canon_d:
+        diff = [(a, b) for a, b in zip(canon_s, canon_d) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")

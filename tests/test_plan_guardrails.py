@@ -30,6 +30,9 @@ ALLOWED_CROSS = {
     "scalar_correlated_subquery",
     "tpch_q22_dormant_customers",  # single-row scalar-average broadcast NLJ
     "text_tfidf_top_terms",  # single-row n_docs broadcast NLJ
+    # single-row max(doc_id)+1 offset broadcast NLJ (data-derived planted
+    # ids — collision-proof at any SF)
+    "dedup_simhash_exact_invariant",
 
     "impute_group_mean",   # global-stat window = single-partition by design
     "impute_group_median",
