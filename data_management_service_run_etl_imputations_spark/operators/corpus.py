@@ -202,3 +202,69 @@ def sessionize(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
     )
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: for every training document, count the
+    distinct k-token shingles it shares with ANY eval/benchmark document
+    (the n-gram-overlap contamination test used for LLM training corpora;
+    Brown et al. 2020 §C use 13-grams — ``k`` is the knob).
+
+    Plan: hashed shingles on both sides (``shingle_hashes`` — codegen
+    lead()-combine, no interpreted higher-order functions), distinct eval
+    shingle set, equi-join on the 61-bit shingle hash, count per train doc.
+    The eval side is benchmark-sized (≪ corpus), so it broadcasts — the
+    100 TB train side never shuffles for the join; the only wide exchange
+    is the per-doc count aggregate, proportional to contaminated rows.
+    Returns (id, n_shared_shingles) for contaminated documents only.
+    """
+    from data_management_service_run_etl_imputations_spark.operators.dedup import (
+        shingle_hashes,
+    )
+
+    train_sh = shingle_hashes(train, id_col, text_col, k=k)
+    eval_sh = shingle_hashes(eval_df, id_col, text_col, k=k).select(
+        "h"
+    ).distinct()
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    return (
+        train_sh.join(eval_sh, "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+
+
+def repetition_flags(
+    df: DataFrame, text_col: str, n: int = 3, max_dup_frac: float = 0.2
+) -> DataFrame:
+    """Gopher-style within-document repetition filter: the fraction of
+    word n-gram occurrences that are duplicates (Rae et al. 2021 §A1.1 use
+    2–4-gram duplicate fractions; default 3). Boilerplate-heavy and
+    looping text scores high and is dropped.
+
+    Pure column expressions — the n-gram array, its distinct count, and
+    the duplicate fraction are all computed inside whole-stage codegen; no
+    shuffle, no UDF. Emits n_ngrams, dup_frac, keep.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_toks = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n_toks - (n - 1), F.lit(1)))
+    ngrams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    n_ngrams = F.size(ngrams)
+    dup_frac = (n_ngrams - F.size(F.array_distinct(ngrams))) / n_ngrams
+    return df.select(
+        df["*"],
+        n_ngrams.cast("long").alias("n_ngrams"),
+        F.round(dup_frac, 6).alias("dup_frac"),
+        (dup_frac <= F.lit(max_dup_frac)).alias("keep"),
+    )

@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.operators.corpus import (
     balanced_sample,
+    contamination,
     pack_sequences,
     quality_flags,
+    repetition_flags,
     sessionize,
     train_val_test_split,
 )
@@ -191,4 +193,75 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return sessionize(
         events, "user_id", "ts", "event_id", gap_seconds=1800
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1,
+                              greatest(len(t) - 7, 1))) AS i) g
+        ),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),
+        tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 7)
+        SELECT tr.doc_id AS id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM tr JOIN ev USING (shingle)
+        GROUP BY tr.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    8-word shingle with the held-out eval slice (doc_id % 10 = 7 stands in
+    for a benchmark set). Spark joins on 61-bit shingle HASHES with the
+    eval set broadcast (the 100 TB-side scan never shuffles); the oracle
+    recomputes the overlap on raw shingle STRINGS — hash-collision-free
+    w.h.p., so the outputs must agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 10 == 7
+    return contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=8
+    )
+
+
+@register(
+    "corpus_repetition_filter",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        ng AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS g
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_ngrams,
+               ROUND(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                     / len(g), 6) AS dup_frac,
+               (CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g))
+                   <= 0.2 AS keep
+        FROM ng
+    """,
+)
+def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate word-trigram fraction per
+    document, keep ≤ 0.2 (Rae et al. 2021 §A1.1). Entirely codegen column
+    expressions — no shuffle, no UDF, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_flags(docs, "text", n=3, max_dup_frac=0.2).select(
+        "doc_id", "n_ngrams", "dup_frac", "keep"
     )

@@ -296,3 +296,42 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="id_a",
         dst_col="id_b",
     )
+
+
+@register(
+    "dedup_cluster_components_star",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, MIN(dst) AS component
+        FROM reach GROUP BY src
+    """,
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment as ``dedup_cluster_components`` but via the
+    large-star/small-star alternation — O(log n) rounds independent of
+    graph diameter, the variant that survives adversarially chain-shaped
+    near-dup graphs at corpus scale. Both implementations must agree with
+    the recursive-reachability oracle on the same candidate-pair edges."""
+    from data_management_service_run_etl_imputations_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=8, threshold=0.8)
+    return connected_components_star(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )

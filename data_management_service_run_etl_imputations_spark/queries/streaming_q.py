@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.queries import register
 from data_management_service_run_etl_imputations_spark.streaming.events import (
+    dedup_stream_within_watermark,
     foreach_batch_incremental,
     read_events_stream,
     run_available_now,
@@ -142,6 +143,30 @@ def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, dim, stream.user_id == dim.c_custkey, "left"
     ).select("event_id", "user_id", "event_type", "segment", "nationkey")
     return run_available_now(enriched, output_mode="append")
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+        SELECT event_id, user_id, value FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-at-ingest: the event stream unioned with ITSELF
+    (a deterministic at-least-once duplicate source) flows through
+    ``dropDuplicatesWithinWatermark`` on event_id — the doubled stream must
+    collapse back to exactly the original distinct set. Watermark sized to
+    cover the bounded replay; production tunes it to the upstream's real
+    redelivery horizon so per-key state expires."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_stream_within_watermark(
+        doubled, ["event_id"], watermark="365 days"
+    )
+    return run_available_now(
+        deduped.select("event_id", "user_id", "value"), output_mode="append"
+    )
 
 
 @register(

@@ -10,8 +10,10 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.operators.corpus import (
     balanced_sample,
+    contamination,
     pack_sequences,
     quality_flags,
+    repetition_flags,
     sessionize,
     train_val_test_split,
 )
@@ -102,3 +104,44 @@ def test_sessionize_hand_case(spark):
         (100, 2): (2, ts(50), ts(55)),
         (200, 1): (1, ts(5), ts(5)),
     }
+
+
+def test_contamination_hand_case(spark):
+    # 4-token shingles; doc 1 contains eval doc 10's exact 4-gram, doc 2
+    # shares nothing, doc 3 is shorter than k (full-sequence shingle).
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "completely different words here entirely now"),
+            (3, "tiny doc"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    eval_df = spark.createDataFrame(
+        [(10, "quick brown fox jumps"), (11, "tiny doc")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.id: r.n_shared_shingles
+        for r in contamination(train, eval_df, "doc_id", "text", k=4).collect()
+    }
+    # doc 1 shares exactly the one 4-gram; doc 3's full-sequence shingle
+    # equals eval doc 11's; doc 2 is absent (clean docs emit no row).
+    assert out == {1: 1, 3: 1}
+
+
+def test_repetition_flags_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c a b c"),   # heavy trigram repetition
+            (2, "all fresh words never repeat themselves at all today"),
+            (3, "x y"),                        # shorter than n → 1 partial gram
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in repetition_flags(df, "text", n=3).collect()}
+    # doc 1: 10 trigrams, only 3 distinct → dup_frac 0.7, dropped
+    assert out[1].n_ngrams == 10 and abs(out[1].dup_frac - 0.7) < 1e-9
+    assert out[1].keep is False
+    assert out[2].dup_frac == 0.0 and out[2].keep is True
+    assert out[3].n_ngrams == 1 and out[3].keep is True

@@ -84,3 +84,36 @@ def test_blocked_near_duplicates_equals_exact(spark):
         plan = blocked_df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """The O(log n)-round star alternation labels a long chain, multiple
+    components, and singletons identically to min-label propagation —
+    and needs far fewer rounds than the 40-node chain's diameter."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n + 3)], "id LONG")
+    # a 40-chain (diameter 39), one triangle, two singletons
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges += [(n, n + 1), (n + 1, n), (n, n)]  # dup + self-loop robustness
+    rng = random.Random(7)
+    rng.shuffle(edges)
+    edf = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    star = {
+        r.id: r.component
+        for r in connected_components_star(nodes, edf, max_iter=8).collect()
+    }
+    expect = {i: 0 for i in range(n)}
+    expect.update({n: n, n + 1: n, n + 2: n + 2})
+    assert star == expect
+    prop = {
+        r.id: r.component
+        for r in connected_components(nodes, edf, max_iter=45).collect()
+    }
+    assert star == prop
