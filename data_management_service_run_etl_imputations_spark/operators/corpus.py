@@ -242,6 +242,43 @@ def contamination(
     )
 
 
+def source_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    basis: int = 10_000,
+) -> DataFrame:
+    """Deterministic source-balanced downsampling (the data-mixing step of
+    an LLM corpus pipeline): every source is sampled down to the SMALLEST
+    source's total weight, so the mixture is uniform across sources.
+
+    Per-source keep threshold ``thr_i = (min_total * basis) div total_i``
+    in INTEGER arithmetic (bit-identical in any engine — no float rounding
+    at the keep boundary), applied to the scrambled doc id:
+    ``scramble(id) mod basis < thr_i``. Fully deterministic — re-runs and
+    engines agree row-for-row.
+
+    Scale: per-source totals are one partial-aggregated shuffle over
+    |sources| groups; the rate table is |sources| rows and broadcasts back
+    onto the corpus scan; the keep filter is a pure column predicate. The
+    corpus is never shuffled. ``min_total * basis`` bounds: safe below
+    ~9·10¹⁴ total weight units per source at the default basis.
+    """
+    stats = df.groupBy(source_col).agg(F.sum(weight_col).alias("__t"))
+    # unpartitioned window over |sources| rows — tiny by construction;
+    # `div` (not /) keeps the threshold in integer arithmetic end-to-end.
+    rates = stats.select(
+        source_col,
+        F.expr(f"(min(__t) over () * {basis}) div __t").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(scramble(id_col) % basis < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def repetition_flags(
     df: DataFrame, text_col: str, n: int = 3, max_dup_frac: float = 0.2
 ) -> DataFrame:

@@ -287,3 +287,49 @@ def agg_collect_sorted_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
     )
+
+
+@register(
+    "funnel_view_to_purchase",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS first_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fp AS (
+            SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+            GROUP BY e.user_id
+        )
+        SELECT fv.user_id, fv.first_view, fp.first_purchase,
+               fp.first_purchase IS NOT NULL AS converted
+        FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (product-analytics staple): per user, the first
+    'view' and the first 'purchase' strictly AFTER that view (ordering
+    matters — a purchase before any view is not a conversion). One
+    unpartitioned-window-free plan: a per-user min aggregate, a same-key
+    join back onto purchases (reuses the user_id hash partitioning), and
+    a second per-user min — no window over raw events needed."""
+    events = load_table(spark, sf_dir, "events")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return fv.join(fp, "user_id", "left").select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+    )

@@ -17,6 +17,7 @@ from data_management_service_run_etl_imputations_spark.operators.corpus import (
     quality_flags,
     repetition_flags,
     sessionize,
+    source_mixture_sample,
     train_val_test_split,
 )
 from data_management_service_run_etl_imputations_spark.queries import register
@@ -264,4 +265,38 @@ def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return repetition_flags(docs, "text", n=3, max_dup_frac=0.2).select(
         "doc_id", "n_ngrams", "dup_frac", "keep"
+    )
+
+
+@register(
+    "corpus_source_mixture",
+    oracle=f"""
+        WITH stats AS (
+            SELECT source, SUM(n_chars) AS t FROM documents GROUP BY source
+        ),
+        rates AS (
+            SELECT source, (SELECT MIN(t) FROM stats) * 10000 // t AS thr
+            FROM stats
+        ),
+        kept AS (
+            SELECT d.source, d.n_chars
+            FROM documents d JOIN rates r USING (source)
+            WHERE ({_SCRAMBLE_SQL}) % 10000 < r.thr
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM kept GROUP BY source
+    """,
+)
+def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced data mixing: downsample every source to the
+    smallest source's char total with a deterministic integer-threshold
+    keep rule on the scrambled doc id (no rand(), no float boundary —
+    engines agree row-for-row). Rate table broadcasts; the corpus never
+    shuffles for the sampling itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = source_mixture_sample(docs, "source", "doc_id", "n_chars")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
     )

@@ -177,3 +177,103 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@register(
+    "jsonl_roundtrip_agg",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip with an explicit schema (the raw-crawl
+    interchange format of corpus pipelines): documents → JSONL → read back
+    → aggregate. Schema passed explicitly — a schema-inference scan would
+    read the data twice at 100 TB."""
+    target = _tmp("documents_jsonl")
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        docs.write.mode("overwrite").json(target)
+        back = spark.read.schema(docs.schema).json(target)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
+    "orc_roundtrip_agg",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 6) AS total_balance
+        FROM customer GROUP BY c_mktsegment
+    """,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip: customer → ORC → read back → aggregate.
+    Columnar-format breadth beyond parquet (predicate pushdown and column
+    pruning work identically on the ORC scan node)."""
+    target = _tmp("customer_orc")
+    customer = load_table(spark, sf_dir, "customer")
+    try:
+        customer.write.mode("overwrite").orc(target)
+        back = spark.read.orc(target)
+        return (
+            back.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 6).alias("total_balance"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+               ROUND(value, 6) AS value
+        FROM c WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC fold: events re-typed as a change stream (event_type 'error' ⇒
+    delete, else upsert; (ts, event_id) is the change sequence) collapse to
+    the final per-user snapshot — users whose LAST change is a delete
+    disappear. Window argmax per key, one shuffle (sources/sinks.py
+    apply_changes)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import apply_changes
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return apply_changes(
+        changes, ["user_id"], ["ts", "event_id"], "op", "D"
+    ).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        "value",
+    )

@@ -199,3 +199,67 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
     )
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): explicit classes, no backrefs/lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=rf"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || doc_id || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' ssn 123-45-6789' ELSE '' END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}'))
+                    + len(regexp_extract_all(t, '{_SSN_RE}'))
+                    AS BIGINT) AS n_pii,
+               regexp_replace(
+                   regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_SSN_RE}', '<SSN>', 'g') AS scrubbed
+        FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, SSN-shaped ids) as JVM-side regexes —
+    the pre-training scrub step of a corpus pipeline. The synthetic corpus
+    carries no PII, so deterministic markers are planted per doc_id and
+    must come back both COUNTED and REDACTED; patterns are restricted to
+    the Java-regex ∩ RE2 common subset so the oracle replays them
+    verbatim. Pure column expressions — no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    n_pii = (
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all("t", F.lit(_SSN_RE), 0))
+    ).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _SSN_RE, "<SSN>"
+    )
+    return t.select(
+        "doc_id", n_pii.alias("n_pii"), scrubbed.alias("scrubbed")
+    )

@@ -200,3 +200,33 @@ def merge_upsert_partitioned(
         spark.conf.set(mode_key, prev_mode)
     n_updated = n_existing_touched - n_survivors
     return {"updated": n_updated, "inserted": n_batch - n_updated}
+
+
+def apply_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Fold a CDC change stream (insert/update/delete rows tagged by
+    ``op_col``, ordered by ``seq_cols``) into the final table snapshot:
+    per key, the highest-sequence change wins; a winning delete removes
+    the key entirely. The batch form of Delta Live Tables' APPLY CHANGES /
+    Debezium snapshot folding.
+
+    One shuffle on the key (window row_number) — out-of-order and
+    duplicate change events are resolved by the sequence ordering, so the
+    fold is idempotent under replay: exactly the property an at-least-once
+    CDC feed needs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in seq_cols]
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("__rn", op_col)
+    )

@@ -80,6 +80,10 @@ DEFAULT_QUERIES = [
     "text_tfidf_top_terms",
     "dedup_minhash_lsh",
     "window_rank_lag_running",
+    "corpus_decontaminate",
+    "dedup_cluster_components_star",
+    "corpus_source_mixture",
+    "cdc_apply_changes",
 ]
 
 

@@ -145,3 +145,25 @@ def test_repetition_flags_hand_case(spark):
     assert out[1].keep is False
     assert out[2].dup_frac == 0.0 and out[2].keep is True
     assert out[3].n_ngrams == 1 and out[3].keep is True
+
+
+def test_source_mixture_sample_balances_char_budget(spark):
+    from data_management_service_run_etl_imputations_spark.operators.corpus import (
+        source_mixture_sample,
+    )
+
+    # source a: 100 docs x 100 chars = 10000; source b: 20 docs x 100 = 2000
+    rows = [(i, "a", 100) for i in range(100)]
+    rows += [(1000 + i, "b", 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, n_chars LONG")
+    kept = source_mixture_sample(df, "source", "doc_id", "n_chars")
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # b keeps everything (it IS the min); a keeps ~min/total = 20%
+    assert counts["b"] == 20
+    assert 10 <= counts["a"] <= 30  # 20% of 100 ± scramble variance
+    # deterministic: identical on recomputation
+    again = source_mixture_sample(df, "source", "doc_id", "n_chars")
+    assert kept.exceptAll(again).isEmpty() and again.exceptAll(kept).isEmpty()

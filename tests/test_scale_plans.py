@@ -133,3 +133,29 @@ def test_hypertable_rollup_partial_aggregation(spark, sf_dir):
     df = catalog.queries()["hypertable_time_bucket_rollup"](spark, sf_dir)
     plan = _plan(df)
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval/benchmark shingle set is benchmark-sized, so the
+    contamination join must be a BroadcastHashJoin — the corpus-side scan
+    never shuffles for the join (SCALE.md training-data extensions)."""
+    from data_management_service_run_etl_imputations_spark.operators.corpus import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 10 == 7
+    out = contamination(docs.filter(~is_eval), docs.filter(is_eval))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # exactly one aggregation exchange (per-doc count); the join itself
+    # adds no corpus-side Exchange beyond it
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    """The repetition filter is pure per-row column arithmetic — its plan
+    must contain no Exchange at all."""
+    from data_management_service_run_etl_imputations_spark.operators.corpus import repetition_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(repetition_flags(docs, "text"))
+    assert "Exchange" not in plan
