@@ -167,3 +167,24 @@ def test_source_mixture_sample_balances_char_budget(spark):
     # deterministic: identical on recomputation
     again = source_mixture_sample(df, "source", "doc_id", "n_chars")
     assert kept.exceptAll(again).isEmpty() and again.exceptAll(kept).isEmpty()
+
+
+def test_scramble_matches_bigint_arithmetic_including_huge_ids(spark):
+    """The 16-bit-split scramble must equal (id * 2654435761) mod 2^32
+    computed in unbounded Python integers — including ids past the naive
+    expression's int64 overflow point (~3.47e9) and 2^32 (where only the
+    low 32 bits participate)."""
+    from data_management_service_run_etl_imputations_spark.operators.corpus import (
+        KNUTH_HASH,
+        scramble,
+    )
+
+    ids = [0, 1, 65535, 65536, 2**31 - 1, 2**31, 3_470_000_000,
+           2**32 - 1, 2**32, 2**32 + 12345, 2**40 + 7, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", scramble("doc_id").alias("s")).collect()
+    }
+    for i in ids:
+        assert got[i] == (i * KNUTH_HASH) % (1 << 32), i
