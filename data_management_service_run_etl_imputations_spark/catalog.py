@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "advanced_q",
     "breadth_q",
     "tpch_q",
+    "tpch2_q",
     "sources_q",
 ]
 
