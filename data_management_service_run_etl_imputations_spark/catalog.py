@@ -34,6 +34,7 @@ _QUERY_MODULES = [
     "tpch_q",
     "tpch2_q",
     "sources_q",
+    "profiling_q",
 ]
 
 for _m in _QUERY_MODULES:

@@ -92,3 +92,55 @@ def ml_imputer(
         strategy=strategy,
     )
     return imputer.fit(df).transform(df)
+
+
+def impute_linear_interpolate(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted linear interpolation: each null takes
+    ``v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)``
+    between its nearest non-null neighbors in time order. Leading/trailing
+    nulls (one-sided gaps) fall back to the available neighbor (ffill/bfill
+    semantics); equal neighbor timestamps fall back to the previous value
+    (no division by zero under ANSI mode). Pass ``order_cols`` with a
+    unique tiebreaker (e.g. ``[ts, event_id]``) — a ts-only sort is
+    nondeterministic under timestamp ties at scale.
+
+    Scale: two single-pass window frames per group (running ``last`` and
+    ``first`` with ignorenulls) — no self-join, no gap enumeration, state
+    bounded by the frame. The frames share one partition-by sort, so the
+    whole operator is one shuffle on the series key.
+    """
+    out_col = out_col or value_col
+    keys = group_cols or []
+    order = order_cols or [ts_col]
+    t = F.col(ts_col).cast("double")
+    back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t), interp
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return df.withColumn(out_col, filled)

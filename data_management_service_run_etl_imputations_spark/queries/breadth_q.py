@@ -333,3 +333,48 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase",
         F.col("first_purchase").isNotNull().alias("converted"),
     )
+
+
+@register(
+    "agg_rollup_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → grand total in one
+    aggregation pass. Spark expands the rollup into grouping sets executed
+    as a single shuffle with partial aggregation — no per-level rescan of
+    the fact table (the naive UNION ALL alternative scans it once per
+    level)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(SUM(l_quantity), 4) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in
+    one pass. Same single-shuffle grouping-sets expansion as ROLLUP; the
+    cube lattice is produced by replicating each input row into its
+    grouping sets map-side, so the fact table is still scanned once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )

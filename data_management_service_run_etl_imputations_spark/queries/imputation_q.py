@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.operators.imputation import (
     impute_forward_fill,
+    impute_linear_interpolate,
     impute_with_group_stats,
 )
 from data_management_service_run_etl_imputations_spark.queries import register
@@ -136,4 +137,71 @@ def impute_ml_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ml_imputer(masked, ["value_masked"], strategy="mean")
     return out.select(
         "event_id", F.round("value_masked_imputed", 6).alias("value_imputed")
+    )
+
+
+@register(
+    "impute_linear_interpolate",
+    oracle=f"""
+        WITH masked AS (
+            SELECT event_id, user_id, ts, {_MASK} AS v,
+                   epoch(ts) AS t
+            FROM events
+        ), ctx AS (
+            SELECT event_id, user_id, v, t,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                       OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prev_t,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                       OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_t
+            FROM masked
+        )
+        SELECT event_id, user_id,
+               ROUND(CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                        AND next_t > prev_t
+                   THEN prev_v + (next_v - prev_v) * (t - prev_t)
+                                 / (next_t - prev_t)
+                   ELSE COALESCE(prev_v, next_v)
+               END, 6) AS value_li
+        FROM ctx
+    """,
+)
+def impute_linear_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation per user series: nulls take the
+    value proportional to their position between the nearest non-null
+    neighbors; one-sided gaps fall back to ffill/bfill. Two shared-sort
+    window frames, one shuffle (operators/imputation.py
+    impute_linear_interpolate)."""
+    events = load_table(spark, sf_dir, "events")
+    masked = events.withColumn(
+        "v",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = impute_linear_interpolate(
+        masked,
+        "v",
+        "ts",
+        group_cols=["user_id"],
+        out_col="value_li",
+        order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value_li", 6).alias("value_li")
     )

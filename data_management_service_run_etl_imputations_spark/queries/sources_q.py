@@ -277,3 +277,63 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         "value",
     )
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+        SELECT o.o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(SUM(l.l_extendedprice), 4) AS revenue
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are written ``bucketBy(16,
+    orderkey)`` + ``sortBy`` into warehouse tables, so the subsequent join
+    matches bucket-to-bucket with NO exchange on either side (asserted in
+    tests/test_scale_plans.py) — the pre-shuffle strategy for a fact-fact
+    join that repeats across a pipeline. At 100 TB this is the difference
+    between shuffling both tables per run and shuffling each once at write
+    time; the only remaining exchange is the final groupBy on the
+    non-bucket key."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # A fresh session's metastore doesn't know tables whose warehouse dirs
+    # survived a previous session, and saveAsTable then refuses the
+    # existing location — drop the catalog entry AND clear the stale dir
+    # (via Hadoop FS so any warehouse scheme works, not just file:).
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t
+        )
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+    (
+        o.write.mode("overwrite")
+        .bucketBy(16, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        l.write.mode("overwrite")
+        .bucketBy(16, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("bkt_lineitem")
+    )
+    bo = spark.table("bkt_orders")
+    bl = spark.table("bkt_lineitem")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )

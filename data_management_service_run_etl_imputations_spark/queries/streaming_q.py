@@ -194,3 +194,60 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               ROUND(p.value, 6) AS purchase_value
+        FROM events v
+        JOIN events p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view'
+          AND p.event_type = 'purchase'
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each view event matched to the same
+    user's purchase events within the following 30 minutes. Both sides are
+    live streams (no static dim), so this exercises the watermarked
+    dual-buffer join — the streaming counterpart of the batch interval
+    join. AvailableNow replay over the full bounded input makes the result
+    exactly the batch self-join the oracle states (no row is older than
+    the watermark at end-of-replay in a bounded run)."""
+    from data_management_service_run_etl_imputations_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, "user_id", "view_ts", "purchase_ts", "30 minutes"
+    )
+    return run_available_now(
+        joined.select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.round("purchase_value", 6).alias("purchase_value"),
+        ),
+        output_mode="append",
+    )

@@ -169,3 +169,31 @@ def dedup_stream_within_watermark(
     event time (vs plain dropDuplicates whose state grows forever) — the
     dedup-at-ingest building block for at-least-once upstreams."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval constraint:
+    a right-side event matches a left-side event for the same user when it
+    lands in ``[left_ts, left_ts + horizon]``. Both sides carry watermarks
+    and the join predicate bounds both event times, so Structured Streaming
+    can expire join state (the unbounded-state hazard of naive
+    stream-stream joins) — each side keeps at most
+    ``watermark + horizon`` of buffered rows per partition. At scale both
+    streams hash-partition on the join key; no broadcast (both sides are
+    unbounded)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(
+        rw,
+        (lw[user_col] == rw[user_col])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}")),
+    ).drop(rw[user_col])

@@ -159,3 +159,44 @@ def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = _plan(repetition_flags(docs, "text"))
     assert "Exchange" not in plan
+
+
+def test_bloom_filter_injected_when_dim_cannot_broadcast(spark, sf_dir):
+    """bloom_filter_join_pruned's 100 TB claim: when the filtered dim side
+    is too big to broadcast (forced here by disabling auto-broadcast),
+    Spark injects a runtime BloomFilter aggregate on the dim side and a
+    might_contain predicate at the fact scan. At test scale the dim
+    broadcasts and Spark correctly skips injection (bloom only benefits
+    shuffle joins), so this test pins the behavior the query relies on at
+    scale."""
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+        df = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_lines"))
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in opt or "might_contain" in opt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
