@@ -22,13 +22,23 @@ class Query:
     fn: QueryFn
     oracle: str | None = None
     headline: bool = False  # include in bench.py's headline set
+    # Set when a green CORRECTNESS row is known to predate the code that
+    # ships (e.g. an operator rewrite under an unchanged wrapper): forces
+    # the query into the driver's verification window ahead of ordinary
+    # rotation. Clear the flag once the fresh green row lands.
+    reverify: bool = False
     doc: str = field(default="")
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    reverify: bool = False,
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog.
 
     ``oracle`` is the equivalent ANSI SQL for DuckDB over the pre-registered
@@ -39,7 +49,7 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, headline, fn.__doc__ or "")
+        REGISTRY[name] = Query(name, fn, oracle, headline, reverify, fn.__doc__ or "")
         return fn
 
     return deco

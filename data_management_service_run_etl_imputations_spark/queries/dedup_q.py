@@ -244,6 +244,10 @@ def dedup_simhash_exact_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35
     """,
+    # r02 replaced the all-pairs implementation with the KMeans-blocked
+    # path AFTER the r01 green row was earned (VERDICT r02, What's wrong
+    # #3): force a driver row for the code that ships. Clear once green.
+    reverify=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, computed WITHOUT an

@@ -128,20 +128,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Nanosecond-precision parquet timestamps arrive as long (see
-    # session.py nanosAsLong). Normalize to Spark's µs TimestampType by
-    # integer-dividing — identical truncation to DuckDB's ns→µs read.
+    # Timestamp columns arrive in whatever physical encoding the generator
+    # used; normalize every declared-Timestamp column to Spark's µs
+    # TimestampType (LTZ) so downstream arithmetic (casts to double,
+    # unix_timestamp, watermarks) is encoding-independent:
+    #   - INT64 TIMESTAMP(NANOS) → bigint under nanosAsLong; integer-divide
+    #     to µs (identical truncation to DuckDB's ns→µs read). `div` keeps
+    #     the math on longs — float division loses precision above 2^53.
+    #   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → timestamp_ntz; cast to
+    #     LTZ, a value-identity under the UTC session TZ forced above.
     declared = TESTDATA_SCHEMAS.get(name)
     if declared is not None:
         actual = dict(df.dtypes)
         for field in declared.fields:
-            if isinstance(field.dataType, T.TimestampType) and actual.get(field.name) == "bigint":
-                # `div` = integer division on longs: float division would
-                # lose precision above 2^53 (ns epochs are ~1.7e18).
+            if not isinstance(field.dataType, T.TimestampType):
+                continue
+            if actual.get(field.name) == "bigint":
                 df = df.withColumn(
                     field.name,
                     F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
                 )
+            elif actual.get(field.name) == "timestamp_ntz":
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -18,29 +18,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns epoch (parquet NANOS)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Kept for importers/tests: the µs-Timestamp shape every stream reader
+# ultimately produces.
+EVENTS_STREAM_SCHEMA = _events_stream_schema(T.TimestampType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. At scale this is a
     date-partitioned directory (or Kafka); here the single parquet file is
-    selected via pathGlobFilter. ns-long timestamps are normalized to µs
-    TimestampType exactly as the batch loader does (schemas.load_table)."""
+    selected via pathGlobFilter.
+
+    ``readStream`` needs a static schema, but the generator's timestamp
+    encoding has varied across rounds (INT64 TIMESTAMP(NANOS) read as long
+    vs TIMESTAMP(MICROS, ntz)); probe the file footer once (driver-side
+    metadata read, no data scan) and normalize to µs TimestampType exactly
+    as the batch loader does (schemas.load_table)."""
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    if isinstance(probed, T.LongType):
+        raw = (
+            spark.readStream.schema(_events_stream_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(T.TimestampType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_window_agg(

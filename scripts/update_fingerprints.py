@@ -1,12 +1,14 @@
-"""Regenerate QUERY_FINGERPRINTS.json — run at the end of each round, just
-before the final commit the driver verifies.
+"""Regenerate QUERY_FINGERPRINTS.json.
 
-The file records each catalog query's content hash (query source + oracle
-SQL + one level of package-callable dependencies) as of the last
-driver-verified commit. At catalog import, a query whose current
-fingerprint differs from its recorded one is treated as changed-since-green
-and re-prioritized into the driver's verification window even if its last
-CORRECTNESS row was green — a green row earned by different code is stale.
+Run ONLY immediately after a clean full ``scripts/driver_sim.py`` pass
+(every catalog query locally verified against its DuckDB oracle): the file
+asserts "this exact code was differentially verified". At catalog import, a
+query whose current fingerprint differs from its recorded one is treated as
+changed-since-verified and re-prioritized into the driver's verification
+window even if its last CORRECTNESS row was green — a green row earned by
+different code is stale. For a green driver row known to predate the code
+that ships, use ``register(..., reverify=True)`` instead (fingerprints
+can't see changes that happened before the last regeneration).
 """
 
 from __future__ import annotations

@@ -29,6 +29,7 @@ ALLOWED_CROSS = {
     "pipeline_fichajes",
     "scalar_correlated_subquery",
     "tpch_q22_dormant_customers",  # single-row scalar-average broadcast NLJ
+    "tpch_q11_important_stock",  # single-row global-total broadcast cross
     "text_tfidf_top_terms",  # single-row n_docs broadcast NLJ
     # single-row max(doc_id)+1 offset broadcast NLJ (data-derived planted
     # ids — collision-proof at any SF)
