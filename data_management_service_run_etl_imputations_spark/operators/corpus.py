@@ -167,6 +167,98 @@ def quality_flags(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Token-window chunking: split every document into overlapping
+    fixed-size token windows (the RAG/embedding-index prep step — window
+    ``chunk_tokens``, hop ``stride``; overlap = chunk_tokens - stride).
+
+    One row per (doc, chunk): chunk_id, start token offset (1-based),
+    token count, and the chunk text. Whitespace tokenization to match the
+    engine's other text operators.
+
+    Scale shape: a narrow map + ``posexplode`` — rows expand by
+    ~n_tokens/stride but NOTHING shuffles; chunking is embarrassingly
+    parallel and composes with a downstream embedding Pandas UDF. Empty
+    documents yield one empty chunk (start 1, 0 tokens) so the doc stays
+    addressable downstream.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    # Last start = 1 + ceil((n - chunk)/stride)*stride, so the final window
+    # always reaches the last token (a stop bound of n-chunk+1 can fall
+    # between stride steps and silently drop the document tail). floor()+
+    # clamp matches DuckDB `//` semantics on the negative (short-doc) side.
+    n_hops = F.greatest(
+        F.floor(
+            (F.col("__n") - chunk_tokens + (stride - 1)) / F.lit(stride)
+        ),
+        F.lit(0),
+    )
+    starts = F.sequence(
+        F.lit(1),
+        (F.lit(1) + n_hops * stride).cast("int"),
+        F.lit(stride),
+    )
+    ex = base.select(
+        F.col(id_col),
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("__pos", "chunk_start"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("__pos").cast("long").alias("chunk_id"),
+        F.col("chunk_start"),
+        F.greatest(
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("chunk_start") + 1),
+            F.lit(0),
+        ).alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic global shuffle + sharding (the "write the corpus in
+    random order across N shard files" step before training): shard =
+    scrambled-id mod n_shards, sequence = rank of the scrambled id within
+    the shard. Together (shard, seq) define a reproducible pseudo-random
+    total order — without a global sort: the only wide operation is the
+    shuffle on the shard key, and each shard orders independently.
+
+    At 100 TB, pick n_shards ≫ executor count (shards are output files,
+    not partitions) so no shard window exceeds a task's memory; the
+    per-shard window is a sort within one hash partition, which Spark
+    spills if needed.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        (scramble(id_col) % n_shards).cast("int").alias("shard"),
+        scramble(id_col).alias("__k"),
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return keyed.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

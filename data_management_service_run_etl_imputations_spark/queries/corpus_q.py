@@ -12,11 +12,13 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.operators.corpus import (
     balanced_sample,
+    chunk_documents,
     contamination,
     pack_sequences,
     quality_flags,
     repetition_flags,
     sessionize,
+    shuffle_shards,
     source_mixture_sample,
     train_val_test_split,
 )
@@ -300,3 +302,65 @@ def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "corpus_chunk_documents",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        s AS (
+            -- last start = 1 + ceil((n-16)/12)*12: the final window always
+            -- reaches the last token (tail is never dropped)
+            SELECT doc_id, toks, len(toks) AS n,
+                   unnest(generate_series(
+                       1,
+                       1 + 12 * greatest((len(toks) - 16 + 11) // 12, 0),
+                       12)) AS chunk_start
+            FROM t
+        )
+        SELECT doc_id,
+               (chunk_start - 1) // 12 AS chunk_id,
+               CAST(chunk_start AS INT) AS chunk_start,
+               CAST(greatest(least(16, n - chunk_start + 1), 0) AS INT)
+                   AS n_chunk_tokens,
+               array_to_string(
+                   list_slice(toks, chunk_start, chunk_start + 15), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (RAG / embedding-index prep): 16-token
+    windows, 12-token hop (4 overlap), one row per chunk with its text.
+    Narrow map + posexplode — no shuffle; composes with an embedding
+    Pandas UDF downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=16, stride=12)
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                   AS seq
+        FROM (
+            SELECT doc_id,
+                   CAST(({_SCRAMBLE_SQL}) % 8 AS INT) AS shard,
+                   {_SCRAMBLE_SQL} AS k
+            FROM documents
+        )
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (training-order writer
+    prep): (shard, seq) define a reproducible pseudo-random total order
+    with no global sort — only a hash shuffle on the shard key, each
+    shard ranking independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=8)

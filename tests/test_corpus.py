@@ -10,11 +10,13 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.operators.corpus import (
     balanced_sample,
+    chunk_documents,
     contamination,
     pack_sequences,
     quality_flags,
     repetition_flags,
     sessionize,
+    shuffle_shards,
     train_val_test_split,
 )
 
@@ -188,3 +190,59 @@ def test_scramble_matches_bigint_arithmetic_including_huge_ids(spark):
     }
     for i in ids:
         assert got[i] == (i * KNUTH_HASH) % (1 << 32), i
+
+
+def test_chunk_documents_hand_case(spark):
+    # 10 tokens, window 4, hop 3 → starts 1,4,7 (greatest(10-3,1)=7)
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "x y")],
+                               "doc_id LONG, text STRING")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert (1, 0) in rows and rows[(1, 0)]["chunk_text"] == "a b c d"
+    assert rows[(1, 1)]["chunk_start"] == 4
+    assert rows[(1, 1)]["chunk_text"] == "d e f g"
+    assert rows[(1, 2)]["chunk_text"] == "g h i j"
+    assert rows[(1, 2)]["n_chunk_tokens"] == 4
+    # empty doc → one empty chunk, still addressable
+    assert rows[(2, 0)]["n_chunk_tokens"] == 0
+    assert rows[(2, 0)]["chunk_text"] == ""
+    # short doc → one partial chunk
+    assert rows[(3, 0)]["n_chunk_tokens"] == 2
+    assert len([k for k in rows if k[0] == 1]) == 3
+
+
+def test_chunk_documents_covers_every_token(spark):
+    # every token index must be inside at least one chunk (stride < window)
+    import random
+    rnd = random.Random(7)
+    rows = [(i, " ".join("t%d" % j for j in range(rnd.randint(1, 40))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=8, stride=5)
+    cov = out.groupBy("doc_id").agg(
+        F.max(F.col("chunk_start") + F.col("n_chunk_tokens") - 1).alias("hi")
+    )
+    n = df.select(
+        "doc_id", F.size(F.split("text", r"\s+")).alias("n")
+    )
+    bad = cov.join(n, "doc_id").filter(F.col("hi") < F.col("n"))
+    assert bad.isEmpty()
+
+
+def test_shuffle_shards_is_permutation(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shards(df, "doc_id", n_shards=4)
+    assert out.count() == 1000
+    assert out.select("doc_id").distinct().count() == 1000
+    # seq is dense 1..n within every shard
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("seq").alias("mx"),
+        F.min("seq").alias("mn"),
+    ).collect()
+    assert len(per) == 4
+    for r in per:
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+    # deterministic across recomputation
+    again = shuffle_shards(df, "doc_id", n_shards=4)
+    assert out.exceptAll(again).isEmpty()
