@@ -200,3 +200,25 @@ def test_bloom_filter_injected_when_dim_cannot_broadcast(spark, sf_dir):
         assert "bloom" in opt or "might_contain" in opt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Token-window chunking is a narrow map + generate (posexplode): no
+    Exchange anywhere — chunking 100 TB is embarrassingly parallel."""
+    from data_management_service_run_etl_imputations_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(chunk_documents(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode node
+
+
+def test_shuffle_shards_single_exchange_on_shard_key(spark, sf_dir):
+    """Deterministic shuffle-sharding does exactly ONE shuffle (hash on the
+    shard key for the per-shard rank window) — no global sort node."""
+    from data_management_service_run_etl_imputations_spark.operators.corpus import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(shuffle_shards(docs, "doc_id", n_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global ordering
