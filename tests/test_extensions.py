@@ -221,3 +221,23 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     ]
     # probing half the cells on clustered-ish random data: expect ≥0.4 mean
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_hll_sketch_union_matches_direct_sketch(spark):
+    """Sketch mergeability — the property the 100 TB rollup relies on:
+    unioning per-group HLL sketches must estimate the same as one sketch
+    built over the whole input (HLL union is lossless at equal k)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).withColumn("g", (F.col("id") % 7).cast("int"))
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+    assert abs(direct - 20_000) <= 0.05 * 20_000
