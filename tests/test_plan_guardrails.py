@@ -30,6 +30,7 @@ ALLOWED_CROSS = {
     "scalar_correlated_subquery",
     "tpch_q22_dormant_customers",  # single-row scalar-average broadcast NLJ
     "tpch_q11_important_stock",  # single-row global-total broadcast cross
+    "sketch_hll_distinct_rollup",  # 1-row sketch-union × 1-row exact count
     "text_tfidf_top_terms",  # single-row n_docs broadcast NLJ
     # single-row max(doc_id)+1 offset broadcast NLJ (data-derived planted
     # ids — collision-proof at any SF)
@@ -52,6 +53,12 @@ SKIP = {name for name in catalog.queries() if name.startswith("streaming_")}
 def test_no_accidental_cross_join(spark, sf_dir, name):
     df = catalog.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # Row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere:
+    # Python in the hot path must be Arrow-batched (ArrowEvalPython /
+    # MapInPandas / FlatMapGroupsInPandas nodes are the allowed forms).
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan"
+    )
     has_cross = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
     if name in ALLOWED_CROSS:
         return  # documented bounded cross — nothing to assert
