@@ -248,6 +248,7 @@ def dedup_simhash_exact_invariant(spark: SparkSession, sf_dir: str) -> DataFrame
     # path AFTER the r01 green row was earned (VERDICT r02, What's wrong
     # #3): force a driver row for the code that ships. Clear once green.
     reverify=True,
+    headline=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, computed WITHOUT an
@@ -338,4 +339,88 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
         id_col="doc_id",
         src_col="id_a",
         dst_col="id_b",
+    )
+
+
+@register(
+    "dedup_pipeline_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_NGRAM_PAIR_CTES},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+            SELECT src AS doc_id, MIN(dst) AS component
+            FROM reach GROUP BY src
+        ),
+        q AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) AS n_words
+            FROM documents
+        ),
+        m AS (
+            SELECT c.component, c.doc_id, q.n_words,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                                      ORDER BY q.n_words DESC, c.doc_id)
+                       AS rk,
+                   COUNT(*) OVER (PARTITION BY c.component) AS n_members
+            FROM comp c JOIN q USING (doc_id)
+        )
+        SELECT component, doc_id AS kept_doc_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_words AS BIGINT) AS kept_n_words
+        FROM m WHERE rk = 1
+    """,
+)
+def dedup_pipeline_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus dedup pipeline as ONE lazy plan: shingle
+    Jaccard candidate pairs (bucket join, never n²) → transitive duplicate
+    clusters (connected components) → keep the highest-quality member per
+    cluster (most words, ties to the lowest id). What a real 100 TB dedup
+    run ships: the output is the keep-list, one row per surviving
+    document, with its cluster size for auditability.
+
+    Plan shape: the only data-scale shuffles are the shingle-hash bucket
+    join, the CC label-propagation rounds (checkpointed), and one window
+    per component for the argmax — no all-pairs anywhere. Oracle:
+    recursive-reachability CTE + the same argmax policy in SQL."""
+    from data_management_service_run_etl_imputations_spark.operators.dedup import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=8, threshold=0.8)
+    comp = connected_components(
+        docs.select("doc_id"), pairs,
+        id_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    n_words = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    )
+    quality = docs.select("doc_id", n_words.cast("long").alias("n_words"))
+    w = Window.partitionBy("component")
+    ranked = (
+        comp.join(quality, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w.orderBy(F.col("n_words").desc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_words").alias("kept_n_words"),
     )
