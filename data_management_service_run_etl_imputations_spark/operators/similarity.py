@@ -369,3 +369,189 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    ks_codes: int = 16,
+    refine_factor: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-compression scale path for
+    ANN (FAISS ``IVFx,PQy`` rendered as DataFrame ops): a KMeans coarse
+    quantizer restricts each query to ``n_probe`` cells; within candidates,
+    vectors are represented by ``m_subspaces`` one-byte codes (nearest
+    per-subspace codebook centroid) instead of full floats, scored by
+    asymmetric distance (ADC: sum of per-subspace query→centroid distances
+    from a lookup table), and the ADC shortlist (``k·refine_factor``) is
+    exactly re-ranked with true cosine.
+
+    Why it scales: the 100 TB corpus is stored as m bytes + a cell id per
+    vector (64-dim float32 → 8 bytes is 32×); the ADC lookup table is
+    |Q|·m·ks rows and BROADCASTS; candidate scoring is an equi-join on the
+    cell id plus a broadcast LUT join — full vectors are touched only for
+    the shortlist re-rank. Codebooks train as m independent KMeans fits
+    (distributed; driver holds m·ks·(dims/m) floats).
+
+    Vectors are L2-normalized first, so squared-L2 ADC ranking ≡ cosine
+    ranking (d² = 2 − 2·cos on the unit sphere).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # --- normalize (unit sphere) --------------------------------------
+    def normed(col):
+        n = F.sqrt(F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        ))
+        return F.transform(col, lambda x: x.cast("double") / n)
+
+    corpus_n = corpus.select(
+        F.col(id_col).alias("neighbor_id"), normed(F.col(vec_col)).alias("c_vec")
+    )
+    queries_n = queries.select(
+        F.col(id_col).alias("query_id"), normed(F.col(vec_col)).alias("q_vec")
+    )
+
+    dims = len(corpus.select(vec_col).first()[0])
+    if dims % m_subspaces:
+        raise ValueError(f"dims {dims} not divisible by m={m_subspaces}")
+    d_sub = dims // m_subspaces
+
+    # --- coarse quantizer (IVF cells) ---------------------------------
+    corpus_f = corpus_n.withColumn(
+        "features", array_to_vector(F.col("c_vec"))
+    )
+    coarse = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(corpus_f)
+    assigned = coarse.transform(corpus_f).select("neighbor_id", "c_vec", "cell")
+
+    # --- PQ codebooks: m independent KMeans fits on subvectors --------
+    sub_models = []
+    for j in range(m_subspaces):
+        sub_f = corpus_n.select(
+            array_to_vector(
+                F.slice(F.col("c_vec"), j * d_sub + 1, d_sub)
+            ).alias("features")
+        )
+        sub_models.append(
+            KMeans(
+                k=ks_codes, seed=seed + j, featuresCol="features",
+                predictionCol=f"code_{j}",
+            ).fit(sub_f)
+        )
+
+    # --- encode: m narrow transforms, then codes → long (id, j, code) --
+    enc = assigned
+    for j, mdl in enumerate(sub_models):
+        enc = mdl.transform(
+            enc.withColumn(
+                "features",
+                array_to_vector(F.slice(F.col("c_vec"), j * d_sub + 1, d_sub)),
+            )
+        ).drop("features")
+    codes_long = enc.select(
+        "neighbor_id", "cell",
+        F.posexplode(F.array(*[F.col(f"code_{j}") for j in range(m_subspaces)]))
+        .alias("sub", "code"),
+    )
+
+    # --- ADC lookup table: |Q| × m × ks rows, broadcastable -----------
+    spark = corpus.sparkSession
+    cent_rows = [
+        (j, c, [float(x) for x in mdl.clusterCenters()[c]])
+        for j, mdl in enumerate(sub_models)
+        for c in range(ks_codes)
+    ]
+    cent_pq = spark.createDataFrame(
+        cent_rows, "sub INT, code INT, centroid ARRAY<DOUBLE>"
+    )
+    lut = (
+        queries_n.join(F.broadcast(cent_pq))
+        .select(
+            "query_id", "sub", "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q_vec"), F.col("sub") * d_sub + 1, d_sub),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+
+    # --- query → n_probe nearest cells (as in ivf_topk) ----------------
+    coarse_cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(coarse.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(coarse_cents, "cell INT, centroid ARRAY<DOUBLE>")
+    q_cells = (
+        queries_n.join(F.broadcast(cent_df))
+        # true L2² to the (non-unit) centroid — a dot-product ranking is
+        # only correct when all centroids share a norm, which KMeans means
+        # do not
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_vec"), F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    # --- candidates × m codes, ADC sum, shortlist ----------------------
+    adc = (
+        F.broadcast(q_cells)
+        .join(codes_long, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        adc.withColumn("srk", F.row_number().over(w_adc))
+        .filter(F.col("srk") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+
+    # --- exact re-rank of the shortlist -------------------------------
+    rescored = (
+        shortlist.join(
+            queries_n.withColumnRenamed("q_vec", "qv"), "query_id"
+        )
+        .join(
+            corpus_n.withColumnRenamed("c_vec", "cv"), "neighbor_id"
+        )
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+    )

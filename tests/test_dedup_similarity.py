@@ -117,3 +117,34 @@ def test_connected_components_star_matches_propagation(spark):
         for r in connected_components(nodes, edf, max_iter=45).collect()
     }
     assert star == prop
+
+
+def test_ivf_pq_recall_against_brute_force(spark, sf_dir):
+    """IVF-PQ (8 subspaces × 32 codes, ADC + exact re-rank) must reach
+    recall@10 ≥ 0.6 per query vs brute force — tracked at the same floor
+    as IVF; measured ≥ 0.8 on the synthetic (near-random) embeddings."""
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+    from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = ivf_pq_topk(
+        emb, qs, k=10, n_centroids=16, n_probe=12,
+        m_subspaces=8, ks_codes=32, refine_factor=12,
+    )
+    exact = brute_force_topk(emb, qs, k=10)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_query = {r["query_id"]: r["n"] for r in hits.collect()}
+    assert len(per_query) == 5
+    assert min(per_query.values()) >= 6

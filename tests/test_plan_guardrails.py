@@ -24,6 +24,7 @@ from data_management_service_run_etl_imputations_spark import catalog
 ALLOWED_CROSS = {
     "ann_bruteforce_topk",
     "ann_ivf_topk",  # query × n_centroids ranking — bounded by design
+    "ann_ivf_pq_topk",  # query × centroid/codebook LUT — bounded by design
     "j6_fuzzy_containment_lookup",
     "pipeline_imputaciones",
     "pipeline_fichajes",
