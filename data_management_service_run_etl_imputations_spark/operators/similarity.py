@@ -227,9 +227,6 @@ def embedding_near_duplicates_blocked(
     """
     import math
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     d_bound = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
 
     norm = _norm(F.col(vec_col))
@@ -240,47 +237,61 @@ def embedding_near_duplicates_blocked(
             F.col(vec_col), lambda x: x.cast("double") / norm
         ).alias("__unit"),
     )
-    fit_in = base.withColumn("features", array_to_vector("__unit"))
-    # Quantizer training is capped at a deterministic hash-sample (FAISS
-    # trains coarse quantizers on samples for the same reason): at corpus
-    # scale the fit would otherwise iterate the full table ×maxIter. The
-    # count is parquet-footer-cheap; pruning quality degrades smoothly
-    # with sample size, recall never does.
+    # Quantizer: seeded Lloyd's k-means on a deterministic hash-sample of
+    # unit vectors, trained DRIVER-SIDE (FAISS trains coarse quantizers on
+    # samples for the same reason). The sample is capped at 64k rows — a
+    # bounded plan-time collect — and clustering QUALITY only moves the
+    # pruning rate, never recall (any partition is exact). Driver-side
+    # numpy replaces an MLlib fit here because the fit was the measured
+    # wall-clock floor at bench scale (~5 s of multi-stage overhead for
+    # 2k vectors); Lloyd's on ≤64k×dims is milliseconds.
     fit_cap = 65536
-    n_rows = df.count()
-    fit_src = fit_in
+    n_rows = df.count()  # parquet-footer-cheap
+    sample_src = base.select("__unit")
     if n_rows > fit_cap:
         stride = -(-n_rows // fit_cap)  # ceil
-        fit_src = fit_in.filter(
+        sample_src = base.filter(
             F.pmod(F.xxhash64(F.col("__id")), F.lit(stride)) == 0
-        )
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=10, featuresCol="features",
-        predictionCol="cell",
-    ).fit(fit_src)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    cent_df = df.sparkSession.createDataFrame(
-        list(enumerate(centroids)), "cell INT, centroid ARRAY<DOUBLE>"
+        ).select("__unit")
+    sample = np.array(
+        [r["__unit"] for r in sample_src.collect()], dtype=np.float64
     )
-    assigned = (
-        model.transform(fit_in)
-        .select("__id", "__vec", "__unit", "cell")
-        .join(F.broadcast(cent_df), "cell")
-        .withColumn(
-            "__dist",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__unit"),
-                        F.col("centroid"),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
+
+    def _d2(rows: "np.ndarray", cs: "np.ndarray") -> "np.ndarray":
+        # ‖a−b‖² = ‖a‖² − 2a·b + ‖b‖² — O(n·k) memory, BLAS matmul, no
+        # n×k×dims broadcast tensor
+        return (
+            (rows * rows).sum(axis=1)[:, None]
+            - 2.0 * (rows @ cs.T)
+            + (cs * cs).sum(axis=1)[None, :]
         )
-        .drop("centroid")
+
+    rng = np.random.RandomState(seed)
+    k = min(n_cells, len(sample))
+    cents = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(10):
+        lbl = _d2(sample, cents).argmin(axis=1)
+        for c in range(k):
+            members = sample[lbl == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    centroids = [[float(x) for x in c] for c in cents]
+
+    cent_arr = cents.copy()
+
+    @F.pandas_udf("cell int, dist double")
+    def assign_pd(unit: pd.Series) -> pd.DataFrame:
+        u = np.stack(unit.to_numpy()).astype(np.float64)
+        d2 = _d2(u, cent_arr)
+        cell = d2.argmin(axis=1)
+        # clip: the Gram form can go -1e-16 on exact-centroid rows
+        dist = np.sqrt(np.maximum(d2[np.arange(len(u)), cell], 0.0))
+        return pd.DataFrame({"cell": cell.astype("int32"), "dist": dist})
+
+    assigned = base.withColumn("__a", assign_pd("__unit")).select(
+        "__id", "__vec",
+        F.col("__a.cell").alias("cell"),
+        F.col("__a.dist").alias("__dist"),
     )
     # Radii: one tiny aggregate (n_cells rows) collected at plan time.
     radii = {
@@ -294,11 +305,13 @@ def embedding_near_duplicates_blocked(
         )
 
     cells = sorted(radii)
+    # 1e-9 slack: the bound holds with real arithmetic; the slack keeps a
+    # borderline cell pair (equality up to float rounding) on the safe side
     pairs = [
         (c1, c2)
         for i, c1 in enumerate(cells)
         for c2 in cells[i:]
-        if _cdist(c1, c2) <= radii[c1] + radii[c2] + d_bound
+        if _cdist(c1, c2) <= radii[c1] + radii[c2] + d_bound + 1e-9
     ]
     pair_df = df.sparkSession.createDataFrame(pairs, "c1 INT, c2 INT")
 
