@@ -426,7 +426,12 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
+    # maxIter capped: quantizer quality moves recall marginally (probed in
+    # tests); default 20 iterations doubles fit time for no measured gain
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=10,
+        featuresCol="features", predictionCol="cell",
+    )
     model = km.fit(corpus_v)
     assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
 
@@ -522,7 +527,8 @@ def ivf_pq_topk(
         "features", array_to_vector(F.col("c_vec"))
     )
     coarse = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell"
+        k=n_centroids, seed=seed, maxIter=10,
+        featuresCol="features", predictionCol="cell",
     ).fit(corpus_f)
     assigned = coarse.transform(corpus_f).select("neighbor_id", "c_vec", "cell")
 
@@ -536,7 +542,7 @@ def ivf_pq_topk(
         )
         sub_models.append(
             KMeans(
-                k=ks_codes, seed=seed + j, featuresCol="features",
+                k=ks_codes, seed=seed + j, maxIter=10, featuresCol="features",
                 predictionCol=f"code_{j}",
             ).fit(sub_f)
         )
