@@ -142,6 +142,34 @@ def decode_jpeg_header(payload: bytes) -> list[float]:
     raise ValueError("no SOF marker found")
 
 
+def decode_gif_header(payload: bytes) -> list[float]:
+    """GIF logical-screen-descriptor parse: width, height, global-palette
+    bit depth (GIF87a/89a; little-endian per spec)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(payload) < 11:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    palette_bits = (packed & 0x07) + 1 if packed & 0x80 else 0
+    return [4.0, float(width), float(height), float(palette_bits)]
+
+
+def decode_bmp_header(payload: bytes) -> list[float]:
+    """BMP BITMAPINFOHEADER parse: width, height (can be negative =
+    top-down; absolute value reported), bits per pixel."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP signature")
+    if len(payload) < 30:
+        raise ValueError("truncated BMP header")
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    return [5.0, float(width), float(abs(height)), float(bpp)]
+
+
 def decode_media(payload: bytes, dims: int = 16, strict: bool = False) -> list[float]:
     """Sniff the payload's magic bytes and route to the matching stdlib
     decoder; unknown formats fall back to the byte-histogram (or raise when
@@ -154,6 +182,10 @@ def decode_media(payload: bytes, dims: int = 16, strict: bool = False) -> list[f
             feat = decode_png_header(payload)
         elif payload[:2] == b"\xff\xd8":
             feat = decode_jpeg_header(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            feat = decode_gif_header(payload)
+        elif payload[:2] == b"BM":
+            feat = decode_bmp_header(payload)
         else:
             if strict:
                 raise NotImplementedError(

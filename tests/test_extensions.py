@@ -241,3 +241,38 @@ def test_hll_sketch_union_matches_direct_sketch(spark):
     ).collect()[0]["est"]
     assert merged == direct
     assert abs(direct - 20_000) <= 0.05 * 20_000
+
+
+def test_gif_bmp_header_decode():
+    """GIF/BMP header parses return (format tag, width, height, depth)
+    from hand-built minimal fixtures; corrupt payloads raise."""
+    import struct
+
+    import pytest
+
+    from data_management_service_run_etl_imputations_spark.operators.multimodal import (
+        decode_bmp_header,
+        decode_gif_header,
+        decode_media,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes([0x91, 0, 0])
+    assert decode_gif_header(gif) == [4.0, 320.0, 200.0, 2.0]
+    # no global palette flag -> palette_bits 0
+    gif2 = b"GIF87a" + struct.pack("<HH", 8, 4) + bytes([0x00, 0, 0])
+    assert decode_gif_header(gif2)[3] == 0.0
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 64, -48)
+        + struct.pack("<HH", 1, 24) + bytes(4)
+    )
+    assert decode_bmp_header(bmp) == [5.0, 64.0, 48.0, 24.0]
+
+    with pytest.raises(ValueError):
+        decode_gif_header(b"GIF89a\x01")
+    with pytest.raises(ValueError):
+        decode_bmp_header(b"BMxx")
+    # decode_media routes by magic and pads to dims
+    assert decode_media(gif, dims=6) == [4.0, 320.0, 200.0, 2.0, 0.0, 0.0]
+    assert decode_media(bmp, dims=6)[0] == 5.0
