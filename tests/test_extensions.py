@@ -276,3 +276,35 @@ def test_gif_bmp_header_decode():
     # decode_media routes by magic and pads to dims
     assert decode_media(gif, dims=6) == [4.0, 320.0, 200.0, 2.0, 0.0, 0.0]
     assert decode_media(bmp, dims=6)[0] == 5.0
+
+
+def test_observation_metrics_on_flagship_plan(spark, sf_dir):
+    """`df.observe` attaches named aggregate metrics to a plan and
+    collects them as a side effect of the SAME action — the production
+    way to get row counts / null rates / sums out of a 100 TB pipeline
+    run without a second scan. Metrics must match an independent
+    aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("total_price"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+    )
+    out = observed.groupBy("o_orderpriority").count().collect()
+    assert len(out) > 0
+    m = obs.get
+    exact = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("t"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("f"),
+    ).collect()[0]
+    assert m["n_rows"] == exact["n"]
+    assert abs(m["total_price"] - exact["t"]) < 1e-6
+    assert m["n_f"] == exact["f"]
