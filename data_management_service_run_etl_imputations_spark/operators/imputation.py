@@ -144,3 +144,70 @@ def impute_linear_interpolate(
         .otherwise(F.coalesce(prev_v, next_v))
     )
     return df.withColumn(out_col, filled)
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular grid with
+    forward fill — every TSDB's ``resample`` / ``LOCF`` operator: per key,
+    grid points run from ``floor(min ts / step)`` to ``max ts``; each
+    carries the last observed value at-or-before it (NULL before the first
+    observation).
+
+    Plan shape (no per-grid-point join, no UDF): per-key span aggregate →
+    ``sequence``+``explode`` builds the grid; the grid UNIONs with the
+    (per-(key, ts) deduped, max-``order_col``-wins) observations; ONE
+    window per key ordered by (ts, is_grid) forward-fills with
+    ``last(ignorenulls)``; grid rows are kept. Grid cardinality is
+    span/step per key — the union shuffle is the only wide op, and it is
+    partitioned by key.
+    """
+    ev = (
+        events.groupBy(key_col, ts_col)
+        .agg(F.max_by(value_col, order_col).alias("__v"))
+        .select(
+            F.col(key_col),
+            F.col(ts_col).alias("__t"),
+            F.lit(0).alias("__is_grid"),
+            F.col("__v"),
+        )
+    )
+    spans = events.groupBy(key_col).agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.min(ts_col)) / step_seconds)
+            * step_seconds
+        ).alias("__t0"),
+        F.max(ts_col).alias("__t1"),
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(
+                F.col("__t0"),
+                F.col("__t1"),
+                F.expr(f"INTERVAL {step_seconds} SECOND"),
+            )
+        ).alias("__t"),
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    unioned = ev.unionByName(grid)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__t", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "__filled", F.last("__v", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("__is_grid") == 1).select(
+        F.col(key_col),
+        F.col("__t").alias("grid_ts"),
+        F.round("__filled", 6).alias("last_value"),
+    )

@@ -14,6 +14,7 @@ from data_management_service_run_etl_imputations_spark.operators.imputation impo
     impute_forward_fill,
     impute_linear_interpolate,
     impute_with_group_stats,
+    resample_ffill,
 )
 from data_management_service_run_etl_imputations_spark.queries import register
 from data_management_service_run_etl_imputations_spark.schemas import load_table
@@ -204,4 +205,54 @@ def impute_linear_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", F.round("value_li", 6).alias("value_li")
+    )
+
+
+@register(
+    "events_resample_hourly_ffill",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, max_by(value, event_id) AS v
+            FROM events GROUP BY user_id, ts
+        ),
+        spans AS (
+            SELECT user_id,
+                   -- ::TIMESTAMP: to_timestamp returns TIMESTAMPTZ, which
+                   -- would tz-tag the whole grid; Spark emits naive UTC
+                   CAST(to_timestamp(floor(epoch(MIN(ts)) / 3600) * 3600)
+                        AS TIMESTAMP) AS t0,
+                   MAX(ts) AS t1
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t
+            FROM spans
+        ),
+        u AS (
+            SELECT user_id, ts AS t, 0 AS is_grid, v FROM ev
+            UNION ALL
+            SELECT user_id, t, 1, NULL FROM grid
+        ),
+        f AS (
+            SELECT user_id, t, is_grid,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, is_grid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS fv
+            FROM u
+        )
+        SELECT user_id, t AS grid_ts, ROUND(fv, 6) AS last_value
+        FROM f WHERE is_grid = 1
+    """,
+)
+def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LOCF: per user, an hourly grid spanning the
+    user's activity, each point carrying the last observation at-or-before
+    it (TSDB ``time_bucket_gapfill``/``locf``). sequence+explode spine, one
+    per-key window fill, no per-point join (operators/imputation.py
+    resample_ffill)."""
+    events = load_table(spark, sf_dir, "events")
+    return resample_ffill(
+        events, "user_id", "ts", "value", "event_id", step_seconds=3600
     )

@@ -337,3 +337,38 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "skew_salted_hot_key_join",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, ROUND(SUM(value), 6) AS user_total
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.event_type, d.user_total
+        FROM events e JOIN dim d USING (user_id)
+    """,
+)
+def skew_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-and-replicate equi-join: fact rows take a random salt, the
+    (small) dim side replicates n_salts×, and the join runs on
+    (key, salt) — a hot fact key spreads over 16 reducers instead of one.
+    Semantically transparent (the oracle is the plain join); the manual
+    path matters where AQE's runtime skew split can't reach (streaming
+    foreachBatch, known-hot keys)."""
+    from data_management_service_run_etl_imputations_spark.operators.skew import (
+        salted_hot_key_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).alias("user_total")
+    )
+    out = salted_hot_key_join(
+        events.select("event_id", "user_id", "event_type"),
+        dim,
+        key="user_id",
+        n_salts=16,
+    )
+    return out.select("event_id", "user_id", "event_type", "user_total")
