@@ -185,11 +185,16 @@ def chunk_documents(
     Scale shape: a narrow map + ``posexplode`` — rows expand by
     ~n_tokens/stride but NOTHING shuffles; chunking is embarrassingly
     parallel and composes with a downstream embedding Pandas UDF. Empty
-    documents yield one empty chunk (start 1, 0 tokens) so the doc stays
-    addressable downstream.
+    AND NULL documents yield one empty chunk (start 1, 0 tokens) so the
+    doc stays addressable downstream — NULL text is coalesced to ''
+    before splitting; without it ``size(split(NULL))`` is NULL, the
+    start sequence is NULL, and the document silently vanishes (while
+    engines with NULL-ignoring greatest/least, e.g. DuckDB, keep it —
+    an oracle divergence waiting for the first NULL row).
     """
     toks = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
     )
     base = df.select(
         F.col(id_col),
@@ -245,10 +250,21 @@ def shuffle_shards(
     not partitions) so no shard window exceeds a task's memory; the
     per-shard window is a sort within one hash partition, which Spark
     spills if needed.
+
+    The shard is derived from the HIGH bits of the scrambled id —
+    ``(scramble * n_shards) >> 32``, i.e. range partitioning of the
+    32-bit hash space — never ``scramble % n_shards``: the Knuth
+    constant is ≡ 1 (mod 2^4), so for power-of-two n_shards ≤ 16 the
+    low bits of ``id * K`` are the low bits of ``id`` itself and
+    "mod n" silently degrades to round-robin on the raw id (the
+    classic weak-low-bits failure of multiplicative hashing).
+    SQL mirror: ``(scramble * n_shards) // 4294967296``.
     """
     keyed = df.select(
         F.col(id_col),
-        (scramble(id_col) % n_shards).cast("int").alias("shard"),
+        F.shiftright(scramble(id_col) * F.lit(n_shards), 32)
+        .cast("int")
+        .alias("shard"),
         scramble(id_col).alias("__k"),
     )
     w = Window.partitionBy("shard").orderBy("__k", id_col)

@@ -194,8 +194,9 @@ def embedding_near_duplicates_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact cosine-threshold near-dup pairs WITHOUT an all-pairs join:
     metric blocking with a triangle-inequality cell-pair bound.
@@ -211,11 +212,13 @@ def embedding_near_duplicates_blocked(
 
     Scale shape: the physical plan is broadcast(cell-pair table) +
     equi-joins on cell id — no cartesian/BNLJ node; shuffle is partitioned
-    by cell, per-task memory bounded by the largest cell (raise ``n_cells``
-    with corpus size, √|corpus| is the usual pick). At real near-dup
-    thresholds (t ≥ 0.9 ⇒ D ≤ 0.45) most cell pairs are pruned; as t → 0
-    the bound keeps every cell pair and the cost honestly degrades toward
-    all-pairs — the correct price for an exact answer at a loose threshold.
+    by cell, per-task memory bounded by the largest cell. ``n_cells=None``
+    (default) auto-sizes to ~√|corpus| clamped to [16, 2048] — √n is the
+    usual IVF pick, the cap bounds the driver-side O(n_cells²) cell-pair
+    scan. At real near-dup thresholds (t ≥ 0.9 ⇒ D ≤ 0.45) most cell
+    pairs are pruned; as t → 0 the bound keeps every cell pair and the
+    cost honestly degrades toward all-pairs — the correct price for an
+    exact answer at a loose threshold.
 
     The final cosine runs on the ORIGINAL vectors in float64 (BLAS matmul
     per cell-pair block); it agrees with :func:`embedding_near_duplicates`
@@ -237,25 +240,60 @@ def embedding_near_duplicates_blocked(
             F.col(vec_col), lambda x: x.cast("double") / norm
         ).alias("__unit"),
     )
-    # Quantizer: seeded Lloyd's k-means on a deterministic hash-sample of
-    # unit vectors, trained DRIVER-SIDE (FAISS trains coarse quantizers on
-    # samples for the same reason). The sample is capped at 64k rows — a
-    # bounded plan-time collect — and clustering QUALITY only moves the
-    # pruning rate, never recall (any partition is exact). Driver-side
-    # numpy replaces an MLlib fit here because the fit was the measured
-    # wall-clock floor at bench scale (~5 s of multi-stage overhead for
-    # 2k vectors); Lloyd's on ≤64k×dims is milliseconds.
+    # Quantizer: seeded Lloyd's k-means on a bounded sample of unit
+    # vectors, trained DRIVER-SIDE (FAISS trains coarse quantizers on
+    # samples for the same reason). Sample + exact cardinality come from
+    # ONE projection pass: each partition emits its first
+    # ceil(64k/n_partitions) unit vectors plus a count row — no separate
+    # df.count() job (count() is a full scan, not a parquet-footer read,
+    # so the old count-then-collect did two passes). Clustering QUALITY
+    # only moves the pruning rate, never recall (any partition is
+    # exact); per-partition heads are spread across the input's file
+    # ranges, which is plenty for a coarse quantizer. Driver-side numpy
+    # replaces an MLlib fit because the fit was the measured wall-clock
+    # floor at bench scale (~5 s multi-stage overhead for 2k vectors);
+    # Lloyd's on ≤64k×dims is milliseconds.
     fit_cap = 65536
-    n_rows = df.count()  # parquet-footer-cheap
     sample_src = base.select("__unit")
-    if n_rows > fit_cap:
-        stride = -(-n_rows // fit_cap)  # ceil
-        sample_src = base.filter(
-            F.pmod(F.xxhash64(F.col("__id")), F.lit(stride)) == 0
-        ).select("__unit")
+    n_parts = max(1, sample_src.rdd.getNumPartitions())
+    per_part = -(-fit_cap // n_parts)  # ceil
+
+    def _head_and_count(batches):
+        taken, n, kept = 0, 0, []
+        for b in batches:
+            n += len(b)
+            if taken < per_part:
+                take = min(per_part - taken, len(b))
+                kept.append(b.iloc[:take])
+                taken += take
+        head = (
+            pd.concat(kept)
+            if kept
+            else pd.DataFrame({"__unit": pd.Series(dtype="object")})
+        )
+        yield pd.concat(
+            [
+                head.assign(__n=0),
+                pd.DataFrame({"__unit": [None], "__n": [n]}),
+            ]
+        )
+
+    probe = sample_src.mapInPandas(
+        _head_and_count, schema="__unit array<double>, __n long"
+    ).collect()
+    n_rows = sum(r["__n"] for r in probe)
+    if n_rows == 0:
+        # empty corpus: no pairs (the unguarded path would crash inside
+        # rng.choice on a zero-length sample)
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     sample = np.array(
-        [r["__unit"] for r in sample_src.collect()], dtype=np.float64
+        [r["__unit"] for r in probe if r["__unit"] is not None],
+        dtype=np.float64,
     )
+    if n_cells is None:
+        n_cells = min(2048, max(16, int(math.isqrt(n_rows))))
 
     def _d2(rows: "np.ndarray", cs: "np.ndarray") -> "np.ndarray":
         # ‖a−b‖² = ‖a‖² − 2a·b + ‖b‖² — O(n·k) memory, BLAS matmul, no
@@ -313,6 +351,19 @@ def embedding_near_duplicates_blocked(
         for c2 in cells[i:]
         if _cdist(c1, c2) <= radii[c1] + radii[c2] + d_bound + 1e-9
     ]
+    if stats_out is not None:
+        # pruning-evidence hook for scale probes: how many of the
+        # n·(n+1)/2 cell pairs survived the triangle-inequality bound
+        stats_out.update(
+            {
+                "n_rows": n_rows,
+                "n_cells": len(cells),
+                "n_cell_pairs_total": len(cells) * (len(cells) + 1) // 2,
+                "n_cell_pairs_survived": len(pairs),
+                "d_bound": d_bound,
+                "threshold": threshold,
+            }
+        )
     pair_df = df.sparkSession.createDataFrame(pairs, "c1 INT, c2 INT")
 
     # Scoring: one applyInPandas per surviving CELL PAIR, chunked BLAS

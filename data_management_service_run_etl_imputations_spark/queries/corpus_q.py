@@ -308,8 +308,12 @@ def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_chunk_documents",
     oracle=r"""
         WITH t AS (
+            -- COALESCE mirrors the Spark side: a NULL text chunks like
+            -- an empty document (one 0-token chunk) instead of relying
+            -- on engine-specific NULL semantics in greatest/least
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(text, '\s+'),
+                   list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                     '\s+'),
                                x -> x <> '') AS toks
             FROM documents
         ),
@@ -350,8 +354,12 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
                    AS seq
         FROM (
+            -- shard from the HIGH bits (range partition of the hash
+            -- space): low bits of a Knuth multiplicative hash are weak
+            -- (K = 1 mod 16), so `% 8` would be round-robin on doc_id
             SELECT doc_id,
-                   CAST(({_SCRAMBLE_SQL}) % 8 AS INT) AS shard,
+                   CAST((({_SCRAMBLE_SQL}) * 8) // 4294967296 AS INT)
+                       AS shard,
                    {_SCRAMBLE_SQL} AS k
             FROM documents
         )

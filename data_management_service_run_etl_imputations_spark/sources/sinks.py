@@ -52,6 +52,68 @@ def append_sink(df: DataFrame, path: str, fmt: str = "parquet", **options) -> No
     df.write.mode("append").format(fmt).options(**options).save(path)
 
 
+def jdbc_append_sink(
+    df: DataFrame, url: str, table: str, **options
+) -> None:
+    """S6 — JDBC append with create-if-absent, the direct twin of the
+    reference's ``inspect().has_table`` + ``to_sql(if_exists='append')``
+    (``function_app.py:296-301``): Spark's JDBC writer in append mode
+    creates the table on first write, so the existence probe disappears.
+
+    Proven against embedded Derby (tests/test_jdbc.py + the
+    ``jdbc_roundtrip_agg`` catalog query) — the same code path drives any
+    JDBC-compliant RDBMS (the reference's SQL Server included) by swapping
+    the URL/driver. At scale, bound writer parallelism with
+    ``numPartitions`` (each task opens a connection) and prefer
+    ``batchsize`` ≥ 10k; the DB, not Spark, is the bottleneck."""
+    writer = df.write.mode("append").format("jdbc")
+    writer = writer.option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def incremental_insert_only_jdbc(
+    incoming: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    **options,
+) -> int:
+    """S7 end-to-end against a JDBC table — the reference's actual load
+    semantic verbatim (``function_app.py:305-312``: read existing keys,
+    anti-join, append only novel rows; re-runs are idempotent). Returns
+    the number of appended rows.
+
+    The existing side reads only the key columns (column pruning pushes
+    into the remote SELECT), so the anti-join probe ships |table| key
+    tuples, not whole rows. Same single-writer caveat as the path-backed
+    form."""
+    spark = incoming.sparkSession
+    try:
+        reader = spark.read.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        existing = reader.load().select(*keys)
+        existing.take(1)  # force table-existence check now
+    except Exception:
+        existing = None
+
+    fresh = (
+        incoming
+        if existing is None
+        else incremental_new_rows(incoming, existing, keys)
+    )
+    fresh = fresh.cache()
+    n = fresh.count()
+    if n:
+        jdbc_append_sink(fresh, url, table, **options)
+    fresh.unpersist()
+    return n
+
+
 def incremental_insert_only(
     incoming: DataFrame,
     path: str,

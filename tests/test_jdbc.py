@@ -1,0 +1,123 @@
+"""Executable proof for the S5/S6/S7 JDBC path against a REAL database.
+
+Embedded Apache Derby ships on Spark's default classpath
+(``jars/derby-10.16.1.1.jar``), so these tests run a genuine JDBC
+round-trip — CREATE TABLE via the writer, partitioned parallel read,
+and the reference's idempotent insert-only upsert
+(``function_app.py:192-196`` read, ``:296-312`` append + anti-join) —
+with no external server. The same code path drives any JDBC RDBMS
+(the reference's SQL Server included) by swapping URL/driver.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.sources.readers import jdbc_source
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    incremental_insert_only_jdbc,
+    jdbc_append_sink,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def derby_url():
+    """A fresh embedded-Derby database per test (unique path: Derby keeps
+    databases booted in the JVM for the session, so paths never recycle)."""
+    path = f"{tempfile.gettempdir()}/derby_{uuid.uuid4().hex[:12]}"
+    yield f"jdbc:derby:{path}/db;create=true"
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _nation(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+
+def test_jdbc_write_read_roundtrip(spark, sf_dir, derby_url):
+    """S6 append creates the table; S5 reads back the identical rows."""
+    nation = _nation(spark, sf_dir)
+    jdbc_append_sink(
+        nation,
+        derby_url,
+        "nation_rt",
+        driver=DERBY_DRIVER,
+        # Derby's dialect maps StringType to CLOB, which Derby refuses to
+        # compare/GROUP BY server-side; VARCHAR keeps the columns usable.
+        createTableColumnTypes="n_name VARCHAR(128)",
+    )
+    back = jdbc_source(spark, derby_url, "nation_rt", driver=DERBY_DRIVER)
+    assert sorted(back.columns) == sorted(nation.columns)
+    orig = {tuple(r) for r in nation.collect()}
+    got = {tuple(r) for r in back.select(*nation.columns).collect()}
+    assert got == orig
+
+
+def test_jdbc_partitioned_read_parallelizes(spark, sf_dir, derby_url):
+    """S5 with partitionColumn bounds: N parallel range-predicated
+    connections must return exactly the full table (no dropped or
+    duplicated boundary rows)."""
+    nation = _nation(spark, sf_dir)
+    jdbc_append_sink(
+        nation,
+        derby_url,
+        "nation_part",
+        driver=DERBY_DRIVER,
+        createTableColumnTypes="n_name VARCHAR(128)",
+    )
+    bounds = nation.agg(
+        F.min("n_nationkey"), F.max("n_nationkey")
+    ).first()
+    back = jdbc_source(
+        spark,
+        derby_url,
+        "nation_part",
+        partition_column="n_nationkey",
+        num_partitions=4,
+        lower_bound=bounds[0],
+        upper_bound=bounds[1] + 1,
+        driver=DERBY_DRIVER,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == nation.count()
+    assert back.select("n_nationkey").distinct().count() == nation.count()
+
+
+def test_jdbc_incremental_insert_only_is_idempotent(spark, sf_dir, derby_url):
+    """S7 against JDBC: first load inserts everything; a re-run of the
+    same batch appends 0; a superset batch appends only the novel keys —
+    the reference's exact idempotent-append contract."""
+    nation = _nation(spark, sf_dir).select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    first = nation.filter(F.col("n_nationkey") < 10)
+    opts = {
+        "driver": DERBY_DRIVER,
+        "createTableColumnTypes": "n_name VARCHAR(128)",
+    }
+    n1 = incremental_insert_only_jdbc(
+        first, derby_url, "nation_inc", ["n_nationkey"], **opts
+    )
+    assert n1 == first.count()
+
+    # idempotent re-run: nothing new
+    n2 = incremental_insert_only_jdbc(
+        first, derby_url, "nation_inc", ["n_nationkey"], **opts
+    )
+    assert n2 == 0
+
+    # superset batch: only the novel keys append
+    n3 = incremental_insert_only_jdbc(
+        nation, derby_url, "nation_inc", ["n_nationkey"], **opts
+    )
+    assert n3 == nation.count() - first.count()
+
+    back = jdbc_source(spark, derby_url, "nation_inc", driver=DERBY_DRIVER)
+    assert back.count() == nation.count()
+    assert back.select("n_nationkey").distinct().count() == nation.count()
