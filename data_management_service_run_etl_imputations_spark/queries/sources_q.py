@@ -97,6 +97,67 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jdbc_roundtrip_agg",
+    oracle="""
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               array_to_string(list_sort(list(n_name)), '|') AS nations
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 JDBC round-trip against a REAL database (embedded Derby, on
+    Spark's default classpath): nation → JDBC append (writer creates the
+    table, reference ``function_app.py:296-301``) → partitioned parallel
+    JDBC read (4 range-predicated connections, ``:192-196``) → aggregate.
+    Oracle = the same aggregate on the source parquet, so the driver's
+    differential gate certifies the JDBC writer AND the partitioned
+    reader end-to-end. The S7 idempotent-upsert half is proven in
+    tests/test_jdbc.py."""
+    from data_management_service_run_etl_imputations_spark.sources.readers import jdbc_source
+    from data_management_service_run_etl_imputations_spark.sources.sinks import jdbc_append_sink
+
+    db_dir = _tmp("derby_rt")
+    url = f"jdbc:derby:{db_dir}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = load_table(spark, sf_dir, "nation")
+    try:
+        jdbc_append_sink(
+            nation,
+            url,
+            "nation_rt",
+            driver=driver,
+            # Derby's dialect maps StringType to CLOB; VARCHAR keeps the
+            # column comparable server-side
+            createTableColumnTypes="n_name VARCHAR(128)",
+        )
+        bounds = nation.agg(
+            F.min("n_nationkey"), F.max("n_nationkey")
+        ).first()
+        back = jdbc_source(
+            spark,
+            url,
+            "nation_rt",
+            partition_column="n_nationkey",
+            num_partitions=4,
+            lower_bound=bounds[0],
+            upper_bound=bounds[1] + 1,
+            driver=driver,
+        )
+        return (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias(
+                    "nations"
+                ),
+            )
+            .localCheckpoint()  # materialize before the temp DB vanishes
+        )
+    finally:
+        shutil.rmtree(db_dir, ignore_errors=True)
+
+
+@register(
     "skew_salted_agg",
     oracle="""
         SELECT l_returnflag,

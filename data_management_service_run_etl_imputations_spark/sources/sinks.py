@@ -222,6 +222,13 @@ def merge_upsert_partitioned(
     rejects self-overwrite lineage). Checkpoint size ∝ touched partitions,
     not the table.
 
+    VISIBILITY CAVEAT: the overwrite's commit phase replaces touched
+    partition directories one by one, so a concurrent reader scanning
+    during it can observe a mix of old and new partitions. Use
+    :func:`manifest_upsert_partitioned` when concurrent readers exist —
+    same partition-level rewrite economics, atomic manifest-rename
+    visibility.
+
     Returns {"updated": n, "inserted": n}.
     """
     spark = incoming.sparkSession
@@ -262,6 +269,212 @@ def merge_upsert_partitioned(
         spark.conf.set(mode_key, prev_mode)
     n_updated = n_existing_touched - n_survivors
     return {"updated": n_updated, "inserted": n_batch - n_updated}
+
+
+# --- manifest-committed partitioned table (atomic upsert) -----------------
+#
+# merge_upsert_partitioned above rewrites live partition directories with
+# dynamic partition overwrite: correct for a single writer, but a reader
+# scanning DURING the commit phase can observe some partitions new and some
+# old. The manifest table fixes that with the core idea of every
+# transactional table format (Delta's _delta_log, Iceberg's snapshots):
+#
+#   - data directories are IMMUTABLE — an upsert writes rewritten
+#     partitions into a fresh staging dir, never touching live files;
+#   - visibility is a single metadata file `_commits/<version>.json`
+#     mapping each partition value to the directory that currently holds
+#     it, published by an atomic same-filesystem rename (temp + rename is
+#     atomic on POSIX and HDFS; on S3 use a conditional PUT);
+#   - readers resolve ONE manifest and read exactly the directories it
+#     lists, so every scan sees one consistent version — old until the
+#     rename lands, new after, never a mix. Old versions stay readable
+#     (time travel) until `manifest_vacuum`.
+#
+# Partition pruning happens at the MANIFEST level (the reader helper takes
+# partition values and opens only those directories) — the same mechanism
+# that lets a daily upsert over a 100 TB date-partitioned fact touch
+# |batch dates| directories of metadata and data, independent of table
+# size. The manifest itself is one JSON of |partitions| entries.
+
+
+def _manifest_dir(path: str) -> str:
+    return f"{path}/_commits"
+
+
+def _latest_manifest(path: str) -> tuple[int, dict]:
+    """Highest committed version and its content ({} at version 0).
+    Incomplete writer crashes leave only temp files, never a readable
+    half-manifest — the rename is the commit point."""
+    import json
+    import os
+
+    best, content = 0, {"partitions": {}}
+    d = _manifest_dir(path)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                try:
+                    v = int(name[:-5])
+                except ValueError:
+                    continue
+                if v > best:
+                    with open(os.path.join(d, name)) as f:
+                        best, content = v, json.load(f)
+    return best, content
+
+
+def _publish_manifest(path: str, version: int, content: dict) -> None:
+    """Atomic publish: write temp in the same directory, fsync, rename."""
+    import json
+    import os
+
+    d = _manifest_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(content, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(d, f"{version}.json"))
+
+
+def manifest_read(
+    spark,
+    path: str,
+    partition_values: list | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a manifest-committed table: resolve ONE manifest version (the
+    latest, or a pinned ``version`` for time travel / a stable multi-read
+    snapshot) and scan exactly the directories it lists. ``partition_values``
+    prunes at the manifest level — unlisted directories are never opened."""
+    if version is None:
+        version, content = _latest_manifest(path)
+    else:
+        import json
+
+        with open(f"{_manifest_dir(path)}/{version}.json") as f:
+            content = json.load(f)
+    parts = content["partitions"]
+    if partition_values is not None:
+        wanted = {str(v) for v in partition_values}
+        parts = {k: v for k, v in parts.items() if k in wanted}
+    if not parts:
+        schema = content.get("schema")
+        if schema:
+            return spark.createDataFrame([], schema)
+        raise ValueError(f"manifest table at {path} is empty (v{version})")
+    return spark.read.format(content.get("fmt", "parquet")).load(
+        [f"{path}/{rel}" for rel in sorted(parts.values())]
+    )
+
+
+def manifest_upsert_partitioned(
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """ATOMIC partition-level upsert: the scale-safe successor of
+    :func:`merge_upsert_partitioned` (reference semantic
+    ``function_app.py:305-312`` generalized to update+insert). Writes the
+    merged content of every touched partition into an immutable staging
+    directory, then publishes a new manifest with one atomic rename —
+    a concurrent reader sees the previous version or the new one in full,
+    never a partition-level mix. Untouched partitions are carried by
+    reference (their manifest entries copy over; no data moves).
+
+    Single concurrent WRITER assumed (as in Delta without a locking
+    service, last manifest wins); readers are unlimited and never block.
+    Returns {"updated": n, "inserted": n}.
+    """
+    import uuid
+
+    spark = incoming.sparkSession
+    version, content = _latest_manifest(path)
+    parts: dict = dict(content.get("partitions", {}))
+
+    touched = [
+        r[0] for r in incoming.select(partition_col).distinct().collect()
+    ]
+    touched_keys = [str(v) for v in touched]
+    live = [parts[k] for k in touched_keys if k in parts]
+
+    if live:
+        existing_touched = spark.read.format(fmt).load(
+            [f"{path}/{rel}" for rel in live]
+        )
+        survivors = incremental_new_rows(existing_touched, incoming, keys)
+        merged = survivors.unionByName(
+            incoming.select(*existing_touched.columns)
+        )
+        n_existing_touched = existing_touched.count()
+        n_survivors = survivors.count()
+    else:
+        merged = incoming
+        n_existing_touched = n_survivors = 0
+
+    stage = f"data/{uuid.uuid4().hex[:12]}"
+    # partitionBy on a COPY of the partition column: the staging dir gets
+    # one subdir per value, while the real column stays in the data files
+    # (readers never depend on directory-name parsing).
+    merged = merged.withColumn(
+        "__p", F.col(partition_col).cast("string")
+    ).localCheckpoint()  # materialize once: count + write share it
+    n_merged = merged.count()
+    merged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+        f"{path}/{stage}"
+    )
+    for k in touched_keys:
+        parts[k] = f"{stage}/__p={k}"
+
+    _publish_manifest(
+        path,
+        version + 1,
+        {
+            "partitions": parts,
+            "fmt": fmt,
+            "partition_col": partition_col,
+            "schema": incoming.schema.simpleString(),
+        },
+    )
+    n_batch = n_merged - n_survivors
+    n_updated = n_existing_touched - n_survivors
+    return {"updated": n_updated, "inserted": n_batch - n_updated}
+
+
+def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
+    """Delete data directories not referenced by the ``keep_versions``
+    newest manifests (and drop older manifests): the GC half of the
+    protocol, run out-of-band like Delta VACUUM. Returns removed dir count."""
+    import json
+    import os
+    import shutil
+
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return 0
+    versions = sorted(
+        int(n[:-5]) for n in os.listdir(d) if n.endswith(".json")
+    )
+    keep = set(versions[-keep_versions:])
+    referenced: set[str] = set()
+    for v in keep:
+        with open(os.path.join(d, f"{v}.json")) as f:
+            for rel in json.load(f)["partitions"].values():
+                referenced.add(rel.split("/__p=")[0])
+    removed = 0
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            if f"data/{name}" not in referenced:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed += 1
+    for v in versions:
+        if v not in keep:
+            os.remove(os.path.join(d, f"{v}.json"))
+    return removed
 
 
 def apply_changes(
