@@ -62,6 +62,48 @@ def jdbc_source(
     return reader.load()
 
 
+class SourceReadError(RuntimeError):
+    """A source read failed after exhausting its retry budget. Carries the
+    attempt count and the last underlying error — the EXPLICIT failure the
+    reference lacks (``function_app.py:71-73`` returns None on a failed
+    fetch and crashes later, far from the cause)."""
+
+    def __init__(self, attempts: int, last_error: Exception):
+        self.attempts = attempts
+        self.last_error = last_error
+        super().__init__(
+            f"source read failed after {attempts} attempts: {last_error!r}"
+        )
+
+
+def read_with_retry(
+    build: "callable",
+    max_attempts: int = 3,
+    backoff_seconds: float = 1.0,
+    retryable: tuple[type[Exception], ...] = (Exception,),
+) -> DataFrame:
+    """Bounded retry-with-exponential-backoff around a source read:
+    ``build()`` is any zero-arg callable returning a DataFrame (a
+    ``csv_source``/``jdbc_source`` closure). Retries cover PLAN-TIME
+    failures — file listing, schema resolution, JDBC connect — which is
+    where transient connector errors surface; task-level execution
+    retries remain Spark's own domain (``spark.task.maxFailures``).
+    After ``max_attempts`` the error is raised as :class:`SourceReadError`
+    immediately at the source, never deferred to a later stage.
+    """
+    import time
+
+    last: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            return build()
+        except retryable as e:  # noqa: PERF203 — retry loop by design
+            last = e
+            if attempt < max_attempts - 1:
+                time.sleep(backoff_seconds * (2**attempt))
+    raise SourceReadError(max_attempts, last)
+
+
 def union_param_sweep(frames: list[DataFrame]) -> DataFrame:
     """S2/O1 — union of per-parameter reads (reference unions
     ``status ∈ {active, inactive}`` fetches, ``function_app.py:78-86``).

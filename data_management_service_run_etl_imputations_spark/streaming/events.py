@@ -18,6 +18,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Scale confs for every engine-driven streaming query. The default
+# HDFS-backed state store holds each partition's ENTIRE state map as JVM
+# heap objects and snapshots it per batch — at 100× key cardinality
+# (sessionization / per-user totals over hundreds of millions of keys)
+# that is the scale-killer: GC pressure scales with live keys and
+# checkpoint upload with total state. RocksDB (rocksdbjni ships in
+# Spark's jars) keeps state off-heap with incremental compaction, and
+# changelog checkpointing uploads per-batch deltas instead of full
+# snapshots — state size is then bounded by disk, not heap.
+STREAMING_SCALE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def ensure_streaming_confs(spark: SparkSession) -> SparkSession:
+    """Apply the streaming scale confs (RocksDB state store) to any
+    session. Idempotent; picked up by queries STARTED after the call
+    (running queries keep their provider)."""
+    for k, v in STREAMING_SCALE_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
@@ -145,6 +174,7 @@ def run_available_now(
     the bridge between the streaming plans above and the batch-compare
     driver/oracle harness. Stateful applyInPandasWithState plans require
     ``output_mode='update'``."""
+    ensure_streaming_confs(stream_df.sparkSession)
     name = name or f"stream_{uuid.uuid4().hex[:8]}"
     q = (
         stream_df.writeStream.format("memory")
@@ -169,6 +199,7 @@ def foreach_batch_incremental(
         incremental_insert_only,
     )
 
+    ensure_streaming_confs(stream.sparkSession)
     q = (
         stream.writeStream.foreachBatch(
             lambda batch_df, _epoch: incremental_insert_only(batch_df, path, keys)

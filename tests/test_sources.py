@@ -41,3 +41,66 @@ def test_union_param_sweep_schema_mismatch_alignment(spark):
     out = union_param_sweep([a, b])
     got = sorted((r.id, r.v) for r in out.collect())
     assert got == [(1, "x"), (2, "y")]  # unionByName aligns by name
+
+
+def test_read_with_retry_flaky_then_success(spark, sf_dir):
+    """A reader that fails twice then succeeds: the wrapper retries with
+    backoff and returns the DataFrame; attempts are counted."""
+    from data_management_service_run_etl_imputations_spark.sources.readers import (
+        read_with_retry,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient: connection reset")
+        return spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    df = read_with_retry(flaky, max_attempts=3, backoff_seconds=0.01)
+    assert calls["n"] == 3
+    assert df.count() > 0
+
+
+def test_read_with_retry_exhausts_and_raises(spark):
+    """Permanent failure surfaces as an explicit SourceReadError at the
+    source (the reference returns None and crashes later) with the attempt
+    count and the underlying cause preserved."""
+    import pytest
+
+    from data_management_service_run_etl_imputations_spark.sources.readers import (
+        SourceReadError,
+        read_with_retry,
+    )
+
+    calls = {"n": 0}
+
+    def broken():
+        calls["n"] += 1
+        raise IOError("permanent: no such host")
+
+    with pytest.raises(SourceReadError) as ei:
+        read_with_retry(broken, max_attempts=4, backoff_seconds=0.01)
+    assert calls["n"] == 4
+    assert ei.value.attempts == 4
+    assert isinstance(ei.value.last_error, IOError)
+
+
+def test_read_with_retry_non_retryable_raises_immediately(spark):
+    from data_management_service_run_etl_imputations_spark.sources.readers import (
+        read_with_retry,
+    )
+    import pytest
+
+    calls = {"n": 0}
+
+    def type_bug():
+        calls["n"] += 1
+        raise TypeError("not transient")
+
+    with pytest.raises(TypeError):
+        read_with_retry(
+            type_bug, max_attempts=5, backoff_seconds=0.01, retryable=(IOError,)
+        )
+    assert calls["n"] == 1
