@@ -146,6 +146,64 @@ def impute_linear_interpolate(
     return df.withColumn(out_col, filled)
 
 
+def impute_regression(
+    df: DataFrame,
+    value_col: str,
+    feature_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """MODEL-BASED imputation (the north star's "MLlib for missing value
+    handling" beyond per-group statistics): per segment, fit a simple
+    linear regression ``y = a + b·x`` on the observed (non-null) rows via
+    closed-form OLS, and predict each null from its feature. Strictly
+    more informative than mean-fill whenever the value trends with an
+    observed covariate (time, volume, …).
+
+    Fallback ladder: a null row whose segment fit is degenerate
+    (fewer than 2 observations, or zero feature variance) takes the
+    segment mean of observed values; an all-null segment takes the global
+    mean; if that is null too the value stays null. Rows with a null
+    FEATURE also fall back (no x to predict from).
+
+    Scale: everything is masked window aggregates over the segment key
+    (count/sum of x, y, x², x·y) — ONE shuffle, no fit/transform round
+    trip, no driver-side model state; the closed-form slope
+    ``(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` composes from those sums.
+    With INTEGER x and y the sums stay exact (engine-portable to the
+    last bit — the oracle-checked catalog query uses that); guard the
+    int64 headroom ``n·Σx² < 2^63`` by centering x (e.g. subtracting its
+    segment minimum) before calling.
+    """
+    out_col = out_col or value_col
+    keys = group_cols or []
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w_global = Window.partitionBy()
+    y, x = F.col(value_col), F.col(feature_col)
+    obs = y.isNotNull() & x.isNotNull()
+    mx, my = F.when(obs, x), F.when(obs, y)
+
+    n = F.count(mx).over(w)
+    sx = F.sum(mx).over(w)
+    sy = F.sum(my).over(w)
+    sxx = F.sum(F.when(obs, x * x)).over(w)
+    sxy = F.sum(F.when(obs, x * y)).over(w)
+
+    den = n * sxx - sx * sx
+    b = F.when(den != 0, (n * sxy - sx * sy) / den)
+    a = (sy - b * sx) / n
+    pred = a + b * x
+    seg_mean = F.when(n > 0, sy / n)
+    global_mean = F.avg(my).over(w_global)
+
+    filled = (
+        F.when(y.isNotNull(), y.cast("double"))
+        .when(pred.isNotNull(), pred)
+        .otherwise(F.coalesce(seg_mean, global_mean))
+    )
+    return df.withColumn(out_col, filled)
+
+
 def resample_ffill(
     events: DataFrame,
     key_col: str,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from data_management_service_run_etl_imputations_spark.operators.imputation import (
     impute_forward_fill,
     impute_linear_interpolate,
+    impute_regression,
     impute_with_group_stats,
     resample_ffill,
 )
@@ -205,6 +206,89 @@ def impute_linear_interpolate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", F.round("value_li", 6).alias("value_li")
+    )
+
+
+@register(
+    "impute_regression_trend",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE CAST(ROUND(value, 0) AS BIGINT) END AS y,
+                   CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS xh
+            FROM events
+        ),
+        feat AS (
+            SELECT event_id, user_id, y,
+                   xh - MIN(xh) OVER (PARTITION BY user_id) AS x
+            FROM base
+        ),
+        sums AS (
+            SELECT event_id, user_id, y, x,
+                   COUNT(CASE WHEN y IS NOT NULL THEN x END) OVER w AS n,
+                   SUM(CASE WHEN y IS NOT NULL THEN x END) OVER w AS sx,
+                   SUM(CASE WHEN y IS NOT NULL THEN y END) OVER w AS sy,
+                   SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER w AS sxx,
+                   SUM(CASE WHEN y IS NOT NULL THEN x * y END) OVER w AS sxy,
+                   AVG(CASE WHEN y IS NOT NULL THEN y END) OVER () AS gmean
+            FROM feat
+            WINDOW w AS (PARTITION BY user_id)
+        ),
+        fit AS (
+            SELECT event_id, user_id, y, x, n, sx, sy, gmean,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   END AS b
+            FROM sums
+        )
+        SELECT event_id, user_id,
+               (y IS NULL) AS was_imputed,
+               ROUND(CASE
+                   WHEN y IS NOT NULL THEN CAST(y AS DOUBLE)
+                   WHEN ((sy - b * sx) / n) + b * x IS NOT NULL
+                       THEN ((sy - b * sx) / n) + b * x
+                   ELSE COALESCE(CASE WHEN n > 0 THEN sy / n END, gmean)
+               END, 6) AS value_imputed
+        FROM fit
+    """,
+)
+def impute_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED imputation (VERDICT r03 #8): per-user OLS of the
+    (integer-scaled) event value against hours-since-first-event; masked
+    'error' values are predicted from each user's own trend line, not a
+    flat mean. Closed-form masked-window-sum fit — one shuffle, no
+    fit/transform round trip (operators/imputation.py impute_regression).
+
+    Cross-engine exactness: y is rounded to integer units and x is the
+    hour index centered per segment, so every OLS sum is INTEGER (exact
+    in both engines — no float-accumulation-order divergence); the
+    closed-form slope/intercept then divide identical integers, giving
+    bit-identical doubles. The float-y recovery semantics are pinned by
+    the planted-signal unit test (tests/test_extensions.py)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.round("value", 0).cast("long"))
+        .alias("y"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("xh"),
+    )
+    from pyspark.sql import Window
+
+    feat = base.withColumn(
+        "x",
+        F.col("xh") - F.min("xh").over(Window.partitionBy("user_id")),
+    )
+    out = impute_regression(
+        feat, "y", "x", ["user_id"], out_col="value_imputed"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("y").isNull().alias("was_imputed"),
+        F.round("value_imputed", 6).alias("value_imputed"),
     )
 
 

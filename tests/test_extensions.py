@@ -308,3 +308,69 @@ def test_observation_metrics_on_flagship_plan(spark, sf_dir):
     assert m["n_rows"] == exact["n"]
     assert abs(m["total_price"] - exact["t"]) < 1e-6
     assert m["n_f"] == exact["f"]
+
+
+def test_impute_regression_recovers_planted_signal(spark):
+    """Deterministic planted-signal oracle: per segment, y = a + b*x
+    exactly on observed rows; nulled rows must come back as EXACTLY the
+    planted line value (closed-form OLS on exact data has zero residual;
+    float error is absorbed by round-6)."""
+    from data_management_service_run_etl_imputations_spark.operators.imputation import (
+        impute_regression,
+    )
+
+    rows = []
+    lines = {"s1": (3.0, 2.0), "s2": (-5.0, 0.5)}
+    for seg, (a, b) in lines.items():
+        for x in range(40):
+            y = a + b * x
+            rows.append((seg, x, None if x % 7 == 3 else y, y))
+    df = spark.createDataFrame(rows, "seg STRING, x LONG, y DOUBLE, y_true DOUBLE")
+    out = impute_regression(df, "y", "x", ["seg"], out_col="y_hat").collect()
+    for r in out:
+        assert round(r.y_hat, 6) == round(r.y_true, 6), r
+
+
+def test_impute_regression_fallback_ladder(spark):
+    """Degenerate segments: <2 observations or zero feature variance →
+    segment mean; all-null segment → global mean of observed values."""
+    from data_management_service_run_etl_imputations_spark.operators.imputation import (
+        impute_regression,
+    )
+
+    rows = [
+        # zero x-variance: observed mean = 10.0
+        ("const_x", 5, 8.0),
+        ("const_x", 5, 12.0),
+        ("const_x", 5, None),
+        # single observation: mean = 7.0
+        ("one_obs", 1, 7.0),
+        ("one_obs", 2, None),
+        # all null: global mean of observed = (8+12+7)/3 = 9.0
+        ("empty", 1, None),
+        ("empty", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "seg STRING, x LONG, y DOUBLE")
+    got = {
+        (r.seg, r.x): r.yi
+        for r in impute_regression(df, "y", "x", ["seg"], out_col="yi").collect()
+        if r.y is None
+    }
+    assert got[("const_x", 5)] == 10.0
+    assert got[("one_obs", 2)] == 7.0
+    assert got[("empty", 1)] == got[("empty", 2)] == 9.0
+
+
+def test_impute_regression_null_feature_falls_back(spark):
+    from data_management_service_run_etl_imputations_spark.operators.imputation import (
+        impute_regression,
+    )
+
+    rows = [("s", 0, 0.0), ("s", 10, 10.0), ("s", None, None)]
+    df = spark.createDataFrame(rows, "seg STRING, x LONG, y DOUBLE")
+    out = {
+        r.x: r.yi
+        for r in impute_regression(df, "y", "x", ["seg"], out_col="yi").collect()
+    }
+    # no feature to predict from → segment mean of observed (5.0)
+    assert out[None] == 5.0
