@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -39,6 +40,8 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
+    per_samples: dict[str, list[float]] = {}
+    per_p50: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(headline.items()):
         samples: list[float] = []
@@ -53,6 +56,10 @@ def main() -> None:
         dt = min(samples)
         n = df.count()  # untimed, for the report line
         per_query[name] = round(dt, 3)
+        # raw samples + p50 persisted so round-over-round deltas are
+        # auditable against the noise spread, not just the min
+        per_samples[name] = [round(s, 3) for s in samples]
+        per_p50[name] = round(statistics.median(samples), 3)
         total += dt
         print(
             f"# {name}: min={dt:.3f}s of {[round(s, 3) for s in samples]} "
@@ -68,6 +75,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "p50": per_p50,
+                "samples": per_samples,
+                "reps": reps,
+                "estimator": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -331,11 +331,15 @@ def embedding_near_duplicates_blocked(
         F.col("__a.cell").alias("cell"),
         F.col("__a.dist").alias("__dist"),
     )
-    # Radii: one tiny aggregate (n_cells rows) collected at plan time.
-    radii = {
-        r["cell"]: r["r"]
-        for r in assigned.groupBy("cell").agg(F.max("__dist").alias("r")).collect()
-    }
+    # Radii + sizes: one tiny aggregate (n_cells rows) collected at plan
+    # time (sizes feed the candidate-volume diagnostic in stats_out).
+    cell_rows = (
+        assigned.groupBy("cell")
+        .agg(F.max("__dist").alias("r"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    radii = {r["cell"]: r["r"] for r in cell_rows}
+    cell_sizes = {r["cell"]: r["n"] for r in cell_rows}
 
     def _cdist(i: int, j: int) -> float:
         return math.sqrt(
@@ -352,14 +356,23 @@ def embedding_near_duplicates_blocked(
         if _cdist(c1, c2) <= radii[c1] + radii[c2] + d_bound + 1e-9
     ]
     if stats_out is not None:
-        # pruning-evidence hook for scale probes: how many of the
-        # n·(n+1)/2 cell pairs survived the triangle-inequality bound
+        # pruning-evidence hook for scale probes: how many cell pairs
+        # survived the triangle-inequality bound, and how many vector
+        # comparisons (candidate volume) the surviving blocks imply vs
+        # the n·(n−1)/2 of brute force
         stats_out.update(
             {
                 "n_rows": n_rows,
                 "n_cells": len(cells),
                 "n_cell_pairs_total": len(cells) * (len(cells) + 1) // 2,
                 "n_cell_pairs_survived": len(pairs),
+                "candidate_volume": sum(
+                    cell_sizes[c1] * (cell_sizes[c1] - 1) // 2
+                    if c1 == c2
+                    else cell_sizes[c1] * cell_sizes[c2]
+                    for c1, c2 in pairs
+                ),
+                "brute_force_volume": n_rows * (n_rows - 1) // 2,
                 "d_bound": d_bound,
                 "threshold": threshold,
             }

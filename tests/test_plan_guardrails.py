@@ -36,6 +36,9 @@ ALLOWED_CROSS = {
     # single-row max(doc_id)+1 offset broadcast NLJ (data-derived planted
     # ids — collision-proof at any SF)
     "dedup_simhash_exact_invariant",
+    # same single-row max(vec_id)+1 offset construction for the planted
+    # exact duplicates in the t=0.9 pruning-regime query
+    "dedup_embedding_cosine_strict",
 
     "impute_group_mean",   # global-stat window = single-partition by design
     "impute_group_median",
