@@ -97,6 +97,64 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "api_endpoint_param_sweep",
+    oracle="""
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def api_endpoint_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 as a FIRST-CLASS data source (Spark 4 Python DataSource API):
+    the reference's per-parameter CSV fetch loop + driver-side concat
+    (``function_app.py:56-86``) becomes `.format("csv_endpoint")` — one
+    InputPartition per parameter value, EXECUTORS fetch/parse in
+    parallel, the union disappears into the scan. This query fakes the
+    endpoint with per-region CSV bodies written from nation, reads them
+    back through the custom source, and aggregates; the oracle is the
+    same aggregate on the source parquet, so the driver certifies the
+    fetch + parse + typing path end-to-end."""
+    import csv as _csv
+    import os
+
+    from data_management_service_run_etl_imputations_spark.sources.api_source import (
+        register_csv_endpoint,
+    )
+
+    d = _tmp("api_endpoint")
+    os.makedirs(d)
+    nation = load_table(spark, sf_dir, "nation")
+    rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+    regions = sorted({r.n_regionkey for r in rows})
+    try:
+        for rk in regions:
+            with open(f"{d}/{rk}.csv", "w", newline="") as f:
+                w = _csv.writer(f)
+                w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+                for r in rows:
+                    if r.n_regionkey == rk:
+                        w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+        register_csv_endpoint(spark)
+        df = (
+            spark.read.format("csv_endpoint")
+            .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+            .option("url_template", f"file://{d}/{{param}}.csv")
+            .option("params", ",".join(str(r) for r in regions))
+            .load()
+        )
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+            )
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "jdbc_roundtrip_agg",
     oracle="""
         SELECT n_regionkey, COUNT(*) AS n_nations,
@@ -155,6 +213,71 @@ def jdbc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(db_dir, ignore_errors=True)
+
+
+@register(
+    "manifest_upsert_roundtrip",
+    oracle="""
+        WITH b1 AS (
+            SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   o_totalprice
+            FROM orders
+        ),
+        b2 AS (
+            SELECT o_orderkey, o_year, o_totalprice + 1000 AS o_totalprice
+            FROM b1 WHERE o_orderkey % 3 = 0
+        ),
+        merged AS (
+            SELECT * FROM b1
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+            UNION ALL
+            SELECT * FROM b2
+        )
+        SELECT o_year, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM merged GROUP BY o_year
+    """,
+)
+def manifest_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ATOMIC manifest-committed upsert in the driver's oracle gate:
+    load orders as version 1 (partitioned by order year), upsert a
+    modified batch (every 3rd order's price +1000) as version 2, read the
+    LATEST manifest back and aggregate. The oracle replays the same
+    update-wins merge in SQL — certifying the staged write, the atomic
+    manifest publish, and the manifest-resolved read end-to-end
+    (sources/sinks.py manifest_upsert_partitioned; ACID semantics pinned
+    in tests/test_manifest_table.py)."""
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("manifest_rt") + "_" + _uuid.uuid4().hex[:6]
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    b2 = b1.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000)
+    )
+    try:
+        manifest_upsert_partitioned(b1, target, ["o_orderkey"], "o_year")
+        manifest_upsert_partitioned(b2, target, ["o_orderkey"], "o_year")
+        back = manifest_read(spark, target)
+        return (
+            back.groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()  # materialize before the temp table vanishes
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
 
 
 @register(
