@@ -444,6 +444,70 @@ def manifest_upsert_partitioned(
     return {"updated": n_updated, "inserted": n_batch - n_updated}
 
 
+def manifest_compact(
+    spark,
+    path: str,
+    partition_values: list | None = None,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """File compaction for a manifest table: rewrite the (selected)
+    partitions' data into one-file-per-partition and publish the result
+    as a new manifest version — the OPTIMIZE half of the table protocol.
+    A write job's parallelism leaves up to |shuffle partitions| files per
+    partition directory; scan/open cost at 100 TB tracks FILE COUNT, so a
+    maintenance compaction keeps point reads from paying a per-fragment
+    open. Same visibility contract as the upsert: readers see the
+    pre- or post-compaction snapshot (identical CONTENT — compaction is
+    a physical-layout-only commit), never a mix; prior versions stay
+    time-travel-readable until vacuumed.
+
+    Returns {"partitions": n, "files_before": n, "files_after": n}.
+    """
+    import glob
+    import uuid
+
+    version, content = _latest_manifest(path)
+    if version == 0:
+        return {"partitions": 0, "files_before": 0, "files_after": 0}
+    parts: dict = dict(content["partitions"])
+    selected = {
+        k: rel
+        for k, rel in parts.items()
+        if partition_values is None or k in {str(v) for v in partition_values}
+    }
+    if not selected:
+        return {"partitions": 0, "files_before": 0, "files_after": 0}
+
+    def _n_files(rel: str) -> int:
+        return len(glob.glob(f"{path}/{rel}/*.{fmt}"))
+
+    files_before = sum(_n_files(rel) for rel in selected.values())
+    pcol = content["partition_col"]
+    df = spark.read.format(fmt).load(
+        [f"{path}/{rel}" for rel in selected.values()]
+    )
+    stage = f"data/{uuid.uuid4().hex[:12]}"
+    # one output file per partition: repartition BY the partition value,
+    # so every partition's rows land in exactly one task's output
+    staged = df.withColumn("__p", F.col(pcol).cast("string")).repartition(
+        F.col("__p")
+    )
+    staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+        f"{path}/{stage}"
+    )
+    for k in selected:
+        parts[k] = f"{stage}/__p={k}"
+    content = dict(content)
+    content["partitions"] = parts
+    _publish_manifest(path, version + 1, content)
+    files_after = sum(_n_files(parts[k]) for k in selected)
+    return {
+        "partitions": len(selected),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
     """Delete data directories not referenced by the ``keep_versions``
     newest manifests (and drop older manifests): the GC half of the

@@ -153,3 +153,45 @@ def test_vacuum_keeps_referenced_dirs(spark, table_path):
         (1, "d1", 100.0),
         (2, "d2", 200.0),
     ]
+
+
+def test_compaction_reduces_files_preserves_content(spark, table_path):
+    """A fragmented write (8-way repartition) leaves multiple files per
+    partition; compaction rewrites to one file per partition as a NEW
+    version with identical content, and the pre-compaction version stays
+    readable (physical-layout-only commit)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+    )
+
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(300)]
+    b1 = _batch(spark, rows).repartition(8)
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    before = _content(manifest_read(spark, table_path))
+
+    stats = manifest_compact(spark, table_path)
+    assert stats["partitions"] == 3
+    assert stats["files_before"] > 3  # fragmented by the 8-way write
+    assert stats["files_after"] == 3  # one file per partition
+    version, _ = _latest_manifest(table_path)
+    assert version == 2
+
+    assert _content(manifest_read(spark, table_path)) == before
+    # time travel to the pre-compaction snapshot still works
+    assert _content(manifest_read(spark, table_path, version=1)) == before
+
+
+def test_compaction_selected_partitions_only(spark, table_path):
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+    )
+
+    rows = [(i, f"d{i % 2}", float(i)) for i in range(100)]
+    manifest_upsert_partitioned(
+        _batch(spark, rows).repartition(6), table_path, ["k"], "day"
+    )
+    stats = manifest_compact(spark, table_path, partition_values=["d0"])
+    assert stats["partitions"] == 1
+    assert stats["files_after"] == 1
+    got = _content(manifest_read(spark, table_path))
+    assert got == sorted((i, f"d{i % 2}", float(i)) for i in range(100))
