@@ -7,6 +7,7 @@ family the reference encodes with pandas ``last``/``idxmax``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,3 +46,43 @@ def dedup_keep_last(
             "'last' relied on unspecified row order (function_app.py:200-202)"
         )
     return latest_per_key(df, keys, order_by)
+
+
+def weighted_mean_udaf():
+    """§2.8 UDAF surface — a GROUPED_AGG pandas UDF (Arrow-batched custom
+    aggregate; the fourth UDF shape next to grouped-map, mapInPandas and
+    applyInPandasWithState). Returns the weighted mean Σ(v·w)/Σ(w) of two
+    integer columns.
+
+    Spark plans it like any declarative aggregate (one hash shuffle on
+    the group key; partial aggregation is NOT available to pandas UDAFs —
+    each group's values stream to one task, which is the documented cost
+    of a custom aggregate vs built-ins; prefer built-ins where they
+    exist).
+
+    Determinism note: with INTEGER inputs the sums are exact int64 (no
+    float accumulation order), so Σ(v·w) and Σ(w) are engine-portable and
+    the final division is one IEEE op — which is what lets the catalog
+    query oracle-check a custom Python aggregate bit-for-bit.
+    """
+
+    @F.pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        num = int((v * w).sum())
+        den = int(w.sum())
+        return float(num) / float(den) if den else None
+
+    return weighted_mean
+
+
+def int_sum_udaf():
+    """Companion GROUPED_AGG pandas UDF (exact int64 sum): Spark refuses
+    to mix pandas and non-pandas aggregates in one ``agg()``
+    (INVALID_PANDAS_UDF_PLACEMENT), so an all-pandas aggregation list
+    needs its plain sums in pandas form too."""
+
+    @F.pandas_udf("long")
+    def int_sum(w: pd.Series) -> int:
+        return int(w.sum())
+
+    return int_sum

@@ -430,3 +430,45 @@ def sketch_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact")
         ).alias("est_ok"),
     )
+
+
+@register(
+    "udaf_weighted_mean",
+    oracle="""
+        WITH t AS (
+            SELECT event_type,
+                   CAST(ROUND(value, 0) AS BIGINT) AS v,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+            FROM events
+        )
+        SELECT event_type,
+               ROUND(CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+                   AS weighted_mean_value,
+               CAST(SUM(w) AS BIGINT) AS total_weight
+        FROM t GROUP BY event_type
+    """,
+)
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDAF surface: a GROUPED_AGG pandas UDF (custom Arrow-batched
+    aggregate — the fourth UDF shape) computing the k-weighted mean event
+    value per type. Integer-scaled inputs keep the sums exact int64 in
+    both engines, so a custom PYTHON aggregate is still oracle-checkable
+    bit-for-bit (operators/aggregates.py weighted_mean_udaf; the plan is
+    a normal hash aggregate with an AggregateInPandas exec)."""
+    from data_management_service_run_etl_imputations_spark.operators.aggregates import (
+        int_sum_udaf,
+        weighted_mean_udaf,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type",
+        F.round("value", 0).cast("long").alias("v"),
+        F.get_json_object("props", "$.k").cast("long").alias("w"),
+    )
+    wm = weighted_mean_udaf()
+    ws = int_sum_udaf()
+    return t.groupBy("event_type").agg(
+        F.round(wm("v", "w"), 6).alias("weighted_mean_value"),
+        ws("w").alias("total_weight"),
+    )
