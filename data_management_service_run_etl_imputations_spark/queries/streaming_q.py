@@ -251,3 +251,88 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         output_mode="append",
     )
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    oracle="""
+        WITH bound AS (
+            SELECT MAX(ts) - INTERVAL 4 HOUR AS b FROM events
+        )
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               ROUND(p.value, 6) AS purchase_value
+        FROM events v
+        LEFT JOIN events p
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view'
+          AND v.ts <= (SELECT b FROM bound)
+    """,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: views with no purchase in
+    the following 30 minutes surface once, null-padded, after the
+    watermark passes their match window — the semantics a funnel
+    drop-off stream needs (inner joins silently drop non-converters).
+    Outer emission is watermark-delayed by construction, so the left
+    side is bounded to ≥4 h before stream end (well past the 2 h
+    watermark + 30 min horizon flush lag): every retained view's outcome
+    is then deterministic in a bounded AvailableNow replay and the
+    result equals the batch left join the oracle states."""
+    from data_management_service_run_etl_imputations_spark.schemas import load_table
+    from data_management_service_run_etl_imputations_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    # flush bound from the data (driver-side scalar, same value the
+    # oracle's subquery computes)
+    bound = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 4 HOUR")).alias("b")
+    ).first()["b"]
+
+    # NOTE: the bound is applied to the OUTPUT, not the view stream — a
+    # pre-join filter would cut the left input's own max event time and
+    # drag the global watermark (min across inputs) back with it, so the
+    # last watermark+horizon of SELECTED views could never flush their
+    # null rows no matter the margin.
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        views,
+        purchases,
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        "30 minutes",
+        how="left_outer",
+    )
+    return run_available_now(
+        joined.filter(F.col("view_ts") <= F.lit(bound)).select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.round("purchase_value", 6).alias("purchase_value"),
+        ),
+        output_mode="append",
+    )

@@ -229,6 +229,7 @@ def stream_stream_interval_join(
     right_ts: str,
     horizon: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with an event-time interval constraint:
     a right-side event matches a left-side event for the same user when it
@@ -238,7 +239,14 @@ def stream_stream_interval_join(
     stream-stream joins) — each side keeps at most
     ``watermark + horizon`` of buffered rows per partition. At scale both
     streams hash-partition on the join key; no broadcast (both sides are
-    unbounded)."""
+    unbounded).
+
+    ``how="left_outer"`` adds the no-match rows: a left event whose match
+    window has fully passed the watermark emits once with null right
+    columns — so outer results are inherently watermark-delayed (a left
+    row within ``watermark + horizon`` of the stream head cannot emit its
+    null row yet; bound the left side accordingly when an exact bounded
+    replay is compared against a batch oracle)."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     return lw.join(
@@ -246,4 +254,5 @@ def stream_stream_interval_join(
         (lw[user_col] == rw[user_col])
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).drop(rw[user_col])
