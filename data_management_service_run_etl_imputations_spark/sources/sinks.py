@@ -364,9 +364,14 @@ def manifest_read(
         if schema:
             return spark.createDataFrame([], schema)
         raise ValueError(f"manifest table at {path} is empty (v{version})")
-    return spark.read.format(content.get("fmt", "parquet")).load(
-        [f"{path}/{rel}" for rel in sorted(parts.values())]
-    )
+    fmt = content.get("fmt", "parquet")
+    reader = spark.read.format(fmt)
+    if fmt == "parquet":
+        # schema evolution: directories written before a column was added
+        # lack it in their footers; mergeSchema unions the file schemas so
+        # old partitions read the new column as null
+        reader = reader.option("mergeSchema", "true")
+    return reader.load([f"{path}/{rel}" for rel in sorted(parts.values())])
 
 
 def manifest_upsert_partitioned(
@@ -402,13 +407,16 @@ def manifest_upsert_partitioned(
     live = [parts[k] for k in touched_keys if k in parts]
 
     if live:
-        existing_touched = spark.read.format(fmt).load(
-            [f"{path}/{rel}" for rel in live]
-        )
+        reader = spark.read.format(fmt)
+        if fmt == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        existing_touched = reader.load([f"{path}/{rel}" for rel in live])
         survivors = incremental_new_rows(existing_touched, incoming, keys)
-        merged = survivors.unionByName(
-            incoming.select(*existing_touched.columns)
-        )
+        # schema evolution, Delta-style: a batch may ADD columns — the
+        # union fills them with null on surviving old rows (and fills
+        # null for columns the batch dropped); the manifest records the
+        # merged schema
+        merged = survivors.unionByName(incoming, allowMissingColumns=True)
         n_existing_touched = existing_touched.count()
         n_survivors = survivors.count()
     else:
@@ -416,6 +424,7 @@ def manifest_upsert_partitioned(
         n_existing_touched = n_survivors = 0
 
     stage = f"data/{uuid.uuid4().hex[:12]}"
+    out_schema = merged.schema.simpleString()
     # partitionBy on a COPY of the partition column: the staging dir gets
     # one subdir per value, while the real column stays in the data files
     # (readers never depend on directory-name parsing).
@@ -436,7 +445,7 @@ def manifest_upsert_partitioned(
             "partitions": parts,
             "fmt": fmt,
             "partition_col": partition_col,
-            "schema": incoming.schema.simpleString(),
+            "schema": out_schema,
         },
     )
     n_batch = n_merged - n_survivors

@@ -195,3 +195,58 @@ def test_compaction_selected_partitions_only(spark, table_path):
     assert stats["files_after"] == 1
     got = _content(manifest_read(spark, table_path))
     assert got == sorted((i, f"d{i % 2}", float(i)) for i in range(100))
+
+
+def test_schema_evolution_new_column(spark, table_path):
+    """Delta-style evolution: a later batch adds a column; surviving old
+    rows and untouched partitions read it as null (mergeSchema), updated
+    rows carry values. Dropping a column in a batch null-fills it."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_upsert_partitioned as upsert,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0)])
+    upsert(b1, table_path, ["k"], "day")
+    b2 = spark.createDataFrame(
+        [(3, "d1", 3.0, "en")], "k LONG, day STRING, v DOUBLE, lang STRING"
+    )
+    upsert(b2, table_path, ["k"], "day")
+
+    got = {
+        r.k: (r.day, r.v, r.lang)
+        for r in manifest_read(spark, table_path).collect()
+    }
+    assert got == {
+        1: ("d1", 1.0, None),   # surviving row in the touched partition
+        2: ("d2", 2.0, None),   # untouched partition, old files
+        3: ("d1", 3.0, "en"),   # new row carries the new column
+    }
+
+
+def test_randomized_upserts_match_dict_model(spark, table_path):
+    """Model-based check: a seeded random sequence of upsert batches must
+    leave the table equal to a plain dict fold (key -> last-written row),
+    with counts matching at every step."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_upsert_partitioned as upsert,
+    )
+
+    rng = random.Random(42)
+    model: dict[int, tuple] = {}
+    for step in range(8):
+        batch = {}
+        for _ in range(rng.randint(1, 12)):
+            k = rng.randint(0, 19)
+            batch[k] = (k, f"d{k % 4}", float(rng.randint(0, 99)))
+        rows = sorted(batch.values())
+        expect_updated = sum(1 for k in batch if k in model)
+        expect_inserted = len(batch) - expect_updated
+        r = upsert(_batch(spark, rows), table_path, ["k"], "day")
+        assert r == {
+            "updated": expect_updated,
+            "inserted": expect_inserted,
+        }, f"step {step}"
+        model.update(batch)
+    assert _content(manifest_read(spark, table_path)) == sorted(model.values())
