@@ -156,3 +156,83 @@ def bloom_filter_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+        WITH flags AS (
+            SELECT o.o_totalprice, o.o_orderdate, o.o_orderstatus,
+                   (c.c_custkey IS NOT NULL) AS fk_ok,
+                   COUNT(*) OVER (PARTITION BY o.o_orderkey) = 1 AS key_unique
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        wide AS (
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                            THEN 0 ELSE 1 END) AS positive_price,
+                   SUM(CASE WHEN COALESCE(
+                            EXTRACT(YEAR FROM o_orderdate) BETWEEN 1992 AND 1998,
+                            FALSE) THEN 0 ELSE 1 END) AS orderdate_in_range,
+                   SUM(CASE WHEN COALESCE(
+                            o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                            THEN 0 ELSE 1 END) AS status_in_domain,
+                   SUM(CASE WHEN COALESCE(fk_ok, FALSE)
+                            THEN 0 ELSE 1 END) AS custkey_references_customer,
+                   SUM(CASE WHEN COALESCE(key_unique, FALSE)
+                            THEN 0 ELSE 1 END) AS orderkey_unique
+            FROM flags
+        )
+        SELECT r.rule, w.n_rows, r.n_violations,
+               ROUND(CAST(w.n_rows - r.n_violations AS DOUBLE) / w.n_rows, 6)
+                   AS pass_rate
+        FROM wide w, LATERAL (VALUES
+            ('positive_price', CAST(positive_price AS BIGINT)),
+            ('orderdate_in_range', CAST(orderdate_in_range AS BIGINT)),
+            ('status_in_domain', CAST(status_in_domain AS BIGINT)),
+            ('custkey_references_customer',
+             CAST(custkey_references_customer AS BIGINT)),
+            ('orderkey_unique', CAST(orderkey_unique AS BIGINT))
+        ) AS r(rule, n_violations)
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based expectations gate over orders (the Great-Expectations /
+    Delta-constraints shape): range, domain, referential-integrity, and
+    key-uniqueness rules validated in ONE aggregate pass (each rule is a
+    CASE-fold counter in the same scan; the FK flag is a broadcast left
+    join, uniqueness a per-key window). NULL rule results count as
+    violations — unknown is not a pass
+    (operators/quality.py validate_expectations)."""
+    from pyspark.sql import Window
+
+    from data_management_service_run_etl_imputations_spark.operators.quality import (
+        validate_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("__ck")
+    )
+    flagged = (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == F.col("__ck"),
+            "left",
+        )
+        .withColumn("__fk_ok", F.col("__ck").isNotNull())
+        .withColumn(
+            "__key_unique",
+            F.count(F.lit(1)).over(Window.partitionBy("o_orderkey")) == 1,
+        )
+    )
+    return validate_expectations(
+        flagged,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "orderdate_in_range": F.year("o_orderdate").between(1992, 1998),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "custkey_references_customer": F.col("__fk_ok"),
+            "orderkey_unique": F.col("__key_unique"),
+        },
+    )
