@@ -517,6 +517,79 @@ def manifest_compact(
     }
 
 
+def manifest_diff(
+    spark,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two manifest versions: every row added
+    ('insert') or removed ('delete') going from ``from_version`` to
+    ``to_version`` (default latest); an update appears as its
+    delete+insert pair. The consumer-side complement of the upsert — a
+    downstream incremental pipeline reads the diff instead of the table.
+
+    Scale: the manifest comparison prunes BEFORE any data is read — a
+    partition whose directory entry is identical in both versions cannot
+    have changed (directories are immutable), so only rewritten
+    partitions' directories are scanned; diff cost tracks the changed
+    partitions, not the table. Within them, ``exceptAll`` both ways (one
+    shuffle each over changed-partition rows).
+    """
+    import json
+
+    def _load(version: int) -> dict:
+        with open(f"{_manifest_dir(path)}/{version}.json") as f:
+            return json.load(f)
+
+    if to_version is None:
+        to_version, new_content = _latest_manifest(path)
+    else:
+        new_content = _load(to_version)
+    old_content = _load(from_version)
+    old_parts = old_content["partitions"]
+    new_parts = new_content["partitions"]
+    fmt = new_content.get("fmt", "parquet")
+
+    changed_old = [
+        rel for k, rel in old_parts.items() if new_parts.get(k) != rel
+    ]
+    changed_new = [
+        rel for k, rel in new_parts.items() if old_parts.get(k) != rel
+    ]
+
+    def _read(rels: list[str], content: dict) -> DataFrame:
+        if not rels:
+            return spark.createDataFrame([], content["schema"])
+        reader = spark.read.format(fmt)
+        if fmt == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        return reader.load([f"{path}/{rel}" for rel in sorted(rels)])
+
+    old_df = _read(changed_old, old_content)
+    new_df = _read(changed_new, new_content)
+    # schema evolution across the diff: align both sides on the union of
+    # columns (missing -> null) so exceptAll compares like with like
+    cols = list(dict.fromkeys([*old_df.columns, *new_df.columns]))
+
+    def _align(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in cols
+            ]
+        )
+
+    old_a, new_a = _align(old_df), _align(new_df)
+    inserts = new_a.exceptAll(old_a).withColumn(
+        "change_type", F.lit("insert")
+    )
+    deletes = old_a.exceptAll(new_a).withColumn(
+        "change_type", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
+
+
 def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
     """Delete data directories not referenced by the ``keep_versions``
     newest manifests (and drop older manifests): the GC half of the

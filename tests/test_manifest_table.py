@@ -250,3 +250,34 @@ def test_randomized_upserts_match_dict_model(spark, table_path):
         }, f"step {step}"
         model.update(batch)
     assert _content(manifest_read(spark, table_path)) == sorted(model.values())
+
+
+def test_change_data_feed_between_versions(spark, table_path):
+    """manifest_diff emits inserts/deletes between versions (update =
+    delete+insert pair) and reads ONLY rewritten partition directories —
+    carried-over partitions are pruned at the manifest level."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_diff,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d3", 3.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    # update k=1, insert k=4 (both in d1); d2/d3 untouched
+    b2 = _batch(spark, [(1, "d1", 10.0), (4, "d1", 4.0)])
+    manifest_upsert_partitioned(b2, table_path, ["k"], "day")
+
+    diff = manifest_diff(spark, table_path, from_version=1, to_version=2)
+    got = sorted(
+        (r.change_type, r.k, r.day, r.v) for r in diff.collect()
+    )
+    assert got == [
+        ("delete", 1, "d1", 1.0),
+        ("insert", 1, "d1", 10.0),
+        ("insert", 4, "d1", 4.0),
+    ]
+    # manifest-level pruning: only d1's old+new dirs are ever opened
+    files = diff.inputFiles()
+    assert files and all("__p=d1" in f for f in files)
+
+    # identical versions diff to empty
+    assert manifest_diff(spark, table_path, 2, 2).count() == 0
