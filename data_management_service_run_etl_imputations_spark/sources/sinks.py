@@ -546,7 +546,13 @@ def manifest_diff(
         to_version, new_content = _latest_manifest(path)
     else:
         new_content = _load(to_version)
-    old_content = _load(from_version)
+    # version 0 = before the table existed: everything in to_version is
+    # an insert (lets a consumer bootstrap with the same code path)
+    old_content = (
+        {"partitions": {}, "schema": new_content.get("schema")}
+        if from_version == 0
+        else _load(from_version)
+    )
     old_parts = old_content["partitions"]
     new_parts = new_content["partitions"]
     fmt = new_content.get("fmt", "parquet")
@@ -588,6 +594,140 @@ def manifest_diff(
         "change_type", F.lit("delete")
     )
     return inserts.unionByName(deletes)
+
+
+def manifest_refresh_aggregate(
+    spark,
+    fact_path: str,
+    agg_path: str,
+    from_version: int,
+    group_cols: list[str],
+    partition_col: str,
+    sum_cols: list[str],
+) -> dict[str, int]:
+    """Incremental materialized-aggregate maintenance: bring a SUM/COUNT
+    rollup of a manifest fact table up to date by reading only the
+    fact's CHANGE FEED since ``from_version`` — never the fact itself.
+
+    Algebra: sums and counts are abelian-group aggregates, so the new
+    rollup is ``old + Σ(insert) − Σ(delete)`` per group; groups whose
+    count reaches zero disappear. The group deltas merge into the
+    (manifest-committed) aggregate table via the atomic partitioned
+    upsert, touching only partitions with changed groups —
+    ``partition_col`` must be one of ``group_cols``.
+
+    This is the 100 TB rollup story: a daily fact upsert touches
+    |batch dates| partitions; the refresh reads that diff, aggregates
+    |changed rows|, and rewrites |changed dates| of the rollup — cost
+    tracks the day's change volume, while a rebuild would scan the full
+    fact every run. Returns {"partitions_written", "partitions_dropped",
+    "changed_groups"}.
+    """
+    diff = manifest_diff(spark, fact_path, from_version)
+    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = diff.groupBy(*group_cols).agg(
+        F.sum(sign).cast("long").alias("__dn"),
+        *[
+            F.sum(sign * F.col(c)).alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+
+    # agg-side manifest pruning: only partitions holding changed groups
+    # are read, and exactly those are rewritten below
+    touched = [
+        r[0] for r in delta.select(partition_col).distinct().collect()
+    ]
+    _, agg_content = _latest_manifest(agg_path)
+    if agg_content.get("partitions"):
+        old = manifest_read(spark, agg_path, partition_values=touched)
+        joined = old.join(delta, group_cols, "full_outer")
+        new_rows = joined.select(
+            *group_cols,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("__dn"), F.lit(0))
+            ).alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0.0))
+                ).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+    else:
+        new_rows = delta.select(
+            *group_cols,
+            F.col("__dn").alias("n_rows"),
+            *[F.col(f"__d_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    # groups whose count reached zero drop out — replace (not upsert)
+    # semantics below make that an actual delete
+    new_rows = new_rows.filter(F.col("n_rows") > 0)
+    n_changed = new_rows.count()
+    stats = manifest_replace_partitions(
+        new_rows, agg_path, partition_col, touched
+    )
+    stats["changed_groups"] = n_changed
+    return stats
+
+
+def manifest_replace_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    partition_values: list,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Publish ``df`` as the COMPLETE new content of the listed
+    partitions — the delete-capable primitive under the refresh above
+    (an anti-join upsert can only add/replace keys; replacing a whole
+    partition can also REMOVE rows, and a listed partition with no rows
+    in ``df`` is dropped from the manifest entirely). Same atomic
+    staging + manifest-rename contract as the upsert.
+    Returns {"partitions_written": n, "partitions_dropped": n}.
+    """
+    import uuid
+
+    spark = df.sparkSession
+    version, content = _latest_manifest(path)
+    parts: dict = dict(content.get("partitions", {}))
+    wanted = [str(v) for v in partition_values]
+
+    stage = f"data/{uuid.uuid4().hex[:12]}"
+    out_schema = df.schema.simpleString()
+    staged = df.withColumn(
+        "__p", F.col(partition_col).cast("string")
+    ).localCheckpoint()
+    staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+        f"{path}/{stage}"
+    )
+    present = {
+        r[0]
+        for r in staged.select("__p").distinct().collect()
+    }
+    written = dropped = 0
+    for k in wanted:
+        if k in present:
+            parts[k] = f"{stage}/__p={k}"
+            written += 1
+        elif k in parts:
+            del parts[k]
+            dropped += 1
+    _publish_manifest(
+        path,
+        version + 1,
+        {
+            "partitions": parts,
+            "fmt": fmt,
+            "partition_col": partition_col,
+            "schema": out_schema,
+        },
+    )
+    return {"partitions_written": written, "partitions_dropped": dropped}
 
 
 def manifest_vacuum(path: str, keep_versions: int = 1) -> int:

@@ -281,3 +281,64 @@ def test_change_data_feed_between_versions(spark, table_path):
 
     # identical versions diff to empty
     assert manifest_diff(spark, table_path, 2, 2).count() == 0
+
+
+def test_incremental_aggregate_refresh_matches_rebuild(spark, table_path):
+    """The rollup maintained from change feeds must equal a full rebuild
+    at every fact version — including group deletion when a group's
+    count reaches zero — while the refresh reads only the diff."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_refresh_aggregate,
+        manifest_replace_partitions,
+        manifest_upsert_partitioned as upsert,
+    )
+
+    fact = table_path + "_fact"
+    agg = table_path + "_agg"
+
+    def rebuild():
+        return sorted(
+            (r.day, r.n_rows, r.sum_v)
+            for r in manifest_read(spark, fact)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("v").alias("sum_v"),
+            )
+            .collect()
+        )
+
+    def rollup():
+        return sorted(
+            (r.day, r.n_rows, r.sum_v)
+            for r in manifest_read(spark, agg).collect()
+        )
+
+    # v1: bootstrap from version 0
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+    upsert(b1, fact, ["k"], "day")
+    s1 = manifest_refresh_aggregate(
+        spark, fact, agg, 0, ["day"], "day", ["v"]
+    )
+    assert s1["changed_groups"] == 2
+    assert rollup() == rebuild()
+
+    # v2: update k=2 (d1 sum changes), insert into d3
+    b2 = _batch(spark, [(2, "d1", 20.0), (5, "d3", 5.0)])
+    upsert(b2, fact, ["k"], "day")
+    s2 = manifest_refresh_aggregate(
+        spark, fact, agg, 1, ["day"], "day", ["v"]
+    )
+    assert s2["partitions_written"] == 2  # d1 and d3; d2 untouched
+    assert rollup() == rebuild()
+
+    # v3: empty partition d2 entirely -> its rollup group must DISAPPEAR
+    manifest_replace_partitions(
+        _batch(spark, []).filter(F.lit(False)), fact, "day", ["d2"]
+    )
+    s3 = manifest_refresh_aggregate(
+        spark, fact, agg, 2, ["day"], "day", ["v"]
+    )
+    assert s3["partitions_dropped"] == 1
+    assert rollup() == rebuild()
+    assert all(day != "d2" for day, _, _ in rollup())
