@@ -178,10 +178,19 @@ def impute_regression(
     out_col = out_col or value_col
     keys = group_cols or []
     w = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    w_global = Window.partitionBy()
     y, x = F.col(value_col), F.col(feature_col)
     obs = y.isNotNull() & x.isNotNull()
     mx, my = F.when(obs, x), F.when(obs, y)
+
+    # Global-mean fallback as a broadcast 1-row aggregate, NOT a
+    # Window.partitionBy() — an unpartitioned window forces the plan to
+    # SinglePartition, and Catalyst then satisfies the SEGMENT window on
+    # that single partition too: the whole operator would funnel through
+    # one task. The 1-row broadcast NLJ keeps the segment window hash-
+    # partitioned (same bounded-cross pattern as the TPC-H scalar
+    # subqueries).
+    gstats = df.agg(F.avg(my).alias("__gmean"))
+    df = df.crossJoin(F.broadcast(gstats))
 
     n = F.count(mx).over(w)
     sx = F.sum(mx).over(w)
@@ -194,14 +203,13 @@ def impute_regression(
     a = (sy - b * sx) / n
     pred = a + b * x
     seg_mean = F.when(n > 0, sy / n)
-    global_mean = F.avg(my).over(w_global)
 
     filled = (
         F.when(y.isNotNull(), y.cast("double"))
         .when(pred.isNotNull(), pred)
-        .otherwise(F.coalesce(seg_mean, global_mean))
+        .otherwise(F.coalesce(seg_mean, F.col("__gmean")))
     )
-    return df.withColumn(out_col, filled)
+    return df.withColumn(out_col, filled).drop("__gmean")
 
 
 def resample_ffill(

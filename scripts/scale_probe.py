@@ -84,6 +84,11 @@ DEFAULT_QUERIES = [
     "dedup_cluster_components_star",
     "corpus_source_mixture",
     "cdc_apply_changes",
+    # r04 additions
+    "impute_regression_trend",
+    "dq_expectations_orders",
+    "udaf_weighted_mean",
+    "manifest_upsert_roundtrip",
 ]
 
 

@@ -43,6 +43,9 @@ ALLOWED_CROSS = {
     "impute_group_mean",   # global-stat window = single-partition by design
     "impute_group_median",
     "impute_ml_global_mean",
+    # 1-row global-mean fallback broadcast NLJ (deliberate: keeps the
+    # segment window hash-partitioned instead of single-partition)
+    "impute_regression_trend",
 }
 
 # Streaming queries execute eagerly (AvailableNow) inside the builder —

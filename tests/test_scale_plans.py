@@ -222,3 +222,50 @@ def test_shuffle_shards_single_exchange_on_shard_key(spark, sf_dir):
     plan = _plan(shuffle_shards(docs, "doc_id", n_shards=8))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global ordering
+
+
+def test_impute_regression_single_shuffle(spark, sf_dir):
+    """The OLS imputer is masked window sums over ONE partitioning: the
+    plan carries exactly one exchange on the segment key (plus the
+    1-partition global-mean fallback window), never a fit/transform
+    round trip or a self-join."""
+    from data_management_service_run_etl_imputations_spark.operators.imputation import (
+        impute_regression,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("y"),
+        F.col("event_id").alias("x"),
+    )
+    out = impute_regression(events, "y", "x", ["event_type"], out_col="yi")
+    plan = _plan(out)
+    # exactly one data-scale exchange: the segment-window hash partition
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the global-mean fallback must NOT drag the plan to one partition
+    # (an unpartitioned window would; the operator broadcasts a 1-row
+    # aggregate instead)
+    assert "Window [avg" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_expectations_single_aggregate_scan(spark, sf_dir):
+    """validate_expectations folds every rule into one aggregate: the
+    plan contains exactly one pass over the input (one HashAggregate
+    pair), not one job per rule."""
+    from data_management_service_run_etl_imputations_spark.operators.quality import (
+        validate_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = validate_expectations(
+        orders,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "year_range": F.year("o_orderdate").between(1992, 1998),
+        },
+    )
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1  # rules share one scan
