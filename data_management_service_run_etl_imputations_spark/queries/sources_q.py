@@ -281,6 +281,134 @@ def manifest_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_zorder_skipping",
+    oracle="""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 400
+          AND o_totalprice BETWEEN 50000 AND 150000
+        GROUP BY o_year
+    """,
+)
+def manifest_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + file-level data skipping end-to-end: load
+    orders into a manifest table (partitioned by order year), OPTIMIZE
+    ZORDER BY (o_custkey, o_totalprice), then answer a 2-D box predicate
+    through ``manifest_read_skipping`` — the zone-map read plans from the
+    manifest's per-file min/max and opens only files whose (custkey,
+    price) zone intersects the box. The oracle is the plain filtered
+    aggregate: skipping must be invisible to results. Pruning RATIOS are
+    pinned in tests/test_skipping.py; the 100 TB story is in
+    sources/skipping.py's module docstring (query cost tracks matching
+    files, not partition size)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_upsert_partitioned,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_cluster_zorder,
+        manifest_read_skipping,
+    )
+
+    target = _tmp("zorder_skip")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    try:
+        manifest_upsert_partitioned(orders, target, ["o_orderkey"], "o_year")
+        manifest_cluster_zorder(
+            spark, target, ["o_custkey", "o_totalprice"], files_per_partition=8
+        )
+        boxed = manifest_read_skipping(
+            spark,
+            target,
+            {"o_custkey": (100, 400), "o_totalprice": (50000, 150000)},
+        )
+        return (
+            boxed.groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()  # materialize before the temp table vanishes
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
+    "manifest_bloom_point_lookup",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT MIN(o_orderkey) FROM orders WHERE o_custkey = 100
+            UNION ALL
+            SELECT MAX(o_orderkey) FROM orders WHERE o_custkey = 200
+        )
+    """,
+)
+def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM-INDEXED point lookup on a manifest table: orders
+    land partitioned by year, `manifest_collect_bloom` builds an
+    o_orderkey filter per data file (seeded xxhash64, bitset in the
+    manifest), and two point probes read only the files whose filter may
+    contain the key — the high-cardinality-equality complement of the
+    zone maps (min/max can't prune a scattered key; a bloom filter can;
+    no-false-negative + pruning ratios pinned in tests/test_skipping.py).
+    Probe keys derive deterministically from the data (min/max orderkey
+    of two customers) so every SF works; oracle = the plain equality
+    scan."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_upsert_partitioned,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_read_point,
+    )
+
+    target = _tmp("bloom_pt")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    keys = orders.agg(
+        F.min(F.when(F.col("o_custkey") == 100, F.col("o_orderkey"))),
+        F.max(F.when(F.col("o_custkey") == 200, F.col("o_orderkey"))),
+    ).first()
+    try:
+        manifest_upsert_partitioned(orders, target, ["o_orderkey"], "o_year")
+        manifest_collect_bloom(spark, target, "o_orderkey", bits=65536, k=5)
+        hits = [
+            manifest_read_point(spark, target, "o_orderkey", k)
+            for k in keys
+            if k is not None
+        ]
+        if not hits:  # degenerate SF without those customers
+            hits = [orders.filter(F.lit(False))]
+        out = hits[0]
+        for h in hits[1:]:
+            out = out.unionByName(h)
+        return (
+            out.select(
+                "o_orderkey",
+                "o_custkey",
+                F.round("o_totalprice", 4).alias("o_totalprice"),
+            )
+            .localCheckpoint()  # materialize before the temp table vanishes
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
     "skew_salted_agg",
     oracle="""
         SELECT l_returnflag,

@@ -338,6 +338,38 @@ def _publish_manifest(path: str, version: int, content: dict) -> None:
     os.replace(tmp, os.path.join(d, f"{version}.json"))
 
 
+def _carry_stats(old_content: dict, new_parts: dict) -> dict:
+    """File-stats entries to carry into a new manifest version: directories
+    are immutable, so stats survive any commit that keeps the directory
+    referenced; entries for dereferenced directories drop (their data is
+    vacuum-eligible). Newly written directories simply have no stats until
+    the next ``manifest_collect_stats`` / clustering pass — skipping treats
+    stat-less files as always-kept, so this is never a correctness issue."""
+    stats = old_content.get("stats")
+    if not stats:
+        return {}
+    live = tuple(f"{rel}/" for rel in new_parts.values())
+    return {f: s for f, s in stats.items() if f.startswith(live)}
+
+
+def _carry_bloom(old_content: dict, new_parts: dict) -> dict:
+    """Same carry rule for the per-file bloom index (skipping.py):
+    entries follow their immutable directory; dereferenced dirs drop."""
+    bloom = old_content.get("bloom")
+    if not bloom:
+        return {}
+    live = tuple(f"{rel}/" for rel in new_parts.values())
+    return {
+        col: {
+            **entry,
+            "files": {
+                f: w for f, w in entry["files"].items() if f.startswith(live)
+            },
+        }
+        for col, entry in bloom.items()
+    }
+
+
 def manifest_read(
     spark,
     path: str,
@@ -446,6 +478,9 @@ def manifest_upsert_partitioned(
             "fmt": fmt,
             "partition_col": partition_col,
             "schema": out_schema,
+            "stats": _carry_stats(content, parts),
+            "stats_cols": content.get("stats_cols", []),
+            "bloom": _carry_bloom(content, parts),
         },
     )
     n_batch = n_merged - n_survivors
@@ -508,6 +543,8 @@ def manifest_compact(
         parts[k] = f"{stage}/__p={k}"
     content = dict(content)
     content["partitions"] = parts
+    content["stats"] = _carry_stats(content, parts)
+    content["bloom"] = _carry_bloom(content, parts)
     _publish_manifest(path, version + 1, content)
     files_after = sum(_n_files(parts[k]) for k in selected)
     return {
@@ -725,6 +762,9 @@ def manifest_replace_partitions(
             "fmt": fmt,
             "partition_col": partition_col,
             "schema": out_schema,
+            "stats": _carry_stats(content, parts),
+            "stats_cols": content.get("stats_cols", []),
+            "bloom": _carry_bloom(content, parts),
         },
     )
     return {"partitions_written": written, "partitions_dropped": dropped}

@@ -1,0 +1,219 @@
+"""File-level stats, data skipping, and Z-order clustering
+(sources/skipping.py) — the zone-map half of the manifest table protocol.
+
+Pins: (1) bucketize is an exact equi-depth binary search; (2) z-ordering
+narrows per-file ranges in EVERY clustered dimension, so a box predicate
+on either column prunes most files — while a linear sort only prunes its
+leading column; (3) skipping never changes results (files without stats
+are kept; partial overlaps fall through to the row filter); (4) stats
+survive upserts on untouched partitions and only new directories are
+re-scanned.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    _latest_manifest,
+    manifest_read,
+    manifest_upsert_partitioned,
+)
+from data_management_service_run_etl_imputations_spark.sources.skipping import (
+    bucketize,
+    manifest_cluster_zorder,
+    manifest_collect_stats,
+    manifest_read_skipping,
+    manifest_skipping_plan,
+    with_zorder,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """A 4-partition manifest table with two independent uniform columns —
+    the worst case for linear sort, the motivating case for Z-order."""
+    path = str(tmp_path / "ztab")
+    df = spark.range(8000).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        # independent pseudo-uniform dimensions (deterministic, no rand())
+        ((F.col("id") * 2654435761) % 10000).alias("a"),
+        ((F.col("id") * 40503 + 7919) % 10000).alias("b"),
+    )
+    manifest_upsert_partitioned(df, path, ["row_id"], "p")
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_bucketize_exact_binary_search(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    # boundaries 24.0, 49.0, 74.0 -> buckets [0..24], (24..49], (49..74], rest
+    out = df.select(
+        "v", bucketize(F.col("v"), [24.0, 49.0, 74.0]).alias("bkt")
+    ).collect()
+    for r in out:
+        expect = sum(1 for b in [24.0, 49.0, 74.0] if r.v > b)
+        assert r.bkt == expect, (r.v, r.bkt, expect)
+
+
+def test_bucketize_null_and_empty(spark):
+    df = spark.createDataFrame([(None,), (5.0,)], "v double")
+    rows = {r.v: r.bkt for r in df.select(
+        "v", bucketize(F.col("v"), [10.0]).alias("bkt")
+    ).collect()}
+    assert rows[5.0] == 0 and rows[None] == 0
+    assert df.select(bucketize(F.col("v"), []).alias("b")).first().b == 0
+
+
+def test_with_zorder_equidepth_under_skew(spark):
+    # heavily skewed column: equi-depth buckets stay balanced where a
+    # min/max linear scaling would put ~all rows in bucket 0
+    df = spark.range(4096).select(
+        (F.col("id") * F.col("id") * F.col("id")).cast("double").alias("a"),
+    )
+    # single column: the z-value IS the equi-depth bucket id (0..15)
+    z = with_zorder(df, ["a"], bits_per_col=4)
+    counts = [
+        r.n
+        for r in z.groupBy("__z").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(counts) >= 12  # skew didn't collapse the bucket space
+    assert max(counts) <= 3 * (4096 // 16)
+
+
+def test_zorder_prunes_both_dimensions(spark, table):
+    stats = manifest_cluster_zorder(
+        spark, table, ["a", "b"], files_per_partition=16
+    )
+    assert stats["partitions"] == 4 and stats["files"] >= 32
+    for ranges in ({"a": (0, 999)}, {"b": (4000, 4999)}):
+        kept, n_kept, n_total, _ = manifest_skipping_plan(table, ranges)
+        # a 10%-selectivity box on EITHER dimension must prune >=half the
+        # files — the property a linear sort cannot give on its 2nd column
+        assert n_total >= 16 and n_kept <= n_total // 2, (ranges, n_kept, n_total)
+
+
+def test_skipping_results_identical_to_full_filter(spark, table):
+    manifest_cluster_zorder(spark, table, ["a", "b"], files_per_partition=8)
+    ranges = {"a": (1000, 3999), "b": (2000, 8999)}
+    skipped = manifest_read_skipping(spark, table, ranges)
+    full = manifest_read(spark, table).filter(
+        F.col("a").between(1000, 3999) & F.col("b").between(2000, 8999)
+    )
+    a = sorted(r.row_id for r in skipped.select("row_id").collect())
+    b = sorted(r.row_id for r in full.select("row_id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_skipping_without_stats_keeps_all_files(spark, table):
+    kept, n_kept, n_total, _ = manifest_skipping_plan(table, {"a": (0, 10)})
+    assert n_kept == n_total  # no stats yet -> nothing provably droppable
+    out = manifest_read_skipping(spark, table, {"a": (0, 10)})
+    oracle = manifest_read(spark, table).filter(F.col("a") <= 10).count()
+    assert out.count() == oracle
+
+
+def test_collect_stats_incremental_skips_covered_dirs(spark, table):
+    first = manifest_collect_stats(spark, table, ["a", "b"])
+    assert first["directories"] == 4 and first["files"] > 0
+    again = manifest_collect_stats(spark, table, ["a", "b"])
+    assert again == {"files": 0, "directories": 0}  # immutable dirs covered
+    # upsert touching ONE partition: only its new directory is re-scanned
+    batch = spark.createDataFrame(
+        [(90001, "2", 5, 5)], "row_id long, p string, a long, b long"
+    )
+    manifest_upsert_partitioned(batch, table, ["row_id"], "p")
+    after = manifest_collect_stats(spark, table, ["a", "b"])
+    assert after["directories"] == 1
+
+
+def test_stats_match_actual_minmax(spark, table):
+    manifest_collect_stats(spark, table, ["a"])
+    _, content = _latest_manifest(table)
+    for frel, s in content["stats"].items():
+        actual = (
+            spark.read.parquet(f"{table}/{frel}")
+            .agg(F.min("a"), F.max("a"), F.count(F.lit(1)))
+            .first()
+        )
+        assert s["cols"]["a"]["min"] == actual[0]
+        assert s["cols"]["a"]["max"] == actual[1]
+        assert s["rows"] == actual[2]
+
+
+def test_stats_and_data_commit_atomically(spark, table):
+    v_before, _ = _latest_manifest(table)
+    manifest_cluster_zorder(spark, table, ["a"], files_per_partition=4)
+    v_after, content = _latest_manifest(table)
+    assert v_after == v_before + 1  # clustering + stats = ONE new version
+    with open(f"{table}/_commits/{v_after}.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["stats"] and on_disk["stats_cols"] == ["a"]
+    # time travel: the pre-clustering version still reads the same content
+    old = manifest_read(spark, table, version=v_before)
+    assert old.count() == 8000
+
+
+# --- bloom index (point-lookup skipping) -----------------------------------
+
+
+def test_bloom_prunes_point_lookup(spark, table):
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_point_plan,
+        manifest_read_point,
+    )
+
+    # fragment into many files so there is something to skip
+    manifest_cluster_zorder(spark, table, ["a"], files_per_partition=16)
+    built = manifest_collect_bloom(spark, table, "row_id", bits=8192, k=4)
+    assert built["files"] >= 32 and built["directories"] == 4
+    hits = misses = 0
+    for key in (17, 4242, 7999):
+        kept, n_kept, n_total, _ = manifest_point_plan(spark, table, "row_id", key)
+        hits += n_kept
+        misses += n_total - n_kept
+        # ~125 rows/file at 10 bits/row: the true file plus rare fps
+        assert n_kept <= max(4, n_total // 8), (key, n_kept, n_total)
+        got = manifest_read_point(spark, table, "row_id", key).collect()
+        assert len(got) == 1 and got[0].row_id == key
+    assert misses > hits  # the index actually skipped most files
+
+
+def test_bloom_no_false_negatives_exhaustive(spark, table):
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_read_point,
+    )
+
+    manifest_collect_bloom(spark, table, "row_id", bits=4096, k=3)
+    # every key must be found through the index (bloom guarantees no FN)
+    sampled = list(range(0, 8000, 997))
+    for key in sampled:
+        assert manifest_read_point(spark, table, "row_id", key).count() == 1
+    # absent key: zero rows, regardless of fp-driven extra file reads
+    assert manifest_read_point(spark, table, "row_id", 999999).count() == 0
+
+
+def test_bloom_survives_upsert_and_refreshes_incrementally(spark, table):
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_read_point,
+    )
+
+    first = manifest_collect_bloom(spark, table, "row_id", bits=8192, k=4)
+    assert first["directories"] == 4
+    batch = spark.createDataFrame(
+        [(90001, "1", 7, 7)], "row_id long, p string, a long, b long"
+    )
+    manifest_upsert_partitioned(batch, table, ["row_id"], "p")
+    # untouched partitions keep their index; only partition "1" re-scans
+    again = manifest_collect_bloom(spark, table, "row_id", bits=8192, k=4)
+    assert again["directories"] == 1
+    assert manifest_read_point(spark, table, "row_id", 90001).count() == 1
+    assert manifest_read_point(spark, table, "row_id", 17).count() == 1
