@@ -28,9 +28,13 @@ def impute_with_group_stats(
     entirely null fall back to the global statistic; if that is also null
     the value stays null.
 
-    Scale: one window (no self-join); with group_cols the stat is computed
-    per partition key — Spark pushes partial aggregation map-side. median
-    uses the exact percentile; swap for approx_percentile at extreme scale.
+    Scale: with group_cols this is one ROLLUP aggregate (group + global
+    stats in a single data pass, partial agg map-side) followed by a
+    broadcast equi-join of the group-count-sized dim — the fact table is
+    never funneled through a single partition, and no window runs over it
+    at all. Without group_cols it is a 1-row aggregate broadcast back onto
+    every row. median uses the exact percentile; swap for
+    approx_percentile at extreme scale.
     """
     if strategy == "mean":
         agg = F.avg
@@ -40,13 +44,54 @@ def impute_with_group_stats(
         raise ValueError(f"unknown strategy: {strategy!r} (mean|median)")
 
     out_col = out_col or value_col
-    w_group = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
-    w_global = Window.partitionBy()
-    group_stat = agg(value_col).over(w_group)
-    global_stat = agg(value_col).over(w_global)
-    return df.withColumn(
-        out_col, F.coalesce(F.col(value_col), group_stat, global_stat)
+
+    if not group_cols:
+        # Global-only fill: a 1-row aggregate broadcast back onto every row.
+        # NOT Window.partitionBy() — an unpartitioned window forces the whole
+        # fact table through a SinglePartition exchange; the 1-row broadcast
+        # NLJ costs nothing and keeps the scan fully parallel.
+        gstats = df.agg(agg(value_col).alias("__gstat"))
+        out = df.crossJoin(F.broadcast(gstats)).withColumn(
+            out_col, F.coalesce(F.col(value_col), F.col("__gstat"))
+        )
+        return out.drop("__gstat")
+
+    # Group + global in ONE pass over the data: ROLLUP yields the per-group
+    # rows (grouping_id == 0) and the grand-total row (grouping_id == all
+    # ones) from a single hash aggregate (Expand factor k+1, partial agg
+    # map-side). The grand total is then smeared across the tiny dim with
+    # an unpartitioned window — single-partition over #groups rows, which
+    # is exactly the set being broadcast anyway — and the dim equi-joins
+    # back null-safely (group keys may be NULL; <=> is still a hash-join
+    # key). Net plan: one data-scale aggregate exchange + one
+    # BroadcastHashJoin. No global window over the fact table, no
+    # cartesian/NLJ node anywhere.
+    total_gid = (1 << len(group_cols)) - 1
+    rolled = df.rollup(*group_cols).agg(
+        F.grouping_id().alias("__gid"), agg(value_col).alias("__gstat")
     )
+    global_stat = F.max(
+        F.when(F.col("__gid") == total_gid, F.col("__gstat"))
+    ).over(Window.partitionBy())
+    keyed = [f"__k_{i}" for i in range(len(group_cols))]
+    dim = (
+        rolled.withColumn("__global", global_stat)
+        .filter(F.col("__gid") == 0)
+        .select(
+            *[F.col(c).alias(k) for c, k in zip(group_cols, keyed)],
+            "__gstat",
+            "__global",
+        )
+    )
+    cond = None
+    for c, k in zip(group_cols, keyed):
+        clause = df[c].eqNullSafe(dim[k])
+        cond = clause if cond is None else (cond & clause)
+    out = df.join(F.broadcast(dim), cond, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(value_col), F.col("__gstat"), F.col("__global")),
+    )
+    return out.drop("__gstat", "__global", *keyed)
 
 
 def impute_forward_fill(

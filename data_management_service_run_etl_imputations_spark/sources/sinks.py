@@ -323,19 +323,41 @@ def _latest_manifest(path: str) -> tuple[int, dict]:
     return best, content
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this manifest version first. The caller's
+    staged data directory is intact and unreferenced; re-read the latest
+    manifest and retry the commit against it (optimistic concurrency, the
+    same contract Delta/Iceberg give through their locking/CAS layer)."""
+
+
 def _publish_manifest(path: str, version: int, content: dict) -> None:
-    """Atomic publish: write temp in the same directory, fsync, rename."""
+    """Atomic, conflict-safe publish: write a writer-unique temp in the
+    same directory, fsync, then ``os.link`` it to the version file.
+    link(2) fails with EEXIST if the target exists — unlike ``os.replace``
+    it can NEVER clobber a concurrent writer's commit — so two writers
+    racing to version N+1 get exactly one winner and a loud
+    :class:`CommitConflict` for the loser."""
     import json
     import os
+    import uuid
 
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".{version}.json.tmp")
+    tmp = os.path.join(d, f".{version}.json.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
         json.dump(content, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(d, f"{version}.json"))
+    target = os.path.join(d, f"{version}.json")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise CommitConflict(
+            f"manifest version {version} already committed at {path}; "
+            "re-read the latest manifest and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _carry_stats(old_content: dict, new_parts: dict) -> dict:

@@ -122,6 +122,53 @@ def test_writer_crash_before_manifest_is_invisible(spark, table_path):
     ]
 
 
+def test_concurrent_writers_one_winner_loud_loser(spark, table_path):
+    """Two writers racing to the same next version (VERDICT r04 gap #1):
+    the commit is an exclusive link — exactly one wins; the loser raises
+    CommitConflict instead of silently clobbering, and the winner's
+    manifest content is untouched. Recovery is re-reading the latest
+    version and retrying, which then lands as the NEXT version."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CommitConflict,
+        _publish_manifest,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    version, content = _latest_manifest(table_path)
+
+    # both writers observed `version`; writer A commits version+1 first
+    winner = dict(content, winner="A")
+    _publish_manifest(table_path, version + 1, winner)
+
+    # writer B, still holding the stale read, races to the same version
+    with pytest.raises(CommitConflict):
+        _publish_manifest(table_path, version + 1, dict(content, winner="B"))
+
+    # winner's commit is intact (no clobber), and no temp debris remains
+    v2, c2 = _latest_manifest(table_path)
+    assert v2 == version + 1 and c2.get("winner") == "A"
+    debris = [
+        n
+        for n in os.listdir(f"{table_path}/_commits")
+        if n.endswith(".tmp")
+    ]
+    assert debris == []
+
+    # loser retries against the refreshed head: lands as version+2
+    _publish_manifest(table_path, v2 + 1, dict(c2, winner="B"))
+    v3, c3 = _latest_manifest(table_path)
+    assert v3 == version + 2 and c3.get("winner") == "B"
+
+    # the full upsert path also advances past the raced version cleanly
+    b2 = _batch(spark, [(1, "d1", 10.0)])
+    manifest_upsert_partitioned(b2, table_path, ["k"], "day")
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 10.0),
+        (2, "d2", 2.0),
+    ]
+
+
 def test_partition_pruning_via_manifest(spark, table_path):
     b1 = _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d3", 3.0)])
     manifest_upsert_partitioned(b1, table_path, ["k"], "day")

@@ -40,9 +40,6 @@ ALLOWED_CROSS = {
     # exact duplicates in the t=0.9 pruning-regime query
     "dedup_embedding_cosine_strict",
 
-    "impute_group_mean",   # global-stat window = single-partition by design
-    "impute_group_median",
-    "impute_ml_global_mean",
     # 1-row global-mean fallback broadcast NLJ (deliberate: keeps the
     # segment window hash-partitioned instead of single-partition)
     "impute_regression_trend",

@@ -250,6 +250,35 @@ def test_impute_regression_single_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+@pytest.mark.parametrize("strategy", ["mean", "median"])
+def test_impute_group_stats_no_fact_funnel(spark, sf_dir, strategy):
+    """impute_with_group_stats must never single-partition the fact table:
+    the plan is one ROLLUP hash aggregate over the data + a broadcast
+    equi-join of the group-sized dim. The only SinglePartition exchange
+    allowed is the dim-side global smear (bounded by #groups); no window
+    runs over the fact table at all, and no cartesian/NLJ node exists."""
+    from data_management_service_run_etl_imputations_spark.operators.imputation import (
+        impute_with_group_stats,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = impute_with_group_stats(
+        events, "value", ["user_id"], strategy=strategy, out_col="vi"
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly one data-scale exchange: the rollup aggregate's hash partition
+    assert plan.count("Exchange hashpartitioning") == 1
+    # at most one SinglePartition exchange, and it must feed the tiny dim's
+    # global-smear Window (over the aggregate), never a fact-table window
+    assert plan.count("Exchange SinglePartition") <= 1
+    win = [ln for ln in plan.splitlines() if ln.strip().startswith(("Window", "+- Window", ":- Window"))]
+    for ln in win:
+        assert "__global" in ln  # windows only over the rollup dim
+
+
 def test_expectations_single_aggregate_scan(spark, sf_dir):
     """validate_expectations folds every rule into one aggregate: the
     plan contains exactly one pass over the input (one HashAggregate
