@@ -283,18 +283,27 @@ def merge_upsert_partitioned(
 #     partitions into a fresh staging dir, never touching live files;
 #   - visibility is a single metadata file `_commits/<version>.json`
 #     mapping each partition value to the directory that currently holds
-#     it, published by an atomic same-filesystem rename (temp + rename is
-#     atomic on POSIX and HDFS; on S3 use a conditional PUT);
-#   - readers resolve ONE manifest and read exactly the directories it
-#     lists, so every scan sees one consistent version — old until the
-#     rename lands, new after, never a mix. Old versions stay readable
-#     (time travel) until `manifest_vacuum`.
+#     it AND to the exact file list (path, size, rows) captured at commit
+#     time, published by an exclusive-create link (atomic on POSIX and
+#     HDFS; on S3 use a conditional PUT) — two racing writers get one
+#     winner and a CommitConflict;
+#   - readers resolve ONE manifest and read exactly the FILES it lists,
+#     so every scan sees one consistent version — old until the commit
+#     lands, new after, never a mix — and planning a read performs zero
+#     filesystem listing (on object storage a LIST over 100k files is
+#     slow and only eventually consistent; commit-time capture makes
+#     reads metadata-only, the Delta/Iceberg design). Old versions stay
+#     readable (time travel) until `manifest_vacuum`.
 #
 # Partition pruning happens at the MANIFEST level (the reader helper takes
-# partition values and opens only those directories) — the same mechanism
-# that lets a daily upsert over a 100 TB date-partitioned fact touch
-# |batch dates| directories of metadata and data, independent of table
-# size. The manifest itself is one JSON of |partitions| entries.
+# partition values and opens only those partitions' files) — the same
+# mechanism that lets a daily upsert over a 100 TB date-partitioned fact
+# touch |batch dates| directories of metadata and data, independent of
+# table size. The manifest JSON is O(|partitions| + |files|); per-file
+# zone-map stats and bloom bitsets live in immutable PARQUET SIDECARS
+# under `_index/`, carried across commits by reference (`stats_ref` /
+# `bloom_ref`) — index bytes never ride through the per-commit JSON
+# rewrite (skipping.py).
 
 
 def _manifest_dir(path: str) -> str:
@@ -360,36 +369,42 @@ def _publish_manifest(path: str, version: int, content: dict) -> None:
         os.unlink(tmp)
 
 
-def _carry_stats(old_content: dict, new_parts: dict) -> dict:
-    """File-stats entries to carry into a new manifest version: directories
-    are immutable, so stats survive any commit that keeps the directory
-    referenced; entries for dereferenced directories drop (their data is
-    vacuum-eligible). Newly written directories simply have no stats until
-    the next ``manifest_collect_stats`` / clustering pass — skipping treats
-    stat-less files as always-kept, so this is never a correctness issue."""
-    stats = old_content.get("stats")
-    if not stats:
-        return {}
-    live = tuple(f"{rel}/" for rel in new_parts.values())
-    return {f: s for f, s in stats.items() if f.startswith(live)}
+def _list_dir_files(path: str, rel_dir: str, fmt: str) -> list[list]:
+    """COMMIT-TIME file listing for a freshly staged directory:
+    ``[[file_rel, size_bytes, n_rows|None], ...]``. This is the ONE place
+    the protocol lists the filesystem on the write path — the result is
+    recorded in the manifest so every read/plan afterwards resolves files
+    from metadata alone (object-store LIST is slow and only eventually
+    consistent; Delta/Iceberg make the same trade). Row counts come from
+    the parquet footer (a driver-local metadata read per new file)."""
+    import os
+
+    out: list[list] = []
+    d = f"{path}/{rel_dir}"
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(f".{fmt}"):
+            continue
+        p = os.path.join(d, name)
+        rows = None
+        if fmt == "parquet":
+            try:
+                import pyarrow.parquet as pq
+
+                rows = pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                rows = None
+        out.append([f"{rel_dir}/{name}", os.path.getsize(p), rows])
+    return out
 
 
-def _carry_bloom(old_content: dict, new_parts: dict) -> dict:
-    """Same carry rule for the per-file bloom index (skipping.py):
-    entries follow their immutable directory; dereferenced dirs drop."""
-    bloom = old_content.get("bloom")
-    if not bloom:
-        return {}
-    live = tuple(f"{rel}/" for rel in new_parts.values())
-    return {
-        col: {
-            **entry,
-            "files": {
-                f: w for f, w in entry["files"].items() if f.startswith(live)
-            },
-        }
-        for col, entry in bloom.items()
-    }
+def _live_file_rels(content: dict, parts: dict | None = None) -> list[str]:
+    """Flat file list for the given partitions (default: all), straight
+    from the manifest — no filesystem access."""
+    files: dict = content.get("files", {})
+    keys = sorted(parts if parts is not None else content.get("partitions", {}))
+    return [e[0] for k in keys for e in files.get(k, [])]
 
 
 def manifest_read(
@@ -400,8 +415,10 @@ def manifest_read(
 ) -> DataFrame:
     """Read a manifest-committed table: resolve ONE manifest version (the
     latest, or a pinned ``version`` for time travel / a stable multi-read
-    snapshot) and scan exactly the directories it lists. ``partition_values``
-    prunes at the manifest level — unlisted directories are never opened."""
+    snapshot) and scan exactly the FILES it lists — the manifest records
+    per-partition file lists at commit time, so planning a read performs
+    ZERO filesystem listing (a stray/orphaned file inside a data directory
+    is invisible). ``partition_values`` prunes at the manifest level."""
     if version is None:
         version, content = _latest_manifest(path)
     else:
@@ -425,7 +442,8 @@ def manifest_read(
         # lack it in their footers; mergeSchema unions the file schemas so
         # old partitions read the new column as null
         reader = reader.option("mergeSchema", "true")
-    return reader.load([f"{path}/{rel}" for rel in sorted(parts.values())])
+    rels = _live_file_rels(content, parts)
+    return reader.load([f"{path}/{rel}" for rel in rels])
 
 
 def manifest_upsert_partitioned(
@@ -453,12 +471,15 @@ def manifest_upsert_partitioned(
     spark = incoming.sparkSession
     version, content = _latest_manifest(path)
     parts: dict = dict(content.get("partitions", {}))
+    files: dict = dict(content.get("files", {}))
 
     touched = [
         r[0] for r in incoming.select(partition_col).distinct().collect()
     ]
     touched_keys = [str(v) for v in touched]
-    live = [parts[k] for k in touched_keys if k in parts]
+    live = _live_file_rels(
+        content, {k: parts[k] for k in touched_keys if k in parts}
+    )
 
     if live:
         reader = spark.read.format(fmt)
@@ -490,19 +511,26 @@ def manifest_upsert_partitioned(
         f"{path}/{stage}"
     )
     for k in touched_keys:
-        parts[k] = f"{stage}/__p={k}"
+        rel = f"{stage}/__p={k}"
+        parts[k] = rel
+        files[k] = _list_dir_files(path, rel, fmt)
 
+    # stats/bloom sidecars carry BY REFERENCE: the sidecar files are
+    # immutable, and every loader intersects sidecar entries with this
+    # manifest's live file list — entries for rewritten files go stale
+    # harmlessly until the next collect pass rewrites the sidecar.
     _publish_manifest(
         path,
         version + 1,
         {
             "partitions": parts,
+            "files": files,
             "fmt": fmt,
             "partition_col": partition_col,
             "schema": out_schema,
-            "stats": _carry_stats(content, parts),
+            "stats_ref": content.get("stats_ref"),
             "stats_cols": content.get("stats_cols", []),
-            "bloom": _carry_bloom(content, parts),
+            "bloom_ref": content.get("bloom_ref"),
         },
     )
     n_batch = n_merged - n_survivors
@@ -529,13 +557,13 @@ def manifest_compact(
 
     Returns {"partitions": n, "files_before": n, "files_after": n}.
     """
-    import glob
     import uuid
 
     version, content = _latest_manifest(path)
     if version == 0:
         return {"partitions": 0, "files_before": 0, "files_after": 0}
     parts: dict = dict(content["partitions"])
+    files: dict = dict(content.get("files", {}))
     selected = {
         k: rel
         for k, rel in parts.items()
@@ -544,13 +572,11 @@ def manifest_compact(
     if not selected:
         return {"partitions": 0, "files_before": 0, "files_after": 0}
 
-    def _n_files(rel: str) -> int:
-        return len(glob.glob(f"{path}/{rel}/*.{fmt}"))
-
-    files_before = sum(_n_files(rel) for rel in selected.values())
+    # file counts come from the manifest, not a directory listing
+    files_before = sum(len(files.get(k, [])) for k in selected)
     pcol = content["partition_col"]
     df = spark.read.format(fmt).load(
-        [f"{path}/{rel}" for rel in selected.values()]
+        [f"{path}/{rel}" for rel in _live_file_rels(content, selected)]
     )
     stage = f"data/{uuid.uuid4().hex[:12]}"
     # one output file per partition: repartition BY the partition value,
@@ -562,13 +588,14 @@ def manifest_compact(
         f"{path}/{stage}"
     )
     for k in selected:
-        parts[k] = f"{stage}/__p={k}"
+        rel = f"{stage}/__p={k}"
+        parts[k] = rel
+        files[k] = _list_dir_files(path, rel, fmt)
     content = dict(content)
     content["partitions"] = parts
-    content["stats"] = _carry_stats(content, parts)
-    content["bloom"] = _carry_bloom(content, parts)
+    content["files"] = files
     _publish_manifest(path, version + 1, content)
-    files_after = sum(_n_files(parts[k]) for k in selected)
+    files_after = sum(len(files[k]) for k in selected)
     return {
         "partitions": len(selected),
         "files_before": files_before,
@@ -616,20 +643,21 @@ def manifest_diff(
     new_parts = new_content["partitions"]
     fmt = new_content.get("fmt", "parquet")
 
-    changed_old = [
-        rel for k, rel in old_parts.items() if new_parts.get(k) != rel
-    ]
-    changed_new = [
-        rel for k, rel in new_parts.items() if old_parts.get(k) != rel
-    ]
+    changed_old = {
+        k: rel for k, rel in old_parts.items() if new_parts.get(k) != rel
+    }
+    changed_new = {
+        k: rel for k, rel in new_parts.items() if old_parts.get(k) != rel
+    }
 
-    def _read(rels: list[str], content: dict) -> DataFrame:
+    def _read(parts: dict, content: dict) -> DataFrame:
+        rels = _live_file_rels(content, parts)
         if not rels:
             return spark.createDataFrame([], content["schema"])
         reader = spark.read.format(fmt)
         if fmt == "parquet":
             reader = reader.option("mergeSchema", "true")
-        return reader.load([f"{path}/{rel}" for rel in sorted(rels)])
+        return reader.load([f"{path}/{rel}" for rel in rels])
 
     old_df = _read(changed_old, old_content)
     new_df = _read(changed_new, new_content)
@@ -754,6 +782,7 @@ def manifest_replace_partitions(
     spark = df.sparkSession
     version, content = _latest_manifest(path)
     parts: dict = dict(content.get("partitions", {}))
+    files: dict = dict(content.get("files", {}))
     wanted = [str(v) for v in partition_values]
 
     stage = f"data/{uuid.uuid4().hex[:12]}"
@@ -771,22 +800,26 @@ def manifest_replace_partitions(
     written = dropped = 0
     for k in wanted:
         if k in present:
-            parts[k] = f"{stage}/__p={k}"
+            rel = f"{stage}/__p={k}"
+            parts[k] = rel
+            files[k] = _list_dir_files(path, rel, fmt)
             written += 1
         elif k in parts:
             del parts[k]
+            files.pop(k, None)
             dropped += 1
     _publish_manifest(
         path,
         version + 1,
         {
             "partitions": parts,
+            "files": files,
             "fmt": fmt,
             "partition_col": partition_col,
             "schema": out_schema,
-            "stats": _carry_stats(content, parts),
+            "stats_ref": content.get("stats_ref"),
             "stats_cols": content.get("stats_cols", []),
-            "bloom": _carry_bloom(content, parts),
+            "bloom_ref": content.get("bloom_ref"),
         },
     )
     return {"partitions_written": written, "partitions_dropped": dropped}
@@ -794,8 +827,12 @@ def manifest_replace_partitions(
 
 def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
     """Delete data directories not referenced by the ``keep_versions``
-    newest manifests (and drop older manifests): the GC half of the
-    protocol, run out-of-band like Delta VACUUM. Returns removed dir count."""
+    newest manifests (and drop older manifests + their now-unreferenced
+    stats/bloom sidecars): the GC half of the protocol, run out-of-band
+    like Delta VACUUM. Vacuum is the ONE maintenance operation that lists
+    the filesystem (to catch crashed writers' orphaned stage dirs) —
+    every read/plan path resolves files from the manifest alone.
+    Returns removed dir count."""
     import json
     import os
     import shutil
@@ -808,10 +845,15 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
     )
     keep = set(versions[-keep_versions:])
     referenced: set[str] = set()
+    sidecars: set[str] = set()
     for v in keep:
         with open(os.path.join(d, f"{v}.json")) as f:
-            for rel in json.load(f)["partitions"].values():
-                referenced.add(rel.split("/__p=")[0])
+            content = json.load(f)
+        for rel in content["partitions"].values():
+            referenced.add(rel.split("/__p=")[0])
+        for key in ("stats_ref", "bloom_ref"):
+            if content.get(key):
+                sidecars.add(content[key])
     removed = 0
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
@@ -819,6 +861,11 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
             if f"data/{name}" not in referenced:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed += 1
+    index_root = os.path.join(path, "_index")
+    if os.path.isdir(index_root):
+        for name in os.listdir(index_root):
+            if f"_index/{name}" not in sidecars:
+                os.remove(os.path.join(index_root, name))
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(d, f"{v}.json"))

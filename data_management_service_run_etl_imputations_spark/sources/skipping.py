@@ -32,8 +32,19 @@ Design choices, and why they hold at scale:
   their per-column min/max narrow.
 - **Stats collected from the data just written** (grouped by
   ``input_file_name``) — one extra pass over the rewritten partitions
-  only, never the table; stored in the next manifest version, so stats
-  and data commit atomically together and time travel keeps them paired.
+  only, never the table.
+- **Index bytes live in PARQUET SIDECARS, not the manifest JSON.** Zone
+  maps and bloom bitsets are written to immutable files under
+  ``_index/`` and referenced from the manifest (``stats_ref`` /
+  ``bloom_ref``); commits that do not touch the index carry the
+  reference, so the per-commit JSON stays O(partitions + files) while
+  the index can hold KBs per file. Loaders intersect sidecar entries
+  with the manifest's live file list, so entries for rewritten files go
+  stale harmlessly until the next collect pass compacts them away.
+- **Plans never list the filesystem.** Every plan resolves candidate
+  files from the manifest's commit-time file list — a skipping or point
+  read over 100k files on object storage costs one manifest + one
+  sidecar read, not a LIST per query.
 
 No instruction here derives from the reference (its storage layer is a
 SQL-Server table, ``function_app.py:192-196``); this is the engine's own
@@ -42,7 +53,10 @@ scale extension, following the public Delta/Iceberg zone-map design.
 
 from __future__ import annotations
 
-import glob
+import datetime
+import decimal
+import json
+import math
 import os
 import uuid
 
@@ -51,6 +65,8 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.sources.sinks import (
     _latest_manifest,
+    _list_dir_files,
+    _live_file_rels,
     _manifest_dir,
     _publish_manifest,
 )
@@ -132,30 +148,209 @@ def with_zorder(
     return df.withColumn(name, zorder_column(buckets, bits_per_col))
 
 
-def _json_safe(v):
-    """Stats land in a JSON manifest: numerics stay numeric (range
-    comparisons), everything else (dates, strings, decimals) serializes
-    as str — comparisons on both sides then happen in the same domain."""
+def _json_safe(v, side: str | None = None):
+    """Stats land in a JSON sidecar: numerics stay numeric (range
+    comparisons), everything else (dates, strings) serializes as str —
+    comparisons on both sides then happen in the same domain. Decimals
+    with more precision than a double WIDEN toward ``side`` ("min" rounds
+    down, "max" rounds up) so a lossy float can never let skipping prune
+    a file whose true range touches the probe boundary."""
     if v is None or isinstance(v, (int, float, bool)):
         return v
-    try:
-        return float(v)  # Decimal and friends
-    except (TypeError, ValueError):
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if decimal.Decimal(f) != v and not math.isinf(f):
+            if side == "min" and decimal.Decimal(f) > v:
+                f = math.nextafter(f, -math.inf)
+            elif side == "max" and decimal.Decimal(f) < v:
+                f = math.nextafter(f, math.inf)
+        return f
+    return str(v)
+
+
+def _canon_bound(v, col: str):
+    """Canonicalize a caller-supplied range bound into the stored-stat
+    domain: numerics (incl. Decimal) → float, temporal → the same ``str``
+    form collection used, strings pass through. Anything else is rejected
+    loudly — a silently mis-typed probe would compare across domains."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
+    if isinstance(v, str):
+        return v
+    raise TypeError(
+        f"unsupported skipping bound for column {col!r}: {type(v).__name__}"
+    )
 
 
-def _stats_for_dirs(
-    spark, table_root: str, rel_dirs: list[str], cols: list[str], fmt: str
+def _canon_stat(v):
+    """Canonicalize a JSON-decoded stat for comparison: numeric → float,
+    str stays str (dates/datetimes were stored via str())."""
+    if v is None:
+        return None
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return float(v)
+    return str(v)
+
+
+def _cmp_guard(stat, bound, col: str):
+    """Both sides canonicalized; mixed domains (numeric stat vs string
+    bound or vice versa) raise instead of silently mis-pruning."""
+    if type(stat) is not type(bound):
+        raise TypeError(
+            f"mixed-type skipping probe on column {col!r}: stored stat is "
+            f"{type(stat).__name__}, bound is {type(bound).__name__} — "
+            "pass the bound in the column's domain"
+        )
+
+
+# --- index sidecars (parquet, immutable, referenced from the manifest) ----
+
+
+def _index_dir(path: str) -> str:
+    return f"{path}/_index"
+
+
+def _write_stats_sidecar(path: str, stats: dict) -> str:
+    """Write the full zone-map index as one immutable parquet sidecar and
+    return its manifest reference. min/max are JSON-encoded per cell so
+    heterogeneous column types (float vs string domains) round-trip with
+    their type intact. Driver-local write — the index is bounded by
+    |files| × |stats cols|, no Spark job needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files, nrows, cols, vmins, vmaxs, nulls = [], [], [], [], [], []
+    for frel in sorted(stats):
+        s = stats[frel]
+        for c in sorted(s["cols"]):
+            cs = s["cols"][c]
+            files.append(frel)
+            nrows.append(s["rows"])
+            cols.append(c)
+            vmins.append(json.dumps(cs["min"]))
+            vmaxs.append(json.dumps(cs["max"]))
+            nulls.append(cs["nulls"])
+    table = pa.table(
+        {
+            "file": pa.array(files, pa.string()),
+            "nrows": pa.array(nrows, pa.int64()),
+            "col": pa.array(cols, pa.string()),
+            "vmin": pa.array(vmins, pa.string()),
+            "vmax": pa.array(vmaxs, pa.string()),
+            "nulls": pa.array(nulls, pa.int64()),
+        }
+    )
+    os.makedirs(_index_dir(path), exist_ok=True)
+    ref = f"_index/{uuid.uuid4().hex[:12]}.stats.parquet"
+    pq.write_table(table, f"{path}/{ref}")
+    return ref
+
+
+def _load_stats_sidecar(path: str, content: dict) -> dict:
+    """Load the zone-map index for ONE manifest version, intersected with
+    that version's live file list (stale entries for rewritten files are
+    dropped here, which is what lets commits carry the sidecar by
+    reference). Returns {file_rel: {"rows": n, "cols": {c: {...}}}}."""
+    ref = content.get("stats_ref")
+    if not ref:
+        return {}
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(f"{path}/{ref}")
+    live = set(_live_file_rels(content))
+    out: dict = {}
+    for frel, nrows, col, vmin, vmax, nnull in zip(
+        *(table.column(c).to_pylist() for c in ("file", "nrows", "col", "vmin", "vmax", "nulls"))
+    ):
+        if frel not in live:
+            continue
+        e = out.setdefault(frel, {"rows": nrows, "cols": {}})
+        e["cols"][col] = {
+            "min": json.loads(vmin),
+            "max": json.loads(vmax),
+            "nulls": nnull,
+        }
+    return out
+
+
+def _write_bloom_sidecar(path: str, bloom: dict) -> str:
+    """Write the per-file bloom index ({col: {"bits", "k", "files":
+    {file: {"words": [...], "dtype": str}}}}) as one immutable parquet
+    sidecar. The bitset longs live HERE — the manifest JSON only carries
+    the reference, so commit cost never scales with index bits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols, files, bits_l, k_l, dtypes, words_l = [], [], [], [], [], []
+    for c in sorted(bloom):
+        entry = bloom[c]
+        for frel in sorted(entry["files"]):
+            fe = entry["files"][frel]
+            cols.append(c)
+            files.append(frel)
+            bits_l.append(entry["bits"])
+            k_l.append(entry["k"])
+            dtypes.append(fe["dtype"])
+            words_l.append(fe["words"])
+    table = pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "file": pa.array(files, pa.string()),
+            "bits": pa.array(bits_l, pa.int64()),
+            "k": pa.array(k_l, pa.int64()),
+            "dtype": pa.array(dtypes, pa.string()),
+            # uint64: word values use all 64 bits (bit 63 overflows int64)
+            "words": pa.array(words_l, pa.list_(pa.uint64())),
+        }
+    )
+    os.makedirs(_index_dir(path), exist_ok=True)
+    ref = f"_index/{uuid.uuid4().hex[:12]}.bloom.parquet"
+    pq.write_table(table, f"{path}/{ref}")
+    return ref
+
+
+def _load_bloom_sidecar(path: str, content: dict, col: str | None = None) -> dict:
+    """Load the bloom index (optionally one column via parquet predicate
+    pushdown — a point probe reads only its column's row groups),
+    intersected with the manifest's live file list."""
+    ref = content.get("bloom_ref")
+    if not ref:
+        return {}
+    import pyarrow.parquet as pq
+
+    filters = [("col", "==", col)] if col is not None else None
+    table = pq.read_table(f"{path}/{ref}", filters=filters)
+    live = set(_live_file_rels(content))
+    out: dict = {}
+    for c, frel, bits, k, dtype, words in zip(
+        *(table.column(n).to_pylist() for n in ("col", "file", "bits", "k", "dtype", "words"))
+    ):
+        if frel not in live:
+            continue
+        entry = out.setdefault(c, {"bits": bits, "k": k, "files": {}})
+        entry["files"][frel] = {"words": words, "dtype": dtype}
+    return out
+
+
+def _stats_for_files(
+    spark, table_root: str, file_rels: list[str], cols: list[str], fmt: str
 ) -> dict[str, dict]:
-    """Per-file stats for a set of partition directories in ONE job:
+    """Per-file stats for an explicit file list in ONE job:
     {file_rel: {"rows": n, "cols": {c: {"min": v, "max": v, "nulls": n}}}}.
     File granularity comes free from ``input_file_name`` (no per-file or
     per-directory jobs); the grouped result is bounded — one row per data
-    file."""
-    if not rel_dirs:
+    file. Loading explicit files (not directories) keeps the scan immune
+    to stray files a crashed writer may have left in a shared prefix."""
+    if not file_rels:
         return {}
     df = spark.read.format(fmt).load(
-        [f"{table_root}/{rel}" for rel in sorted(rel_dirs)]
+        [f"{table_root}/{rel}" for rel in sorted(file_rels)]
     )
     aggs = [F.count(F.lit(1)).alias("__rows")]
     present = [c for c in cols if c in df.columns]
@@ -179,8 +374,8 @@ def _stats_for_dirs(
         frel = uri[idx + len(root_abs) + 1 :] if idx >= 0 else uri
         col_stats = {
             c: {
-                "min": _json_safe(d[f"__min_{c}"]),
-                "max": _json_safe(d[f"__max_{c}"]),
+                "min": _json_safe(d[f"__min_{c}"], side="min"),
+                "max": _json_safe(d[f"__max_{c}"], side="max"),
                 "nulls": int(d[f"__nulls_{c}"]),
             }
             for c in present
@@ -193,40 +388,47 @@ def manifest_collect_stats(
     spark, path: str, cols: list[str], partition_values: list | None = None
 ) -> dict[str, int]:
     """ANALYZE for a manifest table: compute per-file min/max/null-count
-    for ``cols`` over the (selected) partitions and publish them in a new
-    manifest version under ``"stats"``. Directories are immutable, so
-    already-covered directories (every file present in the existing stats)
-    are skipped — repeated runs after incremental upserts only scan new
-    directories. Returns {"files": n, "directories": n}."""
+    for ``cols`` over the (selected) partitions and publish a new manifest
+    version referencing a fresh stats sidecar. Incremental at FILE and
+    COLUMN granularity: a file is re-scanned only if its existing entry
+    lacks one of the requested columns (so ANALYZE for a new column over
+    already-covered directories scans them again, and fresh per-column
+    stats MERGE into the existing entries — never replace them). The
+    candidate file set comes from the manifest, not a directory listing.
+    Returns {"files": n, "directories": n}."""
     version, content = _latest_manifest(path)
     if version == 0:
         return {"files": 0, "directories": 0}
     fmt = content.get("fmt", "parquet")
-    parts: dict = content["partitions"]
-    stats: dict = dict(content.get("stats", {}))
+    stats = _load_stats_sidecar(path, content)
+    want = set(cols)
     wanted = None if partition_values is None else {str(v) for v in partition_values}
-    todo: list[str] = []
-    for k, rel in sorted(parts.items()):
-        if wanted is not None and k not in wanted:
+    todo_files: list[str] = []
+    todo_dirs: set[str] = set()
+    for pk, rel in sorted(content["partitions"].items()):
+        if wanted is not None and pk not in wanted:
             continue
-        have = {f for f in stats if f.startswith(rel + "/")}
-        on_disk = {
-            f"{rel}/{os.path.basename(p)}"
-            for p in glob.glob(f"{path}/{rel}/*.{fmt}")
-        }
-        if on_disk and on_disk <= have:
-            continue  # immutable dir already fully covered
-        todo.append(rel)
-    fresh = _stats_for_dirs(spark, path, todo, cols, fmt)
-    stats.update(fresh)
-    n_files, n_dirs = len(fresh), len(todo)
+        for entry in content.get("files", {}).get(pk, []):
+            frel = entry[0]
+            have = stats.get(frel)
+            if have is not None and want <= set(have["cols"]):
+                continue  # immutable file already covers every asked col
+            todo_files.append(frel)
+            todo_dirs.add(rel)
+    fresh = _stats_for_files(spark, path, todo_files, cols, fmt)
+    for frel, s in fresh.items():
+        if frel in stats:
+            stats[frel]["cols"].update(s["cols"])  # per-column merge
+            stats[frel]["rows"] = s["rows"]
+        else:
+            stats[frel] = s
     content = dict(content)
-    content["stats"] = stats
+    content["stats_ref"] = _write_stats_sidecar(path, stats)
     content["stats_cols"] = sorted(
         set(content.get("stats_cols", [])) | set(cols)
     )
     _publish_manifest(path, version + 1, content)
-    return {"files": n_files, "directories": n_dirs}
+    return {"files": len(fresh), "directories": len(todo_dirs)}
 
 
 def manifest_cluster_zorder(
@@ -243,13 +445,15 @@ def manifest_cluster_zorder(
     publish data + per-file stats as ONE new manifest version (readers see
     the pre- or post-clustering snapshot — identical content — never a
     mix). One range shuffle; stats collection re-scans only the rewritten
-    partitions. Returns {"partitions": n, "files": n}."""
+    partitions (surviving files' sidecar entries merge through).
+    Returns {"partitions": n, "files": n}."""
     version, content = _latest_manifest(path)
     if version == 0:
         return {"partitions": 0, "files": 0}
     fmt = content.get("fmt", "parquet")
     pcol = content["partition_col"]
     parts: dict = dict(content["partitions"])
+    files: dict = dict(content.get("files", {}))
     selected = {
         k: rel
         for k, rel in parts.items()
@@ -259,7 +463,7 @@ def manifest_cluster_zorder(
         return {"partitions": 0, "files": 0}
 
     df = spark.read.format(fmt).load(
-        [f"{path}/{rel}" for rel in sorted(selected.values())]
+        [f"{path}/{rel}" for rel in _live_file_rels(content, selected)]
     )
     dfz = with_zorder(df, zorder_cols, bits_per_col=bits_per_col)
     staged = (
@@ -277,27 +481,42 @@ def manifest_cluster_zorder(
         f"{path}/{stage}"
     )
 
-    stats: dict = {
-        f: s
-        for f, s in content.get("stats", {}).items()
-        if not any(f.startswith(rel + "/") for rel in selected.values())
-    }
-    new_rels = []
+    # stats surviving on unrewritten files (loaded against the OLD live
+    # set) merge with fresh stats for the rewritten partitions into a new
+    # sidecar, committed atomically with the data it indexes
+    stats = _load_stats_sidecar(path, content)
+    new_file_rels: list[str] = []
     for k in selected:
         rel = f"{stage}/__p={k}"
         parts[k] = rel
-        new_rels.append(rel)
-    fresh = _stats_for_dirs(spark, path, new_rels, zorder_cols, fmt)
+        listed = _list_dir_files(path, rel, fmt)
+        files[k] = listed
+        new_file_rels.extend(e[0] for e in listed)
+    dropped = {
+        frel
+        for frel in stats
+        if any(frel.startswith(rel + "/") for rel in selected.values())
+    }
+    for frel in dropped:
+        del stats[frel]
+    fresh = _stats_for_files(spark, path, new_file_rels, zorder_cols, fmt)
     stats.update(fresh)
-    n_files = len(fresh)
     content = dict(content)
     content["partitions"] = parts
-    content["stats"] = stats
+    content["files"] = files
+    content["stats_ref"] = _write_stats_sidecar(path, stats)
     content["stats_cols"] = sorted(
         set(content.get("stats_cols", [])) | set(zorder_cols)
     )
     _publish_manifest(path, version + 1, content)
-    return {"partitions": len(selected), "files": n_files}
+    return {"partitions": len(selected), "files": len(fresh)}
+
+
+def _resolve_manifest(path: str, version: int | None) -> tuple[int, dict]:
+    if version is None:
+        return _latest_manifest(path)
+    with open(f"{_manifest_dir(path)}/{version}.json") as f:
+        return version, json.load(f)
 
 
 def manifest_skipping_plan(
@@ -309,45 +528,50 @@ def manifest_skipping_plan(
     ``(kept_file_rels, n_kept, n_total, content)`` for a conjunction of
     closed-range predicates ``{col: (lo, hi)}`` (``None`` bound = open).
     A file is DROPPED only when its recorded stats PROVE no row can match:
-    max < lo, min > hi, or the file is all-NULL in a filtered column.
+    max < lo, min > hi, or the file is all-NULL in a column with an actual
+    bound (a fully open ``(None, None)`` range constrains nothing — the
+    reader adds no predicate for it, so all-NULL files must survive).
     Files or columns without stats are kept — skipping is an optimization,
-    never a correctness dependency."""
-    if version is None:
-        version, content = _latest_manifest(path)
-    else:
-        import json
-
-        with open(f"{_manifest_dir(path)}/{version}.json") as f:
-            content = json.load(f)
-    fmt = content.get("fmt", "parquet")
-    stats: dict = content.get("stats", {})
+    never a correctness dependency. Candidate files come from the
+    manifest's commit-time list; bounds are canonicalized into the stored
+    stat domain and a cross-domain probe raises instead of mis-pruning."""
+    version, content = _resolve_manifest(path, version)
+    stats = _load_stats_sidecar(path, content)
+    canon_ranges = {
+        c: (_canon_bound(lo, c), _canon_bound(hi, c))
+        for c, (lo, hi) in ranges.items()
+    }
     kept: list[str] = []
     n_total = 0
-    for rel in sorted(content["partitions"].values()):
-        files = sorted(glob.glob(f"{path}/{rel}/*.{fmt}"))
-        for p in files:
-            n_total += 1
-            frel = f"{rel}/{os.path.basename(p)}"
-            s = stats.get(frel)
-            if s is None:
-                kept.append(frel)
+    for frel in _live_file_rels(content):
+        n_total += 1
+        s = stats.get(frel)
+        if s is None:
+            kept.append(frel)
+            continue
+        drop = False
+        for c, (lo, hi) in canon_ranges.items():
+            if lo is None and hi is None:
+                continue  # unconstrained: never drops (all-NULL included)
+            cs = s["cols"].get(c)
+            if cs is None:
                 continue
-            drop = False
-            for c, (lo, hi) in ranges.items():
-                cs = s["cols"].get(c)
-                if cs is None:
-                    continue
-                if cs["min"] is None and cs["max"] is None:
-                    drop = True  # all-NULL file cannot satisfy a range
-                    break
-                if lo is not None and cs["max"] is not None and cs["max"] < lo:
+            smin, smax = _canon_stat(cs["min"]), _canon_stat(cs["max"])
+            if smin is None and smax is None:
+                drop = True  # all-NULL file cannot satisfy a real bound
+                break
+            if lo is not None and smax is not None:
+                _cmp_guard(smax, lo, c)
+                if smax < lo:
                     drop = True
                     break
-                if hi is not None and cs["min"] is not None and cs["min"] > hi:
+            if hi is not None and smin is not None:
+                _cmp_guard(smin, hi, c)
+                if smin > hi:
                     drop = True
                     break
-            if not drop:
-                kept.append(frel)
+        if not drop:
+            kept.append(frel)
     return kept, len(kept), n_total, content
 
 
@@ -359,11 +583,14 @@ def manifest_skipping_plan(
 # per-file BLOOM FILTER: k hashed bit positions per value, OR-ed into an
 # m-bit set per file; a point lookup drops every file whose filter provably
 # lacks the key (no false negatives; false positives only cost an extra
-# file read). Build is one grouped aggregate per directory — positions via
-# JVM-side xxhash64 (seeded, deterministic), per-file position SETS
-# collected (bounded by m distinct values per file) and packed into the
-# bitset driver-side; the manifest stores m/64 longs per file, committed
-# atomically with the data they index.
+# file read). Build is one grouped aggregate over the uncovered files —
+# positions via JVM-side xxhash64 (seeded, deterministic), per-file
+# position SETS collected (bounded by m distinct values per file) and
+# packed into the bitset driver-side; the bitsets live in the bloom
+# sidecar, committed atomically with the data they index. xxhash64 is
+# TYPE-sensitive, so each file records the dtype it was hashed under and
+# the probe evaluates positions PER RECORDED DTYPE — files indexed before
+# a column type evolved keep matching (no silent false negatives).
 
 
 def _bloom_positions(col: Column, bits: int, k: int) -> Column:
@@ -383,42 +610,44 @@ def manifest_collect_bloom(
     partition_values: list | None = None,
 ) -> dict[str, int]:
     """Build/refresh the per-file bloom index for ``col`` over the
-    (selected) partitions and publish it in a new manifest version under
-    ``"bloom"``. Incremental like stats collection: immutable directories
-    already covered are skipped, so post-upsert refreshes scan only new
-    directories. Size ``bits`` for the expected rows-per-file (the classic
-    ~10 bits/row keeps fpp ~1%). Returns {"files": n, "directories": n}."""
+    (selected) partitions and publish a new manifest version referencing
+    a fresh bloom sidecar. Incremental like stats collection: files
+    already covered (same bits/k geometry) are skipped, so post-upsert
+    refreshes scan only new files; a bits/k change rebuilds the column's
+    index from scratch. Size ``bits`` for the expected rows-per-file (the
+    classic ~10 bits/row keeps fpp ~1%). Returns {"files": n,
+    "directories": n}."""
     version, content = _latest_manifest(path)
     if version == 0:
         return {"files": 0, "directories": 0}
     fmt = content.get("fmt", "parquet")
-    parts: dict = content["partitions"]
-    bloom: dict = dict(content.get("bloom", {}))
+    bloom = _load_bloom_sidecar(path, content)
     entry = bloom.get(col)
     if entry is None or entry["bits"] != bits or entry["k"] != k:
         entry = {"bits": bits, "k": k, "files": {}}
     files: dict = dict(entry["files"])
     wanted = None if partition_values is None else {str(v) for v in partition_values}
-    todo: list[str] = []
-    for pk, rel in sorted(parts.items()):
+    todo_files: list[str] = []
+    todo_dirs: set[str] = set()
+    for pk, rel in sorted(content["partitions"].items()):
         if wanted is not None and pk not in wanted:
             continue
-        on_disk = {
-            f"{rel}/{os.path.basename(p)}"
-            for p in glob.glob(f"{path}/{rel}/*.{fmt}")
-        }
-        if on_disk and on_disk <= set(files):
-            continue
-        todo.append(rel)
+        for fentry in content.get("files", {}).get(pk, []):
+            frel = fentry[0]
+            if frel in files:
+                continue
+            todo_files.append(frel)
+            todo_dirs.add(rel)
     n_files = 0
-    if todo:
+    if todo_files:
         df = spark.read.format(fmt).load(
-            [f"{path}/{rel}" for rel in sorted(todo)]
+            [f"{path}/{rel}" for rel in sorted(todo_files)]
         )
         # xxhash64 is TYPE-sensitive (int 17 and bigint 17 hash apart):
-        # record the column's dtype so the probe side casts its literal to
-        # the exact build type — build and probe cannot drift.
-        entry["dtype"] = df.schema[col].dataType.simpleString()
+        # record the dtype PER FILE so the probe side hashes its literal
+        # under each file's exact build type — build and probe cannot
+        # drift even across schema evolution of the indexed column.
+        dtype = df.schema[col].dataType.simpleString()
         rows = (
             df.select(
                 F.input_file_name().alias("__file"),
@@ -439,14 +668,14 @@ def manifest_collect_bloom(
             words = [0] * n_words
             for pos in r["__set"]:
                 words[pos >> 6] |= 1 << (pos & 63)
-            files[frel] = words
+            files[frel] = {"words": words, "dtype": dtype}
             n_files += 1
     entry["files"] = files
     bloom[col] = entry
     content = dict(content)
-    content["bloom"] = bloom
+    content["bloom_ref"] = _write_bloom_sidecar(path, bloom)
     _publish_manifest(path, version + 1, content)
-    return {"files": n_files, "directories": len(todo)}
+    return {"files": n_files, "directories": len(todo_dirs)}
 
 
 def manifest_point_plan(
@@ -455,36 +684,39 @@ def manifest_point_plan(
     """Plan a point lookup through the bloom index: returns
     ``(kept_file_rels, n_kept, n_total, content)``. Probe positions come
     from evaluating THE SAME seeded-hash expression the build used (one
-    1-row local job — xxhash64 lives JVM-side only), so build and probe
-    cannot drift. Files without an index entry are kept."""
-    if version is None:
-        version, content = _latest_manifest(path)
-    else:
-        import json
-
-        with open(f"{_manifest_dir(path)}/{version}.json") as f:
-            content = json.load(f)
-    fmt = content.get("fmt", "parquet")
-    entry = content.get("bloom", {}).get(col)
+    tiny local job per distinct recorded dtype — xxhash64 lives JVM-side
+    only), so build and probe cannot drift; a file indexed under an older
+    column type is probed under THAT type. Files without an index entry
+    are kept. Candidate files come from the manifest — no listing."""
+    version, content = _resolve_manifest(path, version)
+    entry = _load_bloom_sidecar(path, content, col=col).get(col)
     kept: list[str] = []
     n_total = 0
-    positions: list[int] = []
+    pos_by_dtype: dict[str, list[int] | None] = {}
     if entry is not None:
-        probe = F.lit(value)
-        if "dtype" in entry:
-            probe = probe.cast(entry["dtype"])
-        positions = spark.range(1).select(
-            _bloom_positions(probe, entry["bits"], entry["k"]).alias("p")
-        ).first()["p"]
-    for rel in sorted(content["partitions"].values()):
-        for p in sorted(glob.glob(f"{path}/{rel}/*.{fmt}")):
-            n_total += 1
-            frel = f"{rel}/{os.path.basename(p)}"
-            words = None if entry is None else entry["files"].get(frel)
-            if words is None or all(
-                (words[pos >> 6] >> (pos & 63)) & 1 for pos in positions
-            ):
-                kept.append(frel)
+        dtypes = {fe["dtype"] for fe in entry["files"].values()}
+        for dt in sorted(dtypes):
+            # try_cast: a probe value the recorded dtype cannot represent
+            # (e.g. a bigint key against files indexed as int) proves those
+            # files lack the key — mark the dtype as never-matching instead
+            # of raising under ANSI cast overflow
+            probe = F.lit(value).try_cast(dt)
+            r = spark.range(1).select(
+                probe.isNull().alias("bad"),
+                _bloom_positions(probe, entry["bits"], entry["k"]).alias("p"),
+            ).first()
+            pos_by_dtype[dt] = None if r["bad"] else r["p"]
+    for frel in _live_file_rels(content):
+        n_total += 1
+        fe = None if entry is None else entry["files"].get(frel)
+        if fe is None:
+            kept.append(frel)
+            continue
+        words, positions = fe["words"], pos_by_dtype[fe["dtype"]]
+        if positions is None:
+            continue  # value unrepresentable in this file's build type
+        if all((words[pos >> 6] >> (pos & 63)) & 1 for pos in positions):
+            kept.append(frel)
     return kept, len(kept), n_total, content
 
 

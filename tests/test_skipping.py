@@ -133,9 +133,15 @@ def test_collect_stats_incremental_skips_covered_dirs(spark, table):
 
 
 def test_stats_match_actual_minmax(spark, table):
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _load_stats_sidecar,
+    )
+
     manifest_collect_stats(spark, table, ["a"])
     _, content = _latest_manifest(table)
-    for frel, s in content["stats"].items():
+    stats = _load_stats_sidecar(table, content)
+    assert stats
+    for frel, s in stats.items():
         actual = (
             spark.read.parquet(f"{table}/{frel}")
             .agg(F.min("a"), F.max("a"), F.count(F.lit(1)))
@@ -147,13 +153,18 @@ def test_stats_match_actual_minmax(spark, table):
 
 
 def test_stats_and_data_commit_atomically(spark, table):
+    import os
+
     v_before, _ = _latest_manifest(table)
     manifest_cluster_zorder(spark, table, ["a"], files_per_partition=4)
     v_after, content = _latest_manifest(table)
     assert v_after == v_before + 1  # clustering + stats = ONE new version
     with open(f"{table}/_commits/{v_after}.json") as f:
         on_disk = json.load(f)
-    assert on_disk["stats"] and on_disk["stats_cols"] == ["a"]
+    # index bytes live in the referenced sidecar, committed with the data
+    assert on_disk["stats_ref"] and on_disk["stats_cols"] == ["a"]
+    assert os.path.isfile(f"{table}/{on_disk['stats_ref']}")
+    assert "stats" not in on_disk and "bloom" not in on_disk
     # time travel: the pre-clustering version still reads the same content
     old = manifest_read(spark, table, version=v_before)
     assert old.count() == 8000
@@ -217,3 +228,196 @@ def test_bloom_survives_upsert_and_refreshes_incrementally(spark, table):
     assert again["directories"] == 1
     assert manifest_read_point(spark, table, "row_id", 90001).count() == 1
     assert manifest_read_point(spark, table, "row_id", 17).count() == 1
+
+
+# --- file-granular manifests, sidecars, and probe hardening (round 5) ------
+
+
+def test_stray_file_in_data_dir_is_invisible(spark, table):
+    """Reads plan from the manifest's commit-time file list, never a
+    directory listing: a stray file planted inside a live data directory
+    (a crashed writer's debris, an eventually-consistent LIST artifact)
+    must not change any read, skipping, point, or stats path."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_read_point,
+    )
+
+    manifest_collect_stats(spark, table, ["a"])
+    manifest_collect_bloom(spark, table, "row_id", bits=4096, k=3)
+    before = manifest_read(spark, table).count()
+
+    # plant a VALID parquet file with bogus rows inside a live partition dir
+    _, content = _latest_manifest(table)
+    rel = sorted(content["partitions"].values())[0]
+    spark.createDataFrame(
+        [(999999, "0", 1, 1)], "row_id long, p string, a long, b long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{table}/{rel}_stray_tmp")
+    import glob as _g
+    import shutil as _sh
+
+    src = _g.glob(f"{table}/{rel}_stray_tmp/*.parquet")[0]
+    _sh.copy(src, f"{table}/{rel}/zzz_stray.parquet")
+    _sh.rmtree(f"{table}/{rel}_stray_tmp")
+
+    assert manifest_read(spark, table).count() == before
+    assert manifest_read(spark, table).filter(F.col("row_id") == 999999).count() == 0
+    assert manifest_read_skipping(spark, table, {"a": (0, 10000)}).filter(
+        F.col("row_id") == 999999
+    ).count() == 0
+    assert manifest_read_point(spark, table, "row_id", 999999).count() == 0
+    # incremental stats see nothing new either (coverage from the manifest)
+    assert manifest_collect_stats(spark, table, ["a"]) == {
+        "files": 0,
+        "directories": 0,
+    }
+
+
+def test_manifest_json_stays_small_with_big_bloom(spark, tmp_path):
+    """The manifest JSON is O(partitions + files): building a WIDE bloom
+    index (64k bits/file) must not grow it — index bytes live in the
+    parquet sidecar. Bound: < 200 bytes per file entry regardless of
+    index width."""
+    import os
+
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+    )
+
+    path = str(tmp_path / "smalltab")
+    df = spark.range(20000).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") % 997).alias("a"),
+    )
+    manifest_upsert_partitioned(df, path, ["row_id"], "p")
+    manifest_cluster_zorder(spark, path, ["a"], files_per_partition=32)
+    _, content = _latest_manifest(path)
+    n_files = sum(len(v) for v in content["files"].values())
+    assert n_files >= 64
+
+    v0 = max(
+        int(n[:-5])
+        for n in os.listdir(f"{path}/_commits")
+        if n.endswith(".json")
+    )
+    size_before = os.path.getsize(f"{path}/_commits/{v0}.json")
+    manifest_collect_bloom(spark, path, "row_id", bits=65536, k=6)
+    v1, _ = _latest_manifest(path)
+    size_after = os.path.getsize(f"{path}/_commits/{v1}.json")
+    # inline bitsets would add ~8KB/file (64k bits); the ref adds ~50 bytes
+    assert size_after - size_before < 500
+    assert size_after < 200 * n_files + 4096
+
+
+def test_collect_stats_new_column_rescans_and_merges(spark, table):
+    """ADVICE fix: ANALYZE for a NEW column over already-covered
+    directories must actually scan them (per-file column coverage, not
+    directory presence) and MERGE the fresh per-column stats into the
+    existing entries."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _load_stats_sidecar,
+    )
+
+    first = manifest_collect_stats(spark, table, ["a"])
+    assert first["directories"] == 4
+    # new column over the same (covered) dirs: must re-scan, not no-op
+    second = manifest_collect_stats(spark, table, ["b"])
+    assert second["directories"] == 4 and second["files"] == first["files"]
+    _, content = _latest_manifest(table)
+    stats = _load_stats_sidecar(table, content)
+    for s in stats.values():
+        assert set(s["cols"]) == {"a", "b"}  # merged, not replaced
+    # both columns now prune
+    for ranges in ({"a": (0, 999)}, {"b": (0, 999)}):
+        _, n_kept, n_total, _ = manifest_skipping_plan(table, ranges)
+        assert n_total > 0  # sanity; pruning quality covered elsewhere
+
+
+def test_all_null_file_survives_unbounded_range(spark, tmp_path):
+    """ADVICE fix: a (None, None) range adds no row predicate, so an
+    all-NULL file must NOT be dropped for it — rows would silently
+    vanish. A real bound still prunes the all-NULL file."""
+    path = str(tmp_path / "nulltab")
+    df = spark.createDataFrame(
+        [(1, "d1", None), (2, "d1", None), (3, "d2", 5)],
+        "k long, p string, a long",
+    )
+    manifest_upsert_partitioned(df, path, ["k"], "p")
+    manifest_collect_stats(spark, path, ["a"])
+    # unbounded probe: every row survives, including the NULL ones
+    out = manifest_read_skipping(spark, path, {"a": (None, None)})
+    assert out.count() == 3
+    # bounded probe: the all-NULL file is provably unmatchable
+    kept, n_kept, n_total, _ = manifest_skipping_plan(path, {"a": (0, 100)})
+    assert n_kept < n_total
+    assert manifest_read_skipping(spark, path, {"a": (0, 100)}).count() == 1
+
+
+def test_date_typed_skipping_prunes(spark, tmp_path):
+    """Temporal skipping: date-typed stats serialize as ISO strings and a
+    date-typed bound canonicalizes into the same domain — files outside
+    the window are pruned, results match a plain filter."""
+    import datetime
+
+    path = str(tmp_path / "datetab")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    manifest_upsert_partitioned(df, path, ["k"], "p")
+    manifest_collect_stats(spark, path, ["d"])
+    lo, hi = datetime.date(2024, 2, 1), datetime.date(2024, 2, 10)
+    kept, n_kept, n_total, _ = manifest_skipping_plan(path, {"d": (lo, hi)})
+    assert n_kept < n_total  # stats actually prune on the date domain
+    got = manifest_read_skipping(spark, path, {"d": (lo, hi)}).count()
+    oracle = (
+        manifest_read(spark, path)
+        .filter(F.col("d").between(F.lit(lo), F.lit(hi)))
+        .count()
+    )
+    assert got == oracle > 0
+
+
+def test_mixed_type_probe_rejected(spark, tmp_path):
+    """A probe in the wrong domain (numeric bound against string/date
+    stats) raises loudly instead of comparing across domains."""
+    path = str(tmp_path / "mixtab")
+    df = spark.createDataFrame(
+        [(1, "d1", "apple"), (2, "d2", "pear")], "k long, p string, s string"
+    )
+    manifest_upsert_partitioned(df, path, ["k"], "p")
+    manifest_collect_stats(spark, path, ["s"])
+    with pytest.raises(TypeError, match="mixed-type"):
+        manifest_skipping_plan(path, {"s": (1, 100)})
+
+
+def test_bloom_probe_matches_per_file_dtype(spark, tmp_path):
+    """ADVICE fix: files indexed before a column's type evolved keep
+    matching — the probe hashes under each file's RECORDED dtype, so an
+    int-built file and a bigint-built file both answer correctly (bloom's
+    no-false-negative invariant survives schema evolution)."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_read_point,
+    )
+
+    path = str(tmp_path / "dtytab")
+    old = spark.createDataFrame(
+        [(1, "d1", 17), (2, "d1", 18)], "k long, p string, key int"
+    )
+    manifest_upsert_partitioned(old, path, ["k"], "p")
+    manifest_collect_bloom(spark, path, "key", bits=1024, k=3)
+
+    # column type evolves: new partition writes key as bigint
+    new = spark.createDataFrame(
+        [(3, "d2", 4000000017)], "k long, p string, key long"
+    )
+    manifest_upsert_partitioned(new, path, ["k"], "p")
+    manifest_collect_bloom(spark, path, "key", bits=1024, k=3)
+
+    # keys from BOTH generations are found through the index
+    assert manifest_read_point(spark, path, "key", 17).count() == 1
+    assert manifest_read_point(spark, path, "key", 4000000017).count() == 1
+    assert manifest_read_point(spark, path, "key", 999).count() == 0
