@@ -55,3 +55,42 @@ def validate_expectations(
             6,
         ).alias("pass_rate"),
     )
+
+
+def with_expectations(
+    df: DataFrame, rules: dict[str, F.Column], out_col: str = "failed_rules"
+) -> DataFrame:
+    """Tag every row with the ARRAY of rule names it violates (empty =
+    clean). The row-level companion of :func:`validate_expectations`,
+    sharing its NULL-is-a-violation stance: a rule evaluating to NULL
+    puts its name in the array.
+
+    Scale: pure per-row column expressions over the same single scan the
+    aggregate gate uses — no shuffle, no UDF; ``array_compact`` drops the
+    per-rule ``NULL`` placeholders of passing rules."""
+    if not rules:
+        raise ValueError("with_expectations needs at least one rule")
+    flags = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in rules.items()
+    ]
+    return df.withColumn(out_col, F.array_compact(F.array(*flags)))
+
+
+def route_expectations(
+    df: DataFrame, rules: dict[str, F.Column], out_col: str = "failed_rules"
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into ``(pass_df, quarantine_df)``: rows violating no
+    rule flow through unchanged; violating rows are ROUTED — not silently
+    dropped — carrying the ``failed_rules`` array so the quarantine sink
+    records WHY each row was held (the reference drops bad rows with no
+    trace, ``function_app.py:227,268`` — this is the production gate that
+    defect motivates).
+
+    Both frames filter the SAME tagged plan; a caller writing both sinks
+    should ``persist()`` the tagged frame (or split inside
+    ``foreachBatch``) so the source scans once."""
+    tagged = with_expectations(df, rules, out_col=out_col)
+    pass_df = tagged.filter(F.size(out_col) == 0).drop(out_col)
+    quarantine_df = tagged.filter(F.size(out_col) > 0)
+    return pass_df, quarantine_df

@@ -236,3 +236,65 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orderkey_unique": F.col("__key_unique"),
         },
     )
+
+
+@register(
+    "dq_quarantine_orders",
+    oracle="""
+        WITH t AS (
+            SELECT (NOT COALESCE(o_totalprice < 400000, FALSE)) AS v_cap,
+                   (NOT COALESCE(o_orderstatus <> 'P', FALSE)) AS v_status,
+                   (NOT COALESCE(o_orderpriority LIKE '_-%', FALSE)) AS v_prio
+            FROM orders
+        )
+        SELECT 'totalprice_under_cap' AS rule,
+               CAST(SUM(CASE WHEN v_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+        FROM t
+        UNION ALL SELECT 'status_not_pending',
+               CAST(SUM(CASE WHEN v_status THEN 1 ELSE 0 END) AS BIGINT) FROM t
+        UNION ALL SELECT 'priority_format',
+               CAST(SUM(CASE WHEN v_prio THEN 1 ELSE 0 END) AS BIGINT) FROM t
+        UNION ALL SELECT '__pass__',
+               CAST(SUM(CASE WHEN NOT v_cap AND NOT v_status AND NOT v_prio
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM t
+        UNION ALL SELECT '__quarantined__',
+               CAST(SUM(CASE WHEN v_cap OR v_status OR v_prio
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM t
+    """,
+)
+def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level QUARANTINE gate (VERDICT r04 #5): orders are split into
+    pass/quarantine by route_expectations; quarantined rows carry the
+    array of failed rules — the audit trail whose absence is the
+    reference's silent-drop defect (function_app.py:227,268). Output:
+    per-rule quarantined-row counts plus __pass__/__quarantined__ totals,
+    all from ONE scan of the tagged frame (array_contains counters folded
+    into a single aggregate; the tag itself is shuffle-free per-row
+    expressions — operators/quality.py with_expectations)."""
+    from data_management_service_run_etl_imputations_spark.operators.quality import (
+        with_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "totalprice_under_cap": F.col("o_totalprice") < 400000,
+        "status_not_pending": F.col("o_orderstatus") != "P",
+        "priority_format": F.col("o_orderpriority").like("_-%"),
+    }
+    tagged = with_expectations(orders, rules)
+    aggs = [
+        F.sum(F.array_contains("failed_rules", name).cast("long")).alias(name)
+        for name in rules
+    ]
+    wide = tagged.agg(
+        *aggs,
+        F.sum((F.size("failed_rules") == 0).cast("long")).alias("__pass__"),
+        F.sum((F.size("failed_rules") > 0).cast("long")).alias(
+            "__quarantined__"
+        ),
+    )
+    names = [*rules, "__pass__", "__quarantined__"]
+    stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack_expr}) AS (rule, n_rows)")
+    )

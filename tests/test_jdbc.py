@@ -121,3 +121,59 @@ def test_jdbc_incremental_insert_only_is_idempotent(spark, sf_dir, derby_url):
     back = jdbc_source(spark, derby_url, "nation_inc", driver=DERBY_DRIVER)
     assert back.count() == nation.count()
     assert back.select("n_nationkey").distinct().count() == nation.count()
+
+
+def test_jdbc_parallel_write_controls(spark, sf_dir, derby_url):
+    """S6 at scale: the writer honors explicit parallelism and batching —
+    ``numPartitions`` coalesces the write to N concurrent connections
+    (visible as N partitions on the written frame) and ``batchsize``
+    bounds each executeBatch round-trip. Rows land exactly once across
+    the parallel connections."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    df8 = customer.repartition(8)
+    assert df8.rdd.getNumPartitions() == 8
+    jdbc_append_sink(
+        df8,
+        derby_url,
+        "customer_par",
+        driver=DERBY_DRIVER,
+        numPartitions="3",  # writer-side coalesce: 8 tasks -> 3 connections
+        batchsize="100",
+    )
+    back = jdbc_source(spark, derby_url, "customer_par", driver=DERBY_DRIVER)
+    assert back.count() == customer.count()
+    # exactly-once across parallel connections: no dup/drop at boundaries
+    assert back.select("c_custkey").distinct().count() == customer.count()
+
+
+def test_jdbc_partitioned_read_pushes_predicates(spark, sf_dir, derby_url):
+    """S5 pushdown evidence: the partitioned JDBC scan advertises its
+    connection fan-out (numPartitions in the relation) and a row filter
+    compiles into PushedFilters — the predicate executes in the DATABASE,
+    not in Spark after a full pull."""
+    nation = _nation(spark, sf_dir)
+    jdbc_append_sink(
+        nation,
+        derby_url,
+        "nation_push",
+        driver=DERBY_DRIVER,
+        createTableColumnTypes="n_name VARCHAR(128)",
+    )
+    back = jdbc_source(
+        spark,
+        derby_url,
+        "nation_push",
+        partition_column="n_nationkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=25,
+        driver=DERBY_DRIVER,
+    ).filter(F.col("n_regionkey") >= 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=4" in plan
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split("PushedFilters")[1][:200]
+    # the pushed read returns exactly the database-side-filtered rows
+    expect = nation.filter(F.col("n_regionkey") >= 2).count()
+    assert back.count() == expect > 0

@@ -257,3 +257,51 @@ def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     assert rows == {(1, "2024-01-01"): 5.0, (2, "2024-01-01"): 9.5,
                     (5, "2024-01-01"): 1.0, (3, "2024-01-02"): 7.0,
                     (4, "2024-01-03"): 8.0}
+
+
+def test_route_expectations_partitions_input(spark):
+    """Quarantine routing: pass + quarantine partition the input exactly;
+    quarantined rows carry the names of every failed rule; a NULL rule
+    result is a violation (unknown is not a pass)."""
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.operators.quality import (
+        route_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, 7.0, None), (4, -1.0, None)],
+        "id long, amount double, tag string",
+    )
+    rules = {
+        "amount_positive": F.col("amount") > 0,
+        "tag_present": F.col("tag").isNotNull(),
+    }
+    ok, bad = route_expectations(df, rules)
+    assert sorted(r.id for r in ok.collect()) == [1]
+    got = {r.id: sorted(r.failed_rules) for r in bad.collect()}
+    assert got == {
+        2: ["amount_positive"],
+        3: ["tag_present"],  # NULL rule result -> violation
+        4: ["amount_positive", "tag_present"],
+    }
+    # routed frames keep/extend the schema: pass side is unchanged
+    assert ok.columns == df.columns
+    assert bad.columns == [*df.columns, "failed_rules"]
+
+
+def test_route_expectations_is_shuffle_free(spark):
+    """The tagging plan is pure per-row expressions: no Exchange, no UDF
+    node — quarantining 100 TB is embarrassingly parallel."""
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.operators.quality import (
+        with_expectations,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    tagged = with_expectations(df, {"v_small": F.col("v") < 5})
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
