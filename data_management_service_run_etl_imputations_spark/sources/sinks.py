@@ -452,19 +452,23 @@ def manifest_upsert_partitioned(
     keys: list[str],
     partition_col: str,
     fmt: str = "parquet",
+    extra_meta: dict | None = None,
 ) -> dict[str, int]:
     """ATOMIC partition-level upsert: the scale-safe successor of
     :func:`merge_upsert_partitioned` (reference semantic
     ``function_app.py:305-312`` generalized to update+insert). Writes the
     merged content of every touched partition into an immutable staging
-    directory, then publishes a new manifest with one atomic rename —
-    a concurrent reader sees the previous version or the new one in full,
-    never a partition-level mix. Untouched partitions are carried by
+    directory, then publishes a new manifest with one exclusive-create
+    commit — a concurrent reader sees the previous version or the new one
+    in full, never a partition-level mix; a racing writer loses with
+    :class:`CommitConflict` (wrap in :func:`with_commit_retry` to retry
+    against the refreshed head). Untouched partitions are carried by
     reference (their manifest entries copy over; no data moves).
 
-    Single concurrent WRITER assumed (as in Delta without a locking
-    service, last manifest wins); readers are unlimited and never block.
-    Returns {"updated": n, "inserted": n}.
+    ``extra_meta`` merges caller keys into the committed manifest — the
+    hook the exactly-once streaming sink uses to record its batch id IN
+    the same atomic commit as the data. Returns {"updated": n,
+    "inserted": n}.
     """
     import uuid
 
@@ -531,6 +535,7 @@ def manifest_upsert_partitioned(
             "stats_ref": content.get("stats_ref"),
             "stats_cols": content.get("stats_cols", []),
             "bloom_ref": content.get("bloom_ref"),
+            **(extra_meta or {}),
         },
     )
     n_batch = n_merged - n_survivors
@@ -900,3 +905,96 @@ def apply_changes(
         .filter(F.col(op_col) != delete_op)
         .drop("__rn", op_col)
     )
+
+
+def with_commit_retry(op, max_attempts: int = 3):
+    """Optimistic-concurrency retry loop for manifest writers: run ``op``
+    (a zero-arg callable performing a manifest commit) and, on
+    :class:`CommitConflict`, re-run it — every writer re-reads the latest
+    manifest at entry, so the retry re-merges against the winner's head
+    (the staged data of the losing attempt is orphaned and reclaimed by
+    ``manifest_vacuum``). This is Delta/Iceberg's commit loop without a
+    lock service: contention costs a re-stage of the touched partitions,
+    never corruption. Raises the last ``CommitConflict`` after
+    ``max_attempts``."""
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        try:
+            return op()
+        except CommitConflict as e:  # noqa: PERF203 — retry loop by design
+            last = e
+    raise last
+
+
+def manifest_count(
+    path: str,
+    partition_values: list | None = None,
+    version: int | None = None,
+) -> int:
+    """COUNT(*) from METADATA ALONE: the manifest records per-file row
+    counts (parquet footers, captured at commit time), so a full or
+    partition-pruned count reads one JSON — no SparkSession, no scan, no
+    filesystem listing. The classic lakehouse fast path for the most
+    common query in every dashboard. Raises if any listed file lacks a
+    recorded count (non-parquet formats) — fall back to
+    ``manifest_read(...).count()`` there."""
+    import json
+
+    if version is None:
+        version, content = _latest_manifest(path)
+    else:
+        with open(f"{_manifest_dir(path)}/{version}.json") as f:
+            content = json.load(f)
+    parts = content.get("partitions", {})
+    if partition_values is not None:
+        wanted = {str(v) for v in partition_values}
+        parts = {k: v for k, v in parts.items() if k in wanted}
+    total = 0
+    for k in parts:
+        for entry in content.get("files", {}).get(k, []):
+            rows = entry[2] if len(entry) > 2 else None
+            if rows is None:
+                raise ValueError(
+                    f"no recorded row count for {entry[0]} — scan instead"
+                )
+            total += rows
+    return total
+
+
+def foreach_batch_manifest_upsert(
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    fmt: str = "parquet",
+):
+    """EXACTLY-ONCE streaming sink into a manifest table: returns a
+    ``foreachBatch`` function that upserts each micro-batch and records
+    the batch id IN THE SAME atomic manifest commit (``extra_meta``), so
+    a post-crash replay of an already-committed batch is recognized and
+    skipped — data and progress marker cannot diverge, which is exactly
+    the Delta `txn`/idempotent-writes design. Structured Streaming
+    replays the last unacknowledged batch on restart (at-least-once at
+    the sink boundary); the committed batch id turns that into
+    exactly-once table content.
+
+    Scale: each micro-batch pays one partitioned upsert (staging write +
+    one metadata commit for the touched partitions); the skip check is a
+    manifest read, no data access."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        _, content = _latest_manifest(path)
+        applied = content.get("last_stream_batch")
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already atomically committed
+        with_commit_retry(
+            lambda: manifest_upsert_partitioned(
+                batch_df,
+                path,
+                keys,
+                partition_col,
+                fmt=fmt,
+                extra_meta={"last_stream_batch": batch_id},
+            )
+        )
+
+    return _apply

@@ -389,3 +389,129 @@ def test_incremental_aggregate_refresh_matches_rebuild(spark, table_path):
     assert s3["partitions_dropped"] == 1
     assert rollup() == rebuild()
     assert all(day != "d2" for day, _, _ in rollup())
+
+
+def test_metadata_only_count(spark, table_path):
+    """COUNT(*) from the manifest's recorded per-file row counts — no
+    scan, no SparkSession; full and partition-pruned, across upserts."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_count,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    assert manifest_count(table_path) == 3
+    assert manifest_count(table_path, partition_values=["d1"]) == 2
+
+    b2 = _batch(spark, [(2, "d1", 20.0), (4, "d3", 4.0)])
+    manifest_upsert_partitioned(b2, table_path, ["k"], "day")
+    assert manifest_count(table_path) == 4
+    assert manifest_count(table_path) == manifest_read(spark, table_path).count()
+    # time travel counts too
+    assert manifest_count(table_path, version=1) == 3
+
+
+def test_commit_retry_remerges_against_winner(spark, table_path, monkeypatch):
+    """with_commit_retry: a writer whose first attempt loses the version
+    race re-runs, re-reads the winner's head, and lands as the next
+    version — final content reflects BOTH writers."""
+    from data_management_service_run_etl_imputations_spark.sources import sinks
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        with_commit_retry,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+
+    real_latest = sinks._latest_manifest
+    state = {"raced": False}
+
+    def racing_latest(path):
+        v, c = real_latest(path)
+        if not state["raced"]:
+            # first read: another writer commits AFTER our snapshot
+            state["raced"] = True
+            other = _batch(spark, [(9, "d9", 9.0)])
+            manifest_upsert_partitioned(other, path, ["k"], "day")
+        return v, c
+
+    monkeypatch.setattr(sinks, "_latest_manifest", racing_latest)
+    b2 = _batch(spark, [(2, "d2", 2.0)])
+    with_commit_retry(
+        lambda: manifest_upsert_partitioned(b2, table_path, ["k"], "day")
+    )
+    monkeypatch.setattr(sinks, "_latest_manifest", real_latest)
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d2", 2.0),
+        (9, "d9", 9.0),
+    ]
+
+
+def test_streaming_sink_exactly_once_on_replay(spark, table_path):
+    """foreach_batch_manifest_upsert: a replayed batch id (the
+    at-least-once delivery Structured Streaming gives after a crash) is
+    recognized from the manifest and skipped — table content stays
+    exactly-once because the batch id commits atomically WITH the data."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        foreach_batch_manifest_upsert,
+        manifest_count,
+    )
+
+    apply_batch = foreach_batch_manifest_upsert(table_path, ["k"], "day")
+    b0 = _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0)])
+    apply_batch(b0, 0)
+    assert manifest_count(table_path) == 2
+
+    # crash-replay of batch 0: identical call, must be a no-op
+    v_before, _ = _latest_manifest(table_path)
+    apply_batch(b0, 0)
+    v_after, _ = _latest_manifest(table_path)
+    assert v_after == v_before and manifest_count(table_path) == 2
+
+    # next batch applies normally (including an update to an existing key)
+    apply_batch(_batch(spark, [(2, "d2", 20.0), (3, "d3", 3.0)]), 1)
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d2", 20.0),
+        (3, "d3", 3.0),
+    ]
+    # replay of batch 1 after more progress: still skipped
+    apply_batch(_batch(spark, [(2, "d2", 999.0)]), 1)
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d2", 20.0),
+        (3, "d3", 3.0),
+    ]
+
+
+def test_streaming_sink_end_to_end_restart(spark, table_path, tmp_path):
+    """The sink driven by a REAL Structured Streaming query (file source,
+    availableNow): restarting the query over the same checkpoint re-runs
+    cleanly and the table equals the batch content exactly once."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        foreach_batch_manifest_upsert,
+        manifest_count,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _batch(spark, [(i, f"d{i % 3}", float(i)) for i in range(30)]).write.parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("k LONG, day STRING, v DOUBLE")
+            .parquet(src)
+            .writeStream.foreachBatch(
+                foreach_batch_manifest_upsert(table_path, ["k"], "day")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert manifest_count(table_path) == 30
+    run_once()  # restart over the same checkpoint: no new data, no dups
+    assert manifest_count(table_path) == 30
