@@ -56,33 +56,53 @@ def impute_with_group_stats(
         )
         return out.drop("__gstat")
 
-    # Group + global in ONE pass over the data: ROLLUP yields the per-group
-    # rows (grouping_id == 0) and the grand-total row (grouping_id == all
-    # ones) from a single hash aggregate (Expand factor k+1, partial agg
-    # map-side). The grand total is then smeared across the tiny dim with
-    # an unpartitioned window — single-partition over #groups rows, which
-    # is exactly the set being broadcast anyway — and the dim equi-joins
-    # back null-safely (group keys may be NULL; <=> is still a hash-join
-    # key). Net plan: one data-scale aggregate exchange + one
+    # Group + global in ONE pass over the data, then a broadcast equi-join
+    # of the group-count-sized dim back onto the fact table (group keys
+    # may be NULL; <=> is still a hash-join key). The global fallback is
+    # smeared across the tiny dim with an unpartitioned window —
+    # single-partition over #groups rows, exactly the set being broadcast
+    # anyway. Net plan: one data-scale aggregate exchange + one
     # BroadcastHashJoin. No global window over the fact table, no
     # cartesian/NLJ node anywhere.
-    total_gid = (1 << len(group_cols)) - 1
-    rolled = df.rollup(*group_cols).agg(
-        F.grouping_id().alias("__gid"), agg(value_col).alias("__gstat")
-    )
-    global_stat = F.max(
-        F.when(F.col("__gid") == total_gid, F.col("__gstat"))
-    ).over(Window.partitionBy())
     keyed = [f"__k_{i}" for i in range(len(group_cols))]
-    dim = (
-        rolled.withColumn("__global", global_stat)
-        .filter(F.col("__gid") == 0)
-        .select(
-            *[F.col(c).alias(k) for c, k in zip(group_cols, keyed)],
-            "__gstat",
-            "__global",
+    w_dim = Window.partitionBy()
+    if strategy == "mean":
+        # mean RE-AGGREGATES: the global mean composes from the group
+        # partials (Σ sums / Σ counts), so one plain groupBy suffices —
+        # no rollup Expand doubling the rows through the aggregate.
+        g1 = df.groupBy(*group_cols).agg(
+            F.sum(value_col).alias("__s"),
+            F.count(value_col).alias("__c"),
         )
-    )
+        tot_s = F.sum("__s").over(w_dim)
+        tot_c = F.sum("__c").over(w_dim)
+        dim = g1.select(
+            *[F.col(c).alias(k) for c, k in zip(group_cols, keyed)],
+            F.when(F.col("__c") > 0, F.col("__s") / F.col("__c")).alias(
+                "__gstat"
+            ),
+            F.when(tot_c > 0, tot_s / tot_c).alias("__global"),
+        )
+    else:
+        # median does NOT re-aggregate — ROLLUP computes the per-group
+        # rows (grouping_id == 0) and the grand-total row in one hash
+        # aggregate (Expand factor k+1, partial agg map-side).
+        total_gid = (1 << len(group_cols)) - 1
+        rolled = df.rollup(*group_cols).agg(
+            F.grouping_id().alias("__gid"), agg(value_col).alias("__gstat")
+        )
+        global_stat = F.max(
+            F.when(F.col("__gid") == total_gid, F.col("__gstat"))
+        ).over(w_dim)
+        dim = (
+            rolled.withColumn("__global", global_stat)
+            .filter(F.col("__gid") == 0)
+            .select(
+                *[F.col(c).alias(k) for c, k in zip(group_cols, keyed)],
+                "__gstat",
+                "__global",
+            )
+        )
     cond = None
     for c, k in zip(group_cols, keyed):
         clause = df[c].eqNullSafe(dim[k])

@@ -276,7 +276,10 @@ def test_impute_group_stats_no_fact_funnel(spark, sf_dir, strategy):
     assert plan.count("Exchange SinglePartition") <= 1
     win = [ln for ln in plan.splitlines() if ln.strip().startswith(("Window", "+- Window", ":- Window"))]
     for ln in win:
-        assert "__global" in ln  # windows only over the rollup dim
+        # windows run only over the tiny aggregate dim (its internal
+        # __-prefixed partials), never over fact-table columns
+        assert any(t in ln for t in ("__global", "__gstat", "__s", "__c"))
+        assert "value" not in ln
 
 
 def test_expectations_single_aggregate_scan(spark, sf_dir):
