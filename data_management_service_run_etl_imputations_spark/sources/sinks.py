@@ -443,7 +443,97 @@ def manifest_read(
         # old partitions read the new column as null
         reader = reader.option("mergeSchema", "true")
     rels = _live_file_rels(content, parts)
-    return reader.load([f"{path}/{rel}" for rel in rels])
+    df = reader.load([f"{path}/{rel}" for rel in rels])
+    return _apply_deletes(spark, path, df, content)
+
+
+def _stage_of(rel_dir: str) -> str:
+    """Stage prefix of a partition directory (``data/<uuid>``) — the unit
+    of immutability: every directory in a stage was written by one commit."""
+    return rel_dir.split("/__p=")[0]
+
+
+def _apply_deletes(spark, path: str, df: DataFrame, content: dict) -> DataFrame:
+    """Merge-on-read equality deletes: mask rows matching a delete entry's
+    keys IF the row comes from a stage that was live when the delete
+    committed (``entry["stages"]``). Rows re-inserted later land in new
+    stages and are NOT masked — upserts apply pending deletes while
+    merging, so delete-then-reinsert behaves exactly like a rewrite.
+
+    Scale: one left anti-join per pending delete entry against its key
+    file (delete key sets are small relative to the table; AQE broadcasts
+    them), with a per-row stage-membership check on ``input_file_name`` —
+    no data rewrite at delete time; compaction/upsert purge entries whose
+    stages die. Entries are expected to be few (purged continuously)."""
+    deletes = content.get("deletes") or []
+    if not deletes:
+        return df
+    out = df.withColumn("__src", F.input_file_name())
+    for i, entry in enumerate(deletes):
+        keys = spark.read.parquet(f"{path}/{entry['ref']}")
+        renamed = keys.select(
+            *[F.col(c).alias(f"__dk_{i}_{j}") for j, c in enumerate(entry["cols"])]
+        ).dropDuplicates()
+        in_scope = None
+        for stage in entry["stages"]:
+            clause = F.instr(F.col("__src"), f"/{stage}/") > 0
+            in_scope = clause if in_scope is None else (in_scope | clause)
+        cond = in_scope
+        for j, c in enumerate(entry["cols"]):
+            cond = cond & out[c].eqNullSafe(F.col(f"__dk_{i}_{j}"))
+        out = out.join(renamed, cond, "left_anti")
+    return out.drop("__src")
+
+
+def manifest_delete(
+    keys: DataFrame,
+    path: str,
+    key_cols: list[str],
+) -> dict[str, int]:
+    """ROW-LEVEL DELETE without rewriting data (merge-on-read, the
+    Iceberg equality-delete / Delta deletion-vector idea): persist the
+    delete keys as an immutable parquet under ``_deletes/`` and commit a
+    manifest version referencing it together with the stages it applies
+    to. Readers mask matching rows from those stages; upserts touching a
+    partition apply pending deletes while merging (so deleted keys never
+    resurrect as "survivors") and entries purge automatically once all
+    their stages are rewritten or dropped — `manifest_compact` is the
+    eager purge. Cost model: O(|keys|) at delete time, one anti-join per
+    pending entry at read time, zero data movement until the next
+    natural rewrite. Returns {"keys": n}."""
+    import uuid
+
+    spark = keys.sparkSession
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"manifest table at {path} does not exist")
+    ref = f"_deletes/{uuid.uuid4().hex[:12]}.parquet"
+    dedup = keys.select(*key_cols).dropDuplicates()
+    n = dedup.count()
+    dedup.coalesce(1).write.mode("errorifexists").parquet(f"{path}/{ref}")
+    stages = sorted(
+        {_stage_of(rel) for rel in content.get("partitions", {}).values()}
+    )
+    content = dict(content)
+    content["deletes"] = [
+        *(content.get("deletes") or []),
+        {"ref": ref, "cols": list(key_cols), "stages": stages},
+    ]
+    _publish_manifest(path, version + 1, content)
+    return {"keys": n}
+
+
+def _purge_dead_deletes(content: dict) -> list[dict]:
+    """Delete entries whose stages are all gone from the live partition
+    map are fully materialized in the data — drop them."""
+    live_stages = {
+        _stage_of(rel) for rel in content.get("partitions", {}).values()
+    }
+    return [
+        e
+        for e in (content.get("deletes") or [])
+        if any(s in live_stages for s in e["stages"])
+    ]
 
 
 def manifest_upsert_partitioned(
@@ -489,7 +579,12 @@ def manifest_upsert_partitioned(
         reader = spark.read.format(fmt)
         if fmt == "parquet":
             reader = reader.option("mergeSchema", "true")
-        existing_touched = reader.load([f"{path}/{rel}" for rel in live])
+        # pending MoR deletes apply BEFORE the merge — a deleted key must
+        # not survive the rewrite (it would resurrect); rewriting these
+        # partitions into a new stage is what materializes the delete
+        existing_touched = _apply_deletes(
+            spark, path, reader.load([f"{path}/{rel}" for rel in live]), content
+        )
         survivors = incremental_new_rows(existing_touched, incoming, keys)
         # schema evolution, Delta-style: a batch may ADD columns — the
         # union fills them with null on surviving old rows (and fills
@@ -523,21 +618,20 @@ def manifest_upsert_partitioned(
     # immutable, and every loader intersects sidecar entries with this
     # manifest's live file list — entries for rewritten files go stale
     # harmlessly until the next collect pass rewrites the sidecar.
-    _publish_manifest(
-        path,
-        version + 1,
-        {
-            "partitions": parts,
-            "files": files,
-            "fmt": fmt,
-            "partition_col": partition_col,
-            "schema": out_schema,
-            "stats_ref": content.get("stats_ref"),
-            "stats_cols": content.get("stats_cols", []),
-            "bloom_ref": content.get("bloom_ref"),
-            **(extra_meta or {}),
-        },
-    )
+    new_content = {
+        "partitions": parts,
+        "files": files,
+        "fmt": fmt,
+        "partition_col": partition_col,
+        "schema": out_schema,
+        "stats_ref": content.get("stats_ref"),
+        "stats_cols": content.get("stats_cols", []),
+        "bloom_ref": content.get("bloom_ref"),
+        "deletes": content.get("deletes") or [],
+        **(extra_meta or {}),
+    }
+    new_content["deletes"] = _purge_dead_deletes(new_content)
+    _publish_manifest(path, version + 1, new_content)
     n_batch = n_merged - n_survivors
     n_updated = n_existing_touched - n_survivors
     return {"updated": n_updated, "inserted": n_batch - n_updated}
@@ -580,8 +674,14 @@ def manifest_compact(
     # file counts come from the manifest, not a directory listing
     files_before = sum(len(files.get(k, [])) for k in selected)
     pcol = content["partition_col"]
-    df = spark.read.format(fmt).load(
-        [f"{path}/{rel}" for rel in _live_file_rels(content, selected)]
+    # pending MoR deletes materialize here — compaction is the eager purge
+    df = _apply_deletes(
+        spark,
+        path,
+        spark.read.format(fmt).load(
+            [f"{path}/{rel}" for rel in _live_file_rels(content, selected)]
+        ),
+        content,
     )
     stage = f"data/{uuid.uuid4().hex[:12]}"
     # one output file per partition: repartition BY the partition value,
@@ -599,6 +699,7 @@ def manifest_compact(
     content = dict(content)
     content["partitions"] = parts
     content["files"] = files
+    content["deletes"] = _purge_dead_deletes(content)
     _publish_manifest(path, version + 1, content)
     files_after = sum(len(files[k]) for k in selected)
     return {
@@ -648,12 +749,25 @@ def manifest_diff(
     new_parts = new_content["partitions"]
     fmt = new_content.get("fmt", "parquet")
 
-    changed_old = {
-        k: rel for k, rel in old_parts.items() if new_parts.get(k) != rel
-    }
-    changed_new = {
-        k: rel for k, rel in new_parts.items() if old_parts.get(k) != rel
-    }
+    # identical directory entries cannot differ in DATA, but merge-on-read
+    # deletes change a version's logical content without moving a byte:
+    # partitions whose stage is covered by a delete entry present in only
+    # one version must re-enter the diff
+    old_del = {e["ref"]: e for e in old_content.get("deletes") or []}
+    new_del = {e["ref"]: e for e in new_content.get("deletes") or []}
+    delta_stages: set[str] = set()
+    for ref in set(old_del) ^ set(new_del):
+        delta_stages.update((old_del.get(ref) or new_del[ref])["stages"])
+
+    def _changed(parts: dict, other: dict) -> dict:
+        return {
+            k: rel
+            for k, rel in parts.items()
+            if other.get(k) != rel or _stage_of(rel) in delta_stages
+        }
+
+    changed_old = _changed(old_parts, new_parts)
+    changed_new = _changed(new_parts, old_parts)
 
     def _read(parts: dict, content: dict) -> DataFrame:
         rels = _live_file_rels(content, parts)
@@ -662,7 +776,11 @@ def manifest_diff(
         reader = spark.read.format(fmt)
         if fmt == "parquet":
             reader = reader.option("mergeSchema", "true")
-        return reader.load([f"{path}/{rel}" for rel in rels])
+        df = reader.load([f"{path}/{rel}" for rel in rels])
+        # MoR deletes are part of a version's logical content: applying
+        # each side's pending deletes makes a delete-commit surface as
+        # 'delete' change rows in the feed
+        return _apply_deletes(spark, path, df, content)
 
     old_df = _read(changed_old, old_content)
     new_df = _read(changed_new, new_content)
@@ -825,6 +943,9 @@ def manifest_replace_partitions(
             "stats_ref": content.get("stats_ref"),
             "stats_cols": content.get("stats_cols", []),
             "bloom_ref": content.get("bloom_ref"),
+            "deletes": _purge_dead_deletes(
+                {"partitions": parts, "deletes": content.get("deletes") or []}
+            ),
         },
     )
     return {"partitions_written": written, "partitions_dropped": dropped}
@@ -859,6 +980,8 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
         for key in ("stats_ref", "bloom_ref"):
             if content.get(key):
                 sidecars.add(content[key])
+        for entry in content.get("deletes") or []:
+            sidecars.add(entry["ref"])
     removed = 0
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
@@ -866,11 +989,13 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
             if f"data/{name}" not in referenced:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed += 1
-    index_root = os.path.join(path, "_index")
-    if os.path.isdir(index_root):
-        for name in os.listdir(index_root):
-            if f"_index/{name}" not in sidecars:
-                os.remove(os.path.join(index_root, name))
+    for sub in ("_index", "_deletes"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if f"{sub}/{name}" not in sidecars:
+                os.remove(os.path.join(root, name))
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(d, f"{v}.json"))
@@ -945,6 +1070,11 @@ def manifest_count(
     else:
         with open(f"{_manifest_dir(path)}/{version}.json") as f:
             content = json.load(f)
+    if content.get("deletes"):
+        raise ValueError(
+            "pending merge-on-read deletes: metadata counts would "
+            "overcount — compact first or scan via manifest_read"
+        )
     parts = content.get("partitions", {})
     if partition_values is not None:
         wanted = {str(v) for v in partition_values}

@@ -64,6 +64,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    _apply_deletes,
     _latest_manifest,
     _list_dir_files,
     _live_file_rels,
@@ -739,7 +740,7 @@ def manifest_read_point(
         reader = spark.read.format(fmt)
         if fmt == "parquet":
             reader = reader.option("mergeSchema", "true")
-        df = reader.load([f"{path}/{rel}" for rel in kept])
+        df = _apply_deletes(spark, path, reader.load([f"{path}/{rel}" for rel in kept]), content)
     return df.filter(F.col(col) == F.lit(value))
 
 
@@ -766,7 +767,7 @@ def manifest_read_skipping(
         reader = spark.read.format(fmt)
         if fmt == "parquet":
             reader = reader.option("mergeSchema", "true")
-        df = reader.load([f"{path}/{rel}" for rel in kept])
+        df = _apply_deletes(spark, path, reader.load([f"{path}/{rel}" for rel in kept]), content)
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:

@@ -515,3 +515,113 @@ def test_streaming_sink_end_to_end_restart(spark, table_path, tmp_path):
     assert manifest_count(table_path) == 30
     run_once()  # restart over the same checkpoint: no new data, no dups
     assert manifest_count(table_path) == 30
+
+
+def test_mor_delete_masks_without_rewrite(spark, table_path):
+    """Merge-on-read equality delete: rows vanish from every read path
+    with ZERO data rewritten (the data directories are untouched); a
+    later upsert re-inserting the key makes it live again (new stage is
+    out of the delete's scope); compaction materializes + purges."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+        manifest_count,
+        manifest_delete,
+    )
+
+    b1 = _batch(
+        spark,
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d2", 4.0)],
+    )
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    _, c_before = _latest_manifest(table_path)
+
+    r = manifest_delete(
+        spark.createDataFrame([(2,), (3,)], "k long"), table_path, ["k"]
+    )
+    assert r == {"keys": 2}
+    # no data movement: the live partition map is byte-identical
+    _, c_after = _latest_manifest(table_path)
+    assert c_after["partitions"] == c_before["partitions"]
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (4, "d2", 4.0),
+    ]
+    # metadata count refuses to lie while deletes are pending
+    with pytest.raises(ValueError, match="merge-on-read"):
+        manifest_count(table_path)
+
+    # re-insert k=2: the new stage is outside the delete's scope
+    manifest_upsert_partitioned(
+        _batch(spark, [(2, "d1", 22.0)]), table_path, ["k"], "day"
+    )
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d1", 22.0),
+        (4, "d2", 4.0),
+    ]
+
+    # compaction materializes the remaining delete (k=3 in d2) and purges
+    manifest_compact(spark, table_path)
+    _, content = _latest_manifest(table_path)
+    assert content["deletes"] == []
+    assert manifest_count(table_path) == 3
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d1", 22.0),
+        (4, "d2", 4.0),
+    ]
+
+
+def test_mor_delete_upsert_does_not_resurrect(spark, table_path):
+    """An upsert touching a partition with pending deletes must not carry
+    deleted rows over as merge survivors — deletes apply before the
+    merge, and the rewrite materializes them for that partition."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_delete,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d1", 3.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    manifest_delete(spark.createDataFrame([(2,)], "k long"), table_path, ["k"])
+
+    # upsert another key in the same partition: k=2 must stay gone
+    manifest_upsert_partitioned(
+        _batch(spark, [(3, "d1", 30.0)]), table_path, ["k"], "day"
+    )
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (3, "d1", 30.0),
+    ]
+    # d1 was the only partition -> the delete entry is fully purged
+    _, content = _latest_manifest(table_path)
+    assert content["deletes"] == []
+
+
+def test_mor_delete_in_change_feed_and_time_travel(spark, table_path):
+    """A delete commit surfaces as 'delete' rows in the change feed, and
+    a version pinned BEFORE the delete still reads the full content."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_delete,
+        manifest_diff,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    manifest_delete(spark.createDataFrame([(1,)], "k long"), table_path, ["k"])
+
+    diff = manifest_diff(spark, table_path, from_version=1, to_version=2)
+    rows = {(r.k, r.change_type) for r in diff.collect()}
+    assert rows == {(1, "delete")}
+    # time travel to the pre-delete version
+    assert _content(manifest_read(spark, table_path, version=1)) == [
+        (1, "d1", 1.0),
+        (2, "d2", 2.0),
+    ]
+    # skipping/point readers honor the delete too
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_read_skipping,
+    )
+
+    assert _content(
+        manifest_read_skipping(spark, table_path, {"k": (None, None)})
+    ) == [(2, "d2", 2.0)]
