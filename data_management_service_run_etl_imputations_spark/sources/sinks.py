@@ -339,6 +339,69 @@ class CommitConflict(RuntimeError):
     same contract Delta/Iceberg give through their locking/CAS layer)."""
 
 
+def _load_table_files(
+    spark, path: str, content: dict, rels: list[str]
+) -> "DataFrame":
+    """Load an explicit file list honoring SCHEMA EVOLUTION including
+    TYPE WIDENING: each staged directory's write schema is recorded in
+    the manifest (``dir_schemas``), so files are loaded per schema group
+    and aligned to the table's CURRENT schema (missing columns null,
+    narrower types cast up). Parquet's own mergeSchema only handles
+    added/dropped columns — an int→bigint widening makes it fail with
+    CANNOT_MERGE_SCHEMAS, so homogeneous groups are the only safe unit.
+    One group (the overwhelmingly common case) short-circuits to a plain
+    load."""
+    fmt = content.get("fmt", "parquet")
+    dir_schemas: dict = content.get("dir_schemas", {})
+
+    def schema_of(rel: str) -> str:
+        d = rel.rsplit("/", 1)[0]
+        return dir_schemas.get(d, "")
+
+    groups: dict[str, list[str]] = {}
+    for rel in rels:
+        groups.setdefault(schema_of(rel), []).append(rel)
+
+    def load(group_rels: list[str]):
+        reader = spark.read.format(fmt)
+        if fmt == "parquet":
+            reader = reader.option("mergeSchema", "true")
+        return reader.load([f"{path}/{rel}" for rel in group_rels])
+
+    if len(groups) <= 1:
+        return load(rels)
+    target = spark.createDataFrame([], content["schema"]).schema
+    aligned = []
+    for group_rels in groups.values():
+        df = load(group_rels)
+        aligned.append(
+            df.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+        )
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _resolve_manifest(path: str, version: int | None) -> tuple[int, dict]:
+    """Latest manifest, or a pinned version for time travel."""
+    import json
+
+    if version is None:
+        return _latest_manifest(path)
+    with open(f"{_manifest_dir(path)}/{version}.json") as f:
+        return version, json.load(f)
+
+
 def _publish_manifest(path: str, version: int, content: dict) -> None:
     """Atomic, conflict-safe publish: write a writer-unique temp in the
     same directory, fsync, then ``os.link`` it to the version file.
@@ -399,11 +462,25 @@ def _list_dir_files(path: str, rel_dir: str, fmt: str) -> list[list]:
     return out
 
 
-def _live_file_rels(content: dict, parts: dict | None = None) -> list[str]:
+def _live_file_rels(
+    content: dict, parts: dict | None = None, path: str | None = None
+) -> list[str]:
     """Flat file list for the given partitions (default: all), straight
-    from the manifest — no filesystem access."""
+    from the manifest — no filesystem access. For manifests written
+    BEFORE file lists existed (no "files" key at all), ``path`` enables
+    a directory-listing fallback so old versions stay readable — the one
+    legacy escape hatch; every current writer records file lists."""
     files: dict = content.get("files", {})
-    keys = sorted(parts if parts is not None else content.get("partitions", {}))
+    all_parts = content.get("partitions", {})
+    sel = parts if parts is not None else all_parts
+    keys = sorted(sel)
+    if "files" not in content and path is not None:
+        fmt = content.get("fmt", "parquet")
+        return [
+            e[0]
+            for k in keys
+            for e in _list_dir_files(path, all_parts[k], fmt)
+        ]
     return [e[0] for k in keys for e in files.get(k, [])]
 
 
@@ -419,13 +496,7 @@ def manifest_read(
     per-partition file lists at commit time, so planning a read performs
     ZERO filesystem listing (a stray/orphaned file inside a data directory
     is invisible). ``partition_values`` prunes at the manifest level."""
-    if version is None:
-        version, content = _latest_manifest(path)
-    else:
-        import json
-
-        with open(f"{_manifest_dir(path)}/{version}.json") as f:
-            content = json.load(f)
+    version, content = _resolve_manifest(path, version)
     parts = content["partitions"]
     if partition_values is not None:
         wanted = {str(v) for v in partition_values}
@@ -435,15 +506,8 @@ def manifest_read(
         if schema:
             return spark.createDataFrame([], schema)
         raise ValueError(f"manifest table at {path} is empty (v{version})")
-    fmt = content.get("fmt", "parquet")
-    reader = spark.read.format(fmt)
-    if fmt == "parquet":
-        # schema evolution: directories written before a column was added
-        # lack it in their footers; mergeSchema unions the file schemas so
-        # old partitions read the new column as null
-        reader = reader.option("mergeSchema", "true")
-    rels = _live_file_rels(content, parts)
-    df = reader.load([f"{path}/{rel}" for rel in rels])
+    rels = _live_file_rels(content, parts, path=path)
+    df = _load_table_files(spark, path, content, rels)
     return _apply_deletes(spark, path, df, content)
 
 
@@ -576,14 +640,11 @@ def manifest_upsert_partitioned(
     )
 
     if live:
-        reader = spark.read.format(fmt)
-        if fmt == "parquet":
-            reader = reader.option("mergeSchema", "true")
         # pending MoR deletes apply BEFORE the merge — a deleted key must
         # not survive the rewrite (it would resurrect); rewriting these
         # partitions into a new stage is what materializes the delete
         existing_touched = _apply_deletes(
-            spark, path, reader.load([f"{path}/{rel}" for rel in live]), content
+            spark, path, _load_table_files(spark, path, content, live), content
         )
         survivors = incremental_new_rows(existing_touched, incoming, keys)
         # schema evolution, Delta-style: a batch may ADD columns — the
@@ -609,10 +670,14 @@ def manifest_upsert_partitioned(
     merged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
         f"{path}/{stage}"
     )
+    dir_schemas: dict = dict(content.get("dir_schemas", {}))
     for k in touched_keys:
         rel = f"{stage}/__p={k}"
         parts[k] = rel
         files[k] = _list_dir_files(path, rel, fmt)
+        dir_schemas[rel] = out_schema
+    live_dirs = set(parts.values())
+    dir_schemas = {d: sc for d, sc in dir_schemas.items() if d in live_dirs}
 
     # stats/bloom sidecars carry BY REFERENCE: the sidecar files are
     # immutable, and every loader intersects sidecar entries with this
@@ -628,8 +693,14 @@ def manifest_upsert_partitioned(
         "stats_cols": content.get("stats_cols", []),
         "bloom_ref": content.get("bloom_ref"),
         "deletes": content.get("deletes") or [],
+        "dir_schemas": dir_schemas,
         **(extra_meta or {}),
     }
+    # metadata keys this writer does not manage (streaming batch markers,
+    # future extensions) carry through — a maintenance upsert must never
+    # erase another component's state
+    for k, v in content.items():
+        new_content.setdefault(k, v)
     new_content["deletes"] = _purge_dead_deletes(new_content)
     _publish_manifest(path, version + 1, new_content)
     n_batch = n_merged - n_survivors
@@ -678,8 +749,8 @@ def manifest_compact(
     df = _apply_deletes(
         spark,
         path,
-        spark.read.format(fmt).load(
-            [f"{path}/{rel}" for rel in _live_file_rels(content, selected)]
+        _load_table_files(
+            spark, path, content, _live_file_rels(content, selected)
         ),
         content,
     )
@@ -692,13 +763,20 @@ def manifest_compact(
     staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
         f"{path}/{stage}"
     )
+    dir_schemas: dict = dict(content.get("dir_schemas", {}))
+    new_schema = staged.drop("__p").schema.simpleString()
     for k in selected:
         rel = f"{stage}/__p={k}"
         parts[k] = rel
         files[k] = _list_dir_files(path, rel, fmt)
+        dir_schemas[rel] = new_schema
+    live_dirs = set(parts.values())
     content = dict(content)
     content["partitions"] = parts
     content["files"] = files
+    content["dir_schemas"] = {
+        d: sc for d, sc in dir_schemas.items() if d in live_dirs
+    }
     content["deletes"] = _purge_dead_deletes(content)
     _publish_manifest(path, version + 1, content)
     files_after = sum(len(files[k]) for k in selected)
@@ -773,10 +851,7 @@ def manifest_diff(
         rels = _live_file_rels(content, parts)
         if not rels:
             return spark.createDataFrame([], content["schema"])
-        reader = spark.read.format(fmt)
-        if fmt == "parquet":
-            reader = reader.option("mergeSchema", "true")
-        df = reader.load([f"{path}/{rel}" for rel in rels])
+        df = _load_table_files(spark, path, content, rels)
         # MoR deletes are part of a version's logical content: applying
         # each side's pending deletes makes a delete-commit surface as
         # 'delete' change rows in the feed
@@ -921,33 +996,38 @@ def manifest_replace_partitions(
         for r in staged.select("__p").distinct().collect()
     }
     written = dropped = 0
+    dir_schemas: dict = dict(content.get("dir_schemas", {}))
     for k in wanted:
         if k in present:
             rel = f"{stage}/__p={k}"
             parts[k] = rel
             files[k] = _list_dir_files(path, rel, fmt)
+            dir_schemas[rel] = out_schema
             written += 1
         elif k in parts:
             del parts[k]
             files.pop(k, None)
             dropped += 1
-    _publish_manifest(
-        path,
-        version + 1,
-        {
-            "partitions": parts,
-            "files": files,
-            "fmt": fmt,
-            "partition_col": partition_col,
-            "schema": out_schema,
-            "stats_ref": content.get("stats_ref"),
-            "stats_cols": content.get("stats_cols", []),
-            "bloom_ref": content.get("bloom_ref"),
-            "deletes": _purge_dead_deletes(
-                {"partitions": parts, "deletes": content.get("deletes") or []}
-            ),
-        },
-    )
+    dir_schemas = {
+        d: sc for d, sc in dir_schemas.items() if d in set(parts.values())
+    }
+    new_content = {
+        "partitions": parts,
+        "files": files,
+        "fmt": fmt,
+        "partition_col": partition_col,
+        "schema": out_schema,
+        "stats_ref": content.get("stats_ref"),
+        "stats_cols": content.get("stats_cols", []),
+        "bloom_ref": content.get("bloom_ref"),
+        "deletes": _purge_dead_deletes(
+            {"partitions": parts, "deletes": content.get("deletes") or []}
+        ),
+        "dir_schemas": dir_schemas,
+    }
+    for k, v in content.items():
+        new_content.setdefault(k, v)
+    _publish_manifest(path, version + 1, new_content)
     return {"partitions_written": written, "partitions_dropped": dropped}
 
 
@@ -995,7 +1075,12 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
             continue
         for name in os.listdir(root):
             if f"{sub}/{name}" not in sidecars:
-                os.remove(os.path.join(root, name))
+                target = os.path.join(root, name)
+                # delete-key refs are Spark-written directories
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                else:
+                    os.remove(target)
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(d, f"{v}.json"))
@@ -1063,13 +1148,7 @@ def manifest_count(
     common query in every dashboard. Raises if any listed file lacks a
     recorded count (non-parquet formats) — fall back to
     ``manifest_read(...).count()`` there."""
-    import json
-
-    if version is None:
-        version, content = _latest_manifest(path)
-    else:
-        with open(f"{_manifest_dir(path)}/{version}.json") as f:
-            content = json.load(f)
+    version, content = _resolve_manifest(path, version)
     if content.get("deletes"):
         raise ValueError(
             "pending merge-on-read deletes: metadata counts would "
@@ -1096,6 +1175,7 @@ def foreach_batch_manifest_upsert(
     keys: list[str],
     partition_col: str,
     fmt: str = "parquet",
+    app_id: str = "default",
 ):
     """EXACTLY-ONCE streaming sink into a manifest table: returns a
     ``foreachBatch`` function that upserts each micro-batch and records
@@ -1105,7 +1185,10 @@ def foreach_batch_manifest_upsert(
     the Delta `txn`/idempotent-writes design. Structured Streaming
     replays the last unacknowledged batch on restart (at-least-once at
     the sink boundary); the committed batch id turns that into
-    exactly-once table content.
+    exactly-once table content. Markers are SCOPED per ``app_id``
+    (Delta's txnAppId): distinct streaming queries sinking into the same
+    table track independent batch sequences — give each query a stable
+    unique ``app_id``.
 
     Scale: each micro-batch pays one partitioned upsert (staging write +
     one metadata commit for the touched partitions); the skip check is a
@@ -1113,9 +1196,11 @@ def foreach_batch_manifest_upsert(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         _, content = _latest_manifest(path)
-        applied = content.get("last_stream_batch")
+        markers = dict(content.get("stream_batches") or {})
+        applied = markers.get(app_id)
         if applied is not None and batch_id <= applied:
             return  # replayed batch: already atomically committed
+        markers[app_id] = batch_id
         with_commit_retry(
             lambda: manifest_upsert_partitioned(
                 batch_df,
@@ -1123,7 +1208,7 @@ def foreach_batch_manifest_upsert(
                 keys,
                 partition_col,
                 fmt=fmt,
-                extra_meta={"last_stream_batch": batch_id},
+                extra_meta={"stream_batches": markers},
             )
         )
 

@@ -68,8 +68,9 @@ from data_management_service_run_etl_imputations_spark.sources.sinks import (
     _latest_manifest,
     _list_dir_files,
     _live_file_rels,
-    _manifest_dir,
+    _load_table_files,
     _publish_manifest,
+    _resolve_manifest,
 )
 
 __all__ = [
@@ -340,7 +341,7 @@ def _load_bloom_sidecar(path: str, content: dict, col: str | None = None) -> dic
 
 
 def _stats_for_files(
-    spark, table_root: str, file_rels: list[str], cols: list[str], fmt: str
+    spark, table_root: str, file_rels: list[str], cols: list[str], content: dict
 ) -> dict[str, dict]:
     """Per-file stats for an explicit file list in ONE job:
     {file_rel: {"rows": n, "cols": {c: {"min": v, "max": v, "nulls": n}}}}.
@@ -350,9 +351,9 @@ def _stats_for_files(
     to stray files a crashed writer may have left in a shared prefix."""
     if not file_rels:
         return {}
-    df = spark.read.format(fmt).load(
-        [f"{table_root}/{rel}" for rel in sorted(file_rels)]
-    )
+    # the backlog may span schema evolution incl. type widening: the
+    # schema-group loader aligns every generation to the table schema
+    df = _load_table_files(spark, table_root, content, sorted(file_rels))
     aggs = [F.count(F.lit(1)).alias("__rows")]
     present = [c for c in cols if c in df.columns]
     for c in present:
@@ -416,7 +417,9 @@ def manifest_collect_stats(
                 continue  # immutable file already covers every asked col
             todo_files.append(frel)
             todo_dirs.add(rel)
-    fresh = _stats_for_files(spark, path, todo_files, cols, fmt)
+    if not todo_files and set(cols) <= set(content.get("stats_cols", [])):
+        return {"files": 0, "directories": 0}  # true no-op: no new version
+    fresh = _stats_for_files(spark, path, todo_files, cols, content)
     for frel, s in fresh.items():
         if frel in stats:
             stats[frel]["cols"].update(s["cols"])  # per-column merge
@@ -463,8 +466,16 @@ def manifest_cluster_zorder(
     if not selected:
         return {"partitions": 0, "files": 0}
 
-    df = spark.read.format(fmt).load(
-        [f"{path}/{rel}" for rel in _live_file_rels(content, selected)]
+    # pending MoR deletes must materialize in the rewrite — copying raw
+    # files into a fresh stage would take the rows OUT of the delete
+    # entries' scope and resurrect them
+    df = _apply_deletes(
+        spark,
+        path,
+        _load_table_files(
+            spark, path, content, _live_file_rels(content, selected)
+        ),
+        content,
     )
     dfz = with_zorder(df, zorder_cols, bits_per_col=bits_per_col)
     staged = (
@@ -486,12 +497,15 @@ def manifest_cluster_zorder(
     # set) merge with fresh stats for the rewritten partitions into a new
     # sidecar, committed atomically with the data it indexes
     stats = _load_stats_sidecar(path, content)
+    dir_schemas: dict = dict(content.get("dir_schemas", {}))
+    new_schema = staged.drop("__p").schema.simpleString()
     new_file_rels: list[str] = []
     for k in selected:
         rel = f"{stage}/__p={k}"
         parts[k] = rel
         listed = _list_dir_files(path, rel, fmt)
         files[k] = listed
+        dir_schemas[rel] = new_schema
         new_file_rels.extend(e[0] for e in listed)
     dropped = {
         frel
@@ -500,24 +514,27 @@ def manifest_cluster_zorder(
     }
     for frel in dropped:
         del stats[frel]
-    fresh = _stats_for_files(spark, path, new_file_rels, zorder_cols, fmt)
+    fresh = _stats_for_files(
+        spark, path, new_file_rels, zorder_cols, {"fmt": fmt}
+    )
     stats.update(fresh)
     content = dict(content)
     content["partitions"] = parts
     content["files"] = files
+    content["dir_schemas"] = {
+        d: sc for d, sc in dir_schemas.items() if d in set(parts.values())
+    }
     content["stats_ref"] = _write_stats_sidecar(path, stats)
     content["stats_cols"] = sorted(
         set(content.get("stats_cols", [])) | set(zorder_cols)
     )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _purge_dead_deletes,
+    )
+
+    content["deletes"] = _purge_dead_deletes(content)
     _publish_manifest(path, version + 1, content)
     return {"partitions": len(selected), "files": len(fresh)}
-
-
-def _resolve_manifest(path: str, version: int | None) -> tuple[int, dict]:
-    if version is None:
-        return _latest_manifest(path)
-    with open(f"{_manifest_dir(path)}/{version}.json") as f:
-        return version, json.load(f)
 
 
 def manifest_skipping_plan(
@@ -641,9 +658,10 @@ def manifest_collect_bloom(
             todo_dirs.add(rel)
     n_files = 0
     if todo_files:
-        df = spark.read.format(fmt).load(
-            [f"{path}/{rel}" for rel in sorted(todo_files)]
-        )
+        # the backlog may span a type evolution of the indexed column; the
+        # schema-group loader reads every generation aligned to the table
+        # schema, so THAT is the dtype recorded for these files' bitsets
+        df = _load_table_files(spark, path, content, sorted(todo_files))
         # xxhash64 is TYPE-sensitive (int 17 and bigint 17 hash apart):
         # record the dtype PER FILE so the probe side hashes its literal
         # under each file's exact build type — build and probe cannot
@@ -671,6 +689,8 @@ def manifest_collect_bloom(
                 words[pos >> 6] |= 1 << (pos & 63)
             files[frel] = {"words": words, "dtype": dtype}
             n_files += 1
+    if not todo_files and col in bloom and bloom[col] is entry:
+        return {"files": 0, "directories": 0}  # true no-op: no new version
     entry["files"] = files
     bloom[col] = entry
     content = dict(content)
@@ -737,10 +757,9 @@ def manifest_read_point(
             raise ValueError(f"manifest table at {path} has no schema")
         df = spark.createDataFrame([], schema)
     else:
-        reader = spark.read.format(fmt)
-        if fmt == "parquet":
-            reader = reader.option("mergeSchema", "true")
-        df = _apply_deletes(spark, path, reader.load([f"{path}/{rel}" for rel in kept]), content)
+        df = _apply_deletes(
+            spark, path, _load_table_files(spark, path, content, kept), content
+        )
     return df.filter(F.col(col) == F.lit(value))
 
 
@@ -764,10 +783,9 @@ def manifest_read_skipping(
             raise ValueError(f"manifest table at {path} has no schema")
         df = spark.createDataFrame([], schema)
     else:
-        reader = spark.read.format(fmt)
-        if fmt == "parquet":
-            reader = reader.option("mergeSchema", "true")
-        df = _apply_deletes(spark, path, reader.load([f"{path}/{rel}" for rel in kept]), content)
+        df = _apply_deletes(
+            spark, path, _load_table_files(spark, path, content, kept), content
+        )
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:

@@ -89,6 +89,11 @@ DEFAULT_QUERIES = [
     "dq_expectations_orders",
     "udaf_weighted_mean",
     "manifest_upsert_roundtrip",
+    # r05 additions: the de-funneled group-stats imputer and the
+    # row-level quarantine gate
+    "impute_group_mean",
+    "impute_group_median",
+    "dq_quarantine_orders",
 ]
 
 

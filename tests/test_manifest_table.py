@@ -625,3 +625,101 @@ def test_mor_delete_in_change_feed_and_time_travel(spark, table_path):
     assert _content(
         manifest_read_skipping(spark, table_path, {"k": (None, None)})
     ) == [(2, "d2", 2.0)]
+
+
+def test_zorder_does_not_resurrect_deleted_rows(spark, table_path):
+    """Code-review regression: clustering rewrites partitions into a new
+    stage — pending MoR deletes must materialize in that rewrite, or the
+    copied rows would leave the delete's scope and resurrect."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_cluster_zorder,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_delete,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d1", 3.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    manifest_delete(spark.createDataFrame([(2,)], "k long"), table_path, ["k"])
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (3, "d1", 3.0),
+    ]
+    manifest_cluster_zorder(spark, table_path, ["v"], files_per_partition=2)
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (3, "d1", 3.0),
+    ]
+    _, content = _latest_manifest(table_path)
+    assert content["deletes"] == []  # materialized -> purged
+
+
+def test_maintenance_upsert_preserves_stream_markers(spark, table_path):
+    """Code-review regression: a plain upsert (no extra_meta) must carry
+    the streaming batch markers through — erasing them would let a
+    post-crash replay re-apply an old batch over newer data."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        foreach_batch_manifest_upsert,
+    )
+
+    apply_batch = foreach_batch_manifest_upsert(table_path, ["k"], "day")
+    apply_batch(_batch(spark, [(1, "d1", 1.0)]), 0)
+    apply_batch(_batch(spark, [(2, "d1", 20.0)]), 1)
+
+    # maintenance write from another component
+    manifest_upsert_partitioned(
+        _batch(spark, [(2, "d1", 99.0)]), table_path, ["k"], "day"
+    )
+    _, content = _latest_manifest(table_path)
+    assert content.get("stream_batches") == {"default": 1}
+
+    # crash-replay of batch 1 must be recognized and NOT clobber v=99
+    apply_batch(_batch(spark, [(2, "d1", 20.0)]), 1)
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d1", 99.0),
+    ]
+
+
+def test_stream_markers_scoped_per_app(spark, table_path):
+    """Two streaming queries into one table track independent batch
+    sequences (Delta txnAppId semantics): app B committing batch 7 must
+    not swallow app A's batch 4."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        foreach_batch_manifest_upsert,
+    )
+
+    apply_a = foreach_batch_manifest_upsert(table_path, ["k"], "day", app_id="A")
+    apply_b = foreach_batch_manifest_upsert(table_path, ["k"], "day", app_id="B")
+    apply_a(_batch(spark, [(1, "d1", 1.0)]), 3)
+    apply_b(_batch(spark, [(2, "d1", 2.0)]), 7)
+    apply_a(_batch(spark, [(3, "d1", 3.0)]), 4)  # would be dropped if global
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d1", 2.0),
+        (3, "d1", 3.0),
+    ]
+    # replay within each scope still skips
+    apply_b(_batch(spark, [(2, "d1", 999.0)]), 7)
+    assert (2, "d1", 2.0) in _content(manifest_read(spark, table_path))
+
+
+def test_vacuum_removes_purged_delete_key_dirs(spark, table_path):
+    """Code-review regression: delete-key refs are Spark-written
+    DIRECTORIES; vacuum must rmtree them once unreferenced instead of
+    crashing with IsADirectoryError."""
+    import os
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+        manifest_delete,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    manifest_delete(spark.createDataFrame([(2,)], "k long"), table_path, ["k"])
+    manifest_compact(spark, table_path)  # materializes + purges the entry
+    removed = manifest_vacuum(table_path, keep_versions=1)
+    assert removed >= 1
+    assert os.listdir(f"{table_path}/_deletes") == []  # key dir GC'd
+    assert _content(manifest_read(spark, table_path)) == [(1, "d1", 1.0)]

@@ -421,3 +421,57 @@ def test_bloom_probe_matches_per_file_dtype(spark, tmp_path):
     assert manifest_read_point(spark, path, "key", 17).count() == 1
     assert manifest_read_point(spark, path, "key", 4000000017).count() == 1
     assert manifest_read_point(spark, path, "key", 999).count() == 0
+
+
+def test_bloom_first_build_spans_type_evolution(spark, tmp_path):
+    """Code-review regression: the FIRST bloom build over a backlog that
+    spans a column type evolution (int partition + bigint partition) must
+    not crash on footer-schema mismatch — the merged read covers every
+    generation and keys from both are found."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_read_point,
+    )
+
+    path = str(tmp_path / "evotab")
+    manifest_upsert_partitioned(
+        spark.createDataFrame([(1, "d1", 17)], "k long, p string, key int"),
+        path,
+        ["k"],
+        "p",
+    )
+    manifest_upsert_partitioned(
+        spark.createDataFrame(
+            [(2, "d2", 4000000017)], "k long, p string, key long"
+        ),
+        path,
+        ["k"],
+        "p",
+    )
+    # first-ever build sees BOTH generations in one backlog
+    built = manifest_collect_bloom(spark, path, "key", bits=1024, k=3)
+    assert built["directories"] == 2
+    assert manifest_read_point(spark, path, "key", 17).count() == 1
+    assert manifest_read_point(spark, path, "key", 4000000017).count() == 1
+
+
+def test_noop_analyze_publishes_no_version(spark, table):
+    """A covered ANALYZE (stats or bloom) is a true no-op: no new manifest
+    version, no sidecar rewrite."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+    )
+
+    manifest_collect_stats(spark, table, ["a"])
+    manifest_collect_bloom(spark, table, "row_id", bits=4096, k=3)
+    v0, _ = _latest_manifest(table)
+    assert manifest_collect_stats(spark, table, ["a"]) == {
+        "files": 0,
+        "directories": 0,
+    }
+    assert manifest_collect_bloom(spark, table, "row_id", bits=4096, k=3) == {
+        "files": 0,
+        "directories": 0,
+    }
+    v1, _ = _latest_manifest(table)
+    assert v1 == v0
