@@ -392,26 +392,56 @@ def _load_table_files(
     return out
 
 
-def _resolve_manifest(path: str, version: int | None) -> tuple[int, dict]:
-    """Latest manifest, or a pinned version for time travel."""
+def _resolve_manifest(
+    path: str, version: int | None, as_of: float | None = None
+) -> tuple[int, dict]:
+    """Latest manifest, a pinned version, or the newest version committed
+    at-or-before ``as_of`` (unix seconds) for timestamp time travel."""
     import json
+    import os
 
+    if version is None and as_of is not None:
+        best = None
+        d = _manifest_dir(path)
+        for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(d, name)) as f:
+                c = json.load(f)
+            ts = c.get("committed_at")
+            v = int(name[:-5])
+            if ts is not None and ts <= as_of and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no manifest version at {path} committed at or before {as_of}"
+            )
+        version = best
     if version is None:
         return _latest_manifest(path)
     with open(f"{_manifest_dir(path)}/{version}.json") as f:
         return version, json.load(f)
 
 
-def _publish_manifest(path: str, version: int, content: dict) -> None:
+def _publish_manifest(
+    path: str, version: int, content: dict, op: str | None = None
+) -> None:
     """Atomic, conflict-safe publish: write a writer-unique temp in the
     same directory, fsync, then ``os.link`` it to the version file.
     link(2) fails with EEXIST if the target exists — unlike ``os.replace``
     it can NEVER clobber a concurrent writer's commit — so two writers
     racing to version N+1 get exactly one winner and a loud
-    :class:`CommitConflict` for the loser."""
+    :class:`CommitConflict` for the loser. Stamps commit provenance
+    (``op``, ``committed_at``) for DESCRIBE HISTORY / timestamp travel."""
     import json
     import os
+    import time
     import uuid
+
+    content = dict(content)
+    if op is not None:
+        content["op"] = op
+    content["committed_at"] = time.time()
 
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
@@ -489,6 +519,7 @@ def manifest_read(
     path: str,
     partition_values: list | None = None,
     version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read a manifest-committed table: resolve ONE manifest version (the
     latest, or a pinned ``version`` for time travel / a stable multi-read
@@ -496,7 +527,7 @@ def manifest_read(
     per-partition file lists at commit time, so planning a read performs
     ZERO filesystem listing (a stray/orphaned file inside a data directory
     is invisible). ``partition_values`` prunes at the manifest level."""
-    version, content = _resolve_manifest(path, version)
+    version, content = _resolve_manifest(path, version, as_of=as_of)
     parts = content["partitions"]
     if partition_values is not None:
         wanted = {str(v) for v in partition_values}
@@ -583,7 +614,7 @@ def manifest_delete(
         *(content.get("deletes") or []),
         {"ref": ref, "cols": list(key_cols), "stages": stages},
     ]
-    _publish_manifest(path, version + 1, content)
+    _publish_manifest(path, version + 1, content, op="delete")
     return {"keys": n}
 
 
@@ -702,7 +733,7 @@ def manifest_upsert_partitioned(
     for k, v in content.items():
         new_content.setdefault(k, v)
     new_content["deletes"] = _purge_dead_deletes(new_content)
-    _publish_manifest(path, version + 1, new_content)
+    _publish_manifest(path, version + 1, new_content, op="upsert")
     n_batch = n_merged - n_survivors
     n_updated = n_existing_touched - n_survivors
     return {"updated": n_updated, "inserted": n_batch - n_updated}
@@ -778,7 +809,7 @@ def manifest_compact(
         d: sc for d, sc in dir_schemas.items() if d in live_dirs
     }
     content["deletes"] = _purge_dead_deletes(content)
-    _publish_manifest(path, version + 1, content)
+    _publish_manifest(path, version + 1, content, op="compact")
     files_after = sum(len(files[k]) for k in selected)
     return {
         "partitions": len(selected),
@@ -1027,7 +1058,7 @@ def manifest_replace_partitions(
     }
     for k, v in content.items():
         new_content.setdefault(k, v)
-    _publish_manifest(path, version + 1, new_content)
+    _publish_manifest(path, version + 1, new_content, op="replace-partitions")
     return {"partitions_written": written, "partitions_dropped": dropped}
 
 
@@ -1115,6 +1146,36 @@ def apply_changes(
         .filter(F.col(op_col) != delete_op)
         .drop("__rn", op_col)
     )
+
+
+def manifest_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per committed version (ascending) with
+    provenance — operation, commit timestamp, partition/file/delete
+    counts. Pure metadata (no SparkSession, no data access)."""
+    import json
+    import os
+
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(
+        (n for n in os.listdir(d) if n.endswith(".json")),
+        key=lambda n: int(n[:-5]),
+    ):
+        with open(os.path.join(d, name)) as f:
+            c = json.load(f)
+        out.append(
+            {
+                "version": int(name[:-5]),
+                "op": c.get("op"),
+                "committed_at": c.get("committed_at"),
+                "n_partitions": len(c.get("partitions", {})),
+                "n_files": sum(len(v) for v in c.get("files", {}).values()),
+                "pending_deletes": len(c.get("deletes") or []),
+            }
+        )
+    return out
 
 
 def with_commit_retry(op, max_attempts: int = 3):

@@ -431,7 +431,7 @@ def manifest_collect_stats(
     content["stats_cols"] = sorted(
         set(content.get("stats_cols", [])) | set(cols)
     )
-    _publish_manifest(path, version + 1, content)
+    _publish_manifest(path, version + 1, content, op="analyze-stats")
     return {"files": len(fresh), "directories": len(todo_dirs)}
 
 
@@ -533,7 +533,7 @@ def manifest_cluster_zorder(
     )
 
     content["deletes"] = _purge_dead_deletes(content)
-    _publish_manifest(path, version + 1, content)
+    _publish_manifest(path, version + 1, content, op="optimize-zorder")
     return {"partitions": len(selected), "files": len(fresh)}
 
 
@@ -695,7 +695,7 @@ def manifest_collect_bloom(
     bloom[col] = entry
     content = dict(content)
     content["bloom_ref"] = _write_bloom_sidecar(path, bloom)
-    _publish_manifest(path, version + 1, content)
+    _publish_manifest(path, version + 1, content, op="analyze-bloom")
     return {"files": n_files, "directories": len(todo_dirs)}
 
 

@@ -723,3 +723,34 @@ def test_vacuum_removes_purged_delete_key_dirs(spark, table_path):
     assert removed >= 1
     assert os.listdir(f"{table_path}/_deletes") == []  # key dir GC'd
     assert _content(manifest_read(spark, table_path)) == [(1, "d1", 1.0)]
+
+
+def test_history_and_timestamp_travel(spark, table_path):
+    """DESCRIBE HISTORY: each commit records its operation and timestamp
+    (pure metadata); as_of reads resolve the newest version committed
+    at-or-before the given instant."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+        manifest_delete,
+        manifest_history,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    t_after_v1 = manifest_history(table_path)[-1]["committed_at"]
+    manifest_upsert_partitioned(
+        _batch(spark, [(2, "d2", 2.0)]), table_path, ["k"], "day"
+    )
+    manifest_delete(spark.createDataFrame([(1,)], "k long"), table_path, ["k"])
+    manifest_compact(spark, table_path)
+
+    hist = manifest_history(table_path)
+    assert [h["op"] for h in hist] == ["upsert", "upsert", "delete", "compact"]
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert all(h["committed_at"] is not None for h in hist)
+    assert hist[2]["pending_deletes"] == 1 and hist[3]["pending_deletes"] == 0
+
+    # timestamp travel: the instant after v1 resolves v1's content
+    got = _content(manifest_read(spark, table_path, as_of=t_after_v1))
+    assert got == [(1, "d1", 1.0)]
