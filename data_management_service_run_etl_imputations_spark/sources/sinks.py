@@ -313,12 +313,30 @@ def _manifest_dir(path: str) -> str:
 def _latest_manifest(path: str) -> tuple[int, dict]:
     """Highest committed version and its content ({} at version 0).
     Incomplete writer crashes leave only temp files, never a readable
-    half-manifest — the rename is the commit point."""
+    half-manifest — the exclusive create is the commit point.
+
+    Resolution is O(1), not O(versions): each successful commit drops a
+    best-effort ``_latest`` hint (atomic replace), and the reader probes
+    FORWARD from the hint until the next version is absent — so a stale
+    hint (racing writers finishing out of order, or a crash between
+    commit and hint) costs a few existence checks, never a wrong answer,
+    and the hint is never load-bearing: if it is missing or points at a
+    vacuumed/garbage version the reader falls back to listing the commit
+    directory. On object storage this turns every read's LIST into one
+    GET + one HEAD (the same role Delta's ``_last_checkpoint`` plays)."""
     import json
     import os
 
-    best, content = 0, {"partitions": {}}
     d = _manifest_dir(path)
+    hint = _read_latest_hint(d)
+    if hint is not None and os.path.isfile(os.path.join(d, f"{hint}.json")):
+        v = hint
+        while os.path.isfile(os.path.join(d, f"{v + 1}.json")):
+            v += 1
+        with open(os.path.join(d, f"{v}.json")) as f:
+            return v, json.load(f)
+
+    best, content = 0, {"partitions": {}}
     if os.path.isdir(d):
         for name in os.listdir(d):
             if name.endswith(".json"):
@@ -330,6 +348,33 @@ def _latest_manifest(path: str) -> tuple[int, dict]:
                     with open(os.path.join(d, name)) as f:
                         best, content = v, json.load(f)
     return best, content
+
+
+def _read_latest_hint(commit_dir: str) -> int | None:
+    import os
+
+    try:
+        with open(os.path.join(commit_dir, "_latest")) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError, OSError):
+        return None
+
+
+def _write_latest_hint(commit_dir: str, version: int) -> None:
+    """Best-effort, atomic, monotone-enough: a replace can regress the
+    hint by a version or two when commits finish out of order — the
+    reader's forward probe absorbs that. Failure here never fails the
+    commit (the version file IS the truth)."""
+    import os
+    import uuid
+
+    try:
+        tmp = os.path.join(commit_dir, f"._latest.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(commit_dir, "_latest"))
+    except OSError:
+        pass
 
 
 class CommitConflict(RuntimeError):
@@ -460,6 +505,7 @@ def _publish_manifest(
         ) from None
     finally:
         os.unlink(tmp)
+    _write_latest_hint(d, version)
 
 
 def _list_dir_files(path: str, rel_dir: str, fmt: str) -> list[list]:
@@ -701,42 +747,101 @@ def manifest_upsert_partitioned(
     merged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
         f"{path}/{stage}"
     )
-    dir_schemas: dict = dict(content.get("dir_schemas", {}))
-    for k in touched_keys:
-        rel = f"{stage}/__p={k}"
-        parts[k] = rel
-        files[k] = _list_dir_files(path, rel, fmt)
-        dir_schemas[rel] = out_schema
-    live_dirs = set(parts.values())
-    dir_schemas = {d: sc for d, sc in dir_schemas.items() if d in live_dirs}
-
-    # stats/bloom sidecars carry BY REFERENCE: the sidecar files are
-    # immutable, and every loader intersects sidecar entries with this
-    # manifest's live file list — entries for rewritten files go stale
-    # harmlessly until the next collect pass rewrites the sidecar.
-    new_content = {
-        "partitions": parts,
-        "files": files,
-        "fmt": fmt,
-        "partition_col": partition_col,
-        "schema": out_schema,
-        "stats_ref": content.get("stats_ref"),
-        "stats_cols": content.get("stats_cols", []),
-        "bloom_ref": content.get("bloom_ref"),
-        "deletes": content.get("deletes") or [],
-        "dir_schemas": dir_schemas,
-        **(extra_meta or {}),
+    staged_files = {
+        k: _list_dir_files(path, f"{stage}/__p={k}", fmt) for k in touched_keys
     }
-    # metadata keys this writer does not manage (streaming batch markers,
-    # future extensions) carry through — a maintenance upsert must never
-    # erase another component's state
-    for k, v in content.items():
-        new_content.setdefault(k, v)
-    new_content["deletes"] = _purge_dead_deletes(new_content)
-    _publish_manifest(path, version + 1, new_content, op="upsert")
+
+    def _build(base: dict) -> dict:
+        b_parts = dict(base.get("partitions", {}))
+        b_files = dict(base.get("files", {}))
+        dir_schemas = dict(base.get("dir_schemas", {}))
+        for k in touched_keys:
+            rel = f"{stage}/__p={k}"
+            b_parts[k] = rel
+            b_files[k] = staged_files[k]
+            dir_schemas[rel] = out_schema
+        live_dirs = set(b_parts.values())
+        # stats/bloom sidecars carry BY REFERENCE: the sidecar files are
+        # immutable, and every loader intersects sidecar entries with the
+        # manifest's live file list — entries for rewritten files go stale
+        # harmlessly until the next collect pass rewrites the sidecar.
+        nc = {
+            "partitions": b_parts,
+            "files": b_files,
+            "fmt": fmt,
+            "partition_col": partition_col,
+            "schema": out_schema,
+            "stats_ref": base.get("stats_ref"),
+            "stats_cols": base.get("stats_cols", []),
+            "bloom_ref": base.get("bloom_ref"),
+            "deletes": base.get("deletes") or [],
+            "dir_schemas": {
+                d: sc for d, sc in dir_schemas.items() if d in live_dirs
+            },
+            **(extra_meta or {}),
+        }
+        # metadata keys this writer does not manage (streaming batch
+        # markers, future extensions) carry through — a maintenance upsert
+        # must never erase another component's state
+        for k, v in base.items():
+            nc.setdefault(k, v)
+        nc["deletes"] = _purge_dead_deletes(nc)
+        return nc
+
+    # Commit loop with LOGICAL conflict detection (the Delta/Iceberg
+    # distinction between a physical version-number race and a true data
+    # conflict): losing the exclusive create means someone committed a
+    # newer version, but if that winner touched none of OUR partitions,
+    # changed no delete entries, and left the schema alone, our staged
+    # stage is still a correct merge — FAST-FORWARD by rebuilding the
+    # metadata against the new head and re-committing; no data is
+    # re-staged. Only a genuine overlap (same partition rewritten, a new
+    # delete whose scope our merge should have materialized, or a schema
+    # change) escapes as CommitConflict, where `with_commit_retry`
+    # re-runs the whole merge against the refreshed head. Writers
+    # carrying `extra_meta` never fast-forward: those keys were computed
+    # against OUR base (e.g. streaming batch markers) and must be
+    # recomputed by the caller against the winner's head.
+    for _ in range(16):
+        try:
+            _publish_manifest(path, version + 1, _build(content), op="upsert")
+            break
+        except CommitConflict:
+            head_version, head = _latest_manifest(path)
+            if extra_meta or not _upsert_fast_forward_safe(
+                content, head, touched_keys, fmt, partition_col
+            ):
+                raise
+            version, content = head_version, head
+    else:  # pragma: no cover — 16 straight fast-forward losses
+        raise CommitConflict(
+            f"upsert at {path} lost {16} fast-forward commit races"
+        )
     n_batch = n_merged - n_survivors
     n_updated = n_existing_touched - n_survivors
     return {"updated": n_updated, "inserted": n_batch - n_updated}
+
+
+def _upsert_fast_forward_safe(
+    base: dict, head: dict, touched_keys: list[str], fmt: str, partition_col: str
+) -> bool:
+    """True iff a staged upsert computed against ``base`` is still a
+    correct merge against ``head``: the interleaved commits rewrote none
+    of the touched partitions, added/removed no merge-on-read delete
+    entries (an upsert MATERIALIZES pending deletes for its partitions —
+    a delete it never saw would resurrect), and changed no table-level
+    schema or layout contract."""
+    b_parts = base.get("partitions", {})
+    h_parts = head.get("partitions", {})
+    if any(b_parts.get(k) != h_parts.get(k) for k in touched_keys):
+        return False
+    if (base.get("deletes") or []) != (head.get("deletes") or []):
+        return False
+    return (
+        base.get("schema") == head.get("schema")
+        and head.get("fmt", fmt) == fmt
+        and head.get("partition_col", partition_col) == partition_col
+    )
 
 
 def manifest_compact(
@@ -1115,6 +1220,9 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
     for v in versions:
         if v not in keep:
             os.remove(os.path.join(d, f"{v}.json"))
+    if keep:
+        _write_latest_hint(d, max(keep))  # a regressed hint must not
+        # point at a version this vacuum just removed
     return removed
 
 
@@ -1176,6 +1284,58 @@ def manifest_history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def manifest_restore(
+    path: str, version: int | None = None, as_of: float | None = None
+) -> dict[str, int]:
+    """RESTORE TABLE: re-commit an earlier snapshot (a pinned ``version``
+    or the newest version at-or-before ``as_of``) as a NEW head version —
+    the undo button for a bad upsert/delete/replace. Metadata-only: the
+    restored snapshot's immutable data directories are referenced, not
+    copied, and history is preserved (the bad versions stay time-travel
+    readable until vacuumed), exactly Delta's RESTORE semantics.
+
+    Two correctness guards:
+    - every data directory and index/delete sidecar the target references
+      must still exist — restoring past a vacuum horizon fails loudly
+      instead of committing dangling references;
+    - streaming batch markers do NOT roll back: exactly-once relies on
+      marker monotonicity, so the restored content carries the per-app
+      MAX of the target's and the current head's markers (a restore must
+      never cause a sink to re-apply an already-committed batch).
+
+    Returns {"restored_version": v, "new_version": v}."""
+    import os
+
+    target_v, target = _resolve_manifest(path, version, as_of=as_of)
+    head_v, head = _latest_manifest(path)
+    missing = [
+        rel
+        for rel in target.get("partitions", {}).values()
+        if not os.path.isdir(os.path.join(path, rel))
+    ]
+    refs = [
+        r
+        for r in (target.get("stats_ref"), target.get("bloom_ref"))
+        if r
+    ] + [e["ref"] for e in target.get("deletes") or []]
+    missing += [
+        r for r in refs if not os.path.exists(os.path.join(path, r))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to v{target_v}: vacuumed references "
+            f"{missing[:3]}{'…' if len(missing) > 3 else ''}"
+        )
+    content = dict(target)
+    markers = dict(target.get("stream_batches") or {})
+    for app, bid in (head.get("stream_batches") or {}).items():
+        markers[app] = max(bid, markers.get(app, bid))
+    if markers:
+        content["stream_batches"] = markers
+    _publish_manifest(path, head_v + 1, content, op=f"restore(v{target_v})")
+    return {"restored_version": target_v, "new_version": head_v + 1}
 
 
 def with_commit_retry(op, max_attempts: int = 3):
@@ -1255,22 +1415,28 @@ def foreach_batch_manifest_upsert(
     one metadata commit for the touched partitions); the skip check is a
     manifest read, no data access."""
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+    def _attempt(batch_df: DataFrame, batch_id: int) -> None:
+        # markers are re-read INSIDE the retried op: after losing a
+        # commit race the merge must rebuild against the winner's head,
+        # including marker updates another query committed meanwhile —
+        # a stale snapshot here would erase that app's progress and
+        # replay its batch
         _, content = _latest_manifest(path)
         markers = dict(content.get("stream_batches") or {})
         applied = markers.get(app_id)
         if applied is not None and batch_id <= applied:
             return  # replayed batch: already atomically committed
         markers[app_id] = batch_id
-        with_commit_retry(
-            lambda: manifest_upsert_partitioned(
-                batch_df,
-                path,
-                keys,
-                partition_col,
-                fmt=fmt,
-                extra_meta={"stream_batches": markers},
-            )
+        manifest_upsert_partitioned(
+            batch_df,
+            path,
+            keys,
+            partition_col,
+            fmt=fmt,
+            extra_meta={"stream_batches": markers},
         )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        with_commit_retry(lambda: _attempt(batch_df, batch_id))
 
     return _apply

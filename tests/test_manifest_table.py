@@ -754,3 +754,185 @@ def test_history_and_timestamp_travel(spark, table_path):
     # timestamp travel: the instant after v1 resolves v1's content
     got = _content(manifest_read(spark, table_path, as_of=t_after_v1))
     assert got == [(1, "d1", 1.0)]
+
+
+def test_disjoint_writer_fast_forwards_without_restage(
+    spark, table_path, monkeypatch
+):
+    """Logical conflict detection: losing the version race to a writer
+    that touched DIFFERENT partitions is not a data conflict — the upsert
+    fast-forwards its staged metadata onto the winner's head and commits,
+    with no CommitConflict escaping and no second staging write."""
+    from data_management_service_run_etl_imputations_spark.sources import sinks
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+
+    real_latest = sinks._latest_manifest
+    state = {"raced": False}
+
+    def racing_latest(path):
+        v, c = real_latest(path)
+        if not state["raced"]:
+            state["raced"] = True
+            manifest_upsert_partitioned(
+                _batch(spark, [(9, "d9", 9.0)]), path, ["k"], "day"
+            )
+        return v, c
+
+    monkeypatch.setattr(sinks, "_latest_manifest", racing_latest)
+    # DIRECT call — no with_commit_retry safety net: the fast-forward
+    # path inside the upsert must absorb the race by itself
+    manifest_upsert_partitioned(
+        _batch(spark, [(2, "d2", 2.0)]), table_path, ["k"], "day"
+    )
+    monkeypatch.setattr(sinks, "_latest_manifest", real_latest)
+
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d2", 2.0),
+        (9, "d9", 9.0),
+    ]
+    # exactly one staging directory per upsert — a restage would orphan
+    # a fourth
+    assert len(os.listdir(f"{table_path}/data")) == 3
+    v, _ = _latest_manifest(table_path)
+    assert v == 3
+
+
+def test_overlapping_writer_conflicts_then_retry_merges(
+    spark, table_path, monkeypatch
+):
+    """A racing writer that rewrote one of OUR partitions is a genuine
+    data conflict: the staged merge was computed against a stale base, so
+    the direct call raises CommitConflict; with_commit_retry re-merges
+    against the winner's head and both writers' rows survive. The failed
+    attempt's orphaned stage is reclaimed by vacuum."""
+    from data_management_service_run_etl_imputations_spark.sources import sinks
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CommitConflict,
+        with_commit_retry,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+
+    real_latest = sinks._latest_manifest
+    state = {"raced": False}
+
+    def racing_latest(path):
+        v, c = real_latest(path)
+        if not state["raced"]:
+            state["raced"] = True
+            manifest_upsert_partitioned(
+                _batch(spark, [(1, "d1", 99.0)]), path, ["k"], "day"
+            )
+        return v, c
+
+    monkeypatch.setattr(sinks, "_latest_manifest", racing_latest)
+    b2 = _batch(spark, [(2, "d1", 2.0)])
+    with pytest.raises(CommitConflict):
+        manifest_upsert_partitioned(b2, table_path, ["k"], "day")
+    monkeypatch.setattr(sinks, "_latest_manifest", real_latest)
+
+    with_commit_retry(
+        lambda: manifest_upsert_partitioned(b2, table_path, ["k"], "day")
+    )
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 99.0),
+        (2, "d1", 2.0),
+    ]
+    # the conflicted attempt left an orphaned stage; vacuum reclaims it
+    assert manifest_vacuum(table_path) >= 1
+
+
+def test_restore_to_version_preserves_history_and_markers(spark, table_path):
+    """RESTORE: metadata-only re-commit of an earlier snapshot as the new
+    head; history keeps the undone versions; streaming batch markers stay
+    monotone (per-app max of target and head) so a restore can never make
+    an exactly-once sink re-apply a committed batch."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+        manifest_restore,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0)]),
+        table_path,
+        ["k"],
+        "day",
+        extra_meta={"stream_batches": {"app": 5}},
+    )
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 666.0), (3, "d3", 3.0)]),
+        table_path,
+        ["k"],
+        "day",
+        extra_meta={"stream_batches": {"app": 7}},
+    )
+
+    r = manifest_restore(table_path, version=1)
+    assert r == {"restored_version": 1, "new_version": 3}
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d2", 2.0),
+    ]
+    hist = manifest_history(table_path)
+    assert [h["op"] for h in hist] == ["upsert", "upsert", "restore(v1)"]
+    # the undone version stays time-travel readable
+    assert _content(manifest_read(spark, table_path, version=2)) == [
+        (1, "d1", 666.0),
+        (2, "d2", 2.0),
+        (3, "d3", 3.0),
+    ]
+    # markers: restored content carries max(v1.app=5, head.app=7) = 7
+    _, content = _latest_manifest(table_path)
+    assert content["stream_batches"] == {"app": 7}
+
+    # restoring to a snapshot whose data was removed fails loudly
+    import json
+
+    with open(f"{table_path}/_commits/2.json") as f:
+        v2 = json.load(f)
+    shutil.rmtree(f"{table_path}/{v2['partitions']['d3']}".rsplit("/__p=", 1)[0])
+    with pytest.raises(ValueError, match="vacuumed"):
+        manifest_restore(table_path, version=2)
+
+
+def test_latest_hint_o1_resolution_and_self_healing(spark, table_path):
+    """The _latest hint makes head resolution O(1); a stale, regressed,
+    or corrupt hint is never load-bearing — forward probe or directory
+    listing recovers the true head."""
+    for i in range(3):
+        manifest_upsert_partitioned(
+            _batch(spark, [(i, f"d{i}", float(i))]), table_path, ["k"], "day"
+        )
+    hint_path = f"{table_path}/_commits/_latest"
+    with open(hint_path) as f:
+        assert int(f.read()) == 3
+
+    # regressed hint (out-of-order commit finishers): forward probe heals
+    with open(hint_path, "w") as f:
+        f.write("1")
+    v, c = _latest_manifest(table_path)
+    assert v == 3 and c["partitions"].keys() == {"d0", "d1", "d2"}
+
+    # hint pointing at a nonexistent version: listing fallback
+    with open(hint_path, "w") as f:
+        f.write("999")
+    assert _latest_manifest(table_path)[0] == 3
+
+    # corrupt hint: listing fallback
+    with open(hint_path, "w") as f:
+        f.write("not-a-version")
+    assert _latest_manifest(table_path)[0] == 3
+
+    os.remove(hint_path)
+    assert _latest_manifest(table_path)[0] == 3
+
+    # vacuum refreshes the hint so it never points at a removed version
+    manifest_vacuum(table_path, keep_versions=1)
+    with open(hint_path) as f:
+        assert int(f.read()) == 3
