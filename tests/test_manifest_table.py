@@ -936,3 +936,69 @@ def test_latest_hint_o1_resolution_and_self_healing(spark, table_path):
     manifest_vacuum(table_path, keep_versions=1)
     with open(hint_path) as f:
         assert int(f.read()) == 3
+
+
+def test_randomized_mixed_protocol_ops_match_model(spark, table_path):
+    """Model-based check over the FULL protocol surface: a seeded random
+    interleaving of upsert / row-level delete / compact / z-order /
+    restore must leave the table equal to a pure-Python model fold at
+    every step, and the physical-layout ops (compact, zorder) must never
+    change logical content. Restore rolls the model back to the snapshot
+    the restored version carried."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+        manifest_delete,
+        manifest_restore,
+        manifest_upsert_partitioned as upsert,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_cluster_zorder,
+    )
+
+    rng = random.Random(7)
+    model: dict[int, tuple] = {}
+    # snapshots[v] = model state as of committed version v
+    snapshots: dict[int, dict[int, tuple]] = {}
+
+    # seed so every op has a table to act on
+    upsert(
+        _batch(spark, [(0, "d0", 0.0), (1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    model = {0: (0, "d0", 0.0), 1: (1, "d1", 1.0)}
+    snapshots[_latest_manifest(table_path)[0]] = dict(model)
+
+    for step in range(14):
+        op = rng.choices(
+            ["upsert", "delete", "compact", "zorder", "restore"],
+            weights=[5, 3, 1, 1, 1],
+        )[0]
+        if op == "upsert":
+            batch = {}
+            for _ in range(rng.randint(1, 8)):
+                k = rng.randint(0, 14)
+                batch[k] = (k, f"d{k % 3}", float(rng.randint(0, 99)))
+            upsert(_batch(spark, sorted(batch.values())), table_path, ["k"], "day")
+            model.update(batch)
+        elif op == "delete":
+            ks = sorted({rng.randint(0, 14) for _ in range(rng.randint(1, 4))})
+            manifest_delete(
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+                table_path,
+                ["k"],
+            )
+            for k in ks:
+                model.pop(k, None)
+        elif op == "compact":
+            manifest_compact(spark, table_path)
+        elif op == "zorder":
+            manifest_cluster_zorder(spark, table_path, ["k", "v"])
+        else:  # restore to a uniformly random earlier snapshot
+            target = rng.choice(sorted(snapshots))
+            manifest_restore(table_path, version=target)
+            model = dict(snapshots[target])
+        v = _latest_manifest(table_path)[0]
+        snapshots[v] = dict(model)
+        got = _content(manifest_read(spark, table_path))
+        assert got == sorted(model.values()), f"step {step} op {op}"
