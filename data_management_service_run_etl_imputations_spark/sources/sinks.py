@@ -299,15 +299,110 @@ def merge_upsert_partitioned(
 # partition values and opens only those partitions' files) — the same
 # mechanism that lets a daily upsert over a 100 TB date-partitioned fact
 # touch |batch dates| directories of metadata and data, independent of
-# table size. The manifest JSON is O(|partitions| + |files|); per-file
-# zone-map stats and bloom bitsets live in immutable PARQUET SIDECARS
-# under `_index/`, carried across commits by reference (`stats_ref` /
-# `bloom_ref`) — index bytes never ride through the per-commit JSON
-# rewrite (skipping.py).
+# table size. Commit METADATA cost is O(touched partitions), not table
+# size: each commit serializes only its diff against the parent (see the
+# incremental log below), a materialized snapshot is O(|partitions| +
+# |files|), and per-file zone-map stats and bloom bitsets live in
+# immutable PARQUET SIDECARS under `_index/`, carried across commits by
+# reference (`stats_ref` / `bloom_ref`) — index bytes never ride through
+# the per-commit metadata write (skipping.py).
 
 
 def _manifest_dir(path: str) -> str:
     return f"{path}/_commits"
+
+
+# --- incremental commit log -----------------------------------------------
+#
+# A commit file is either a FULL SNAPSHOT (the whole table content) or a
+# DELTA ({"delta_from": parent, "actions": ...}) recording only what the
+# commit changed: per-key updates to the partitions / files / dir_schemas
+# dicts plus whole-value sets of the scalar keys (schema, refs, deletes,
+# markers). Readers materialize a version from the nearest snapshot plus
+# the forward delta chain (bounded by CHECKPOINT_EVERY). This is the
+# Delta-Lake log design reduced to its core, and it is what keeps COMMIT
+# COST O(touched partitions) instead of O(table): a one-partition upsert
+# on a 100k-file table writes a few hundred bytes of metadata, while the
+# periodic checkpoint bounds read amplification to one snapshot + at most
+# CHECKPOINT_EVERY-1 small deltas (resolved O(1) via the `_latest` hint).
+
+CHECKPOINT_EVERY = 8
+
+# dict-valued content keys that are diffed per entry; everything else
+# (schema, stats_ref, deletes, stream_batches, ...) sets wholesale
+_DICT_KEYS = ("partitions", "files", "dir_schemas")
+# per-commit provenance: always present in a delta's action set even when
+# the value did not change, so history never has to materialize to answer
+# "what op was this"
+_ALWAYS_SET = ("op", "committed_at")
+
+
+def _read_commit_file(path: str, version: int) -> dict:
+    import json
+
+    with open(f"{_manifest_dir(path)}/{version}.json") as f:
+        return json.load(f)
+
+
+def _diff_actions(base: dict, content: dict) -> dict:
+    actions: dict = {"set": {}, "del": []}
+    for k, v in content.items():
+        if k in _DICT_KEYS:
+            continue
+        if base.get(k, _diff_actions) != v or k in _ALWAYS_SET:
+            actions["set"][k] = v
+    actions["del"] = [
+        k for k in base if k not in content and k not in _DICT_KEYS
+    ]
+    for dk in _DICT_KEYS:
+        o, n = base.get(dk, {}), content.get(dk, {})
+        dset = {kk: vv for kk, vv in n.items() if o.get(kk, _diff_actions) != vv}
+        ddel = [kk for kk in o if kk not in n]
+        if dset:
+            actions[f"{dk}.set"] = dset
+        if ddel:
+            actions[f"{dk}.del"] = ddel
+    return actions
+
+
+def _apply_actions(content: dict, actions: dict) -> dict:
+    out = dict(content)
+    for dk in _DICT_KEYS:
+        out[dk] = dict(content.get(dk, {}))
+    for k, v in actions.get("set", {}).items():
+        out[k] = v
+    for k in actions.get("del", []):
+        out.pop(k, None)
+    for dk in _DICT_KEYS:
+        out[dk].update(actions.get(f"{dk}.set", {}))
+        for kk in actions.get(f"{dk}.del", []):
+            out[dk].pop(kk, None)
+    return out
+
+
+def _materialize(path: str, version: int) -> dict:
+    """Full content of a committed version: walk back to the nearest full
+    snapshot, then replay the delta chain forward. Chain length is
+    bounded by CHECKPOINT_EVERY."""
+    chain: list[dict] = []
+    v = version
+    while True:
+        c = _read_commit_file(path, v)
+        if "delta_from" not in c:
+            content = c
+            break
+        chain.append(c)
+        v = c["delta_from"]
+    for delta in reversed(chain):
+        content = _apply_actions(content, delta["actions"])
+    return content
+
+
+def _commit_meta(commit: dict) -> dict:
+    """Per-commit provenance (op, committed_at) without materializing."""
+    if "delta_from" in commit:
+        return commit["actions"].get("set", {})
+    return commit
 
 
 def _latest_manifest(path: str) -> tuple[int, dict]:
@@ -324,7 +419,6 @@ def _latest_manifest(path: str) -> tuple[int, dict]:
     vacuumed/garbage version the reader falls back to listing the commit
     directory. On object storage this turns every read's LIST into one
     GET + one HEAD (the same role Delta's ``_last_checkpoint`` plays)."""
-    import json
     import os
 
     d = _manifest_dir(path)
@@ -333,10 +427,9 @@ def _latest_manifest(path: str) -> tuple[int, dict]:
         v = hint
         while os.path.isfile(os.path.join(d, f"{v + 1}.json")):
             v += 1
-        with open(os.path.join(d, f"{v}.json")) as f:
-            return v, json.load(f)
+        return v, _materialize(path, v)
 
-    best, content = 0, {"partitions": {}}
+    best = 0
     if os.path.isdir(d):
         for name in os.listdir(d):
             if name.endswith(".json"):
@@ -344,10 +437,10 @@ def _latest_manifest(path: str) -> tuple[int, dict]:
                     v = int(name[:-5])
                 except ValueError:
                     continue
-                if v > best:
-                    with open(os.path.join(d, name)) as f:
-                        best, content = v, json.load(f)
-    return best, content
+                best = max(best, v)
+    if best == 0:
+        return 0, {"partitions": {}}
+    return best, _materialize(path, best)
 
 
 def _read_latest_hint(commit_dir: str) -> int | None:
@@ -442,7 +535,6 @@ def _resolve_manifest(
 ) -> tuple[int, dict]:
     """Latest manifest, a pinned version, or the newest version committed
     at-or-before ``as_of`` (unix seconds) for timestamp time travel."""
-    import json
     import os
 
     if version is None and as_of is not None:
@@ -451,10 +543,8 @@ def _resolve_manifest(
         for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
             if not name.endswith(".json"):
                 continue
-            with open(os.path.join(d, name)) as f:
-                c = json.load(f)
-            ts = c.get("committed_at")
             v = int(name[:-5])
+            ts = _commit_meta(_read_commit_file(path, v)).get("committed_at")
             if ts is not None and ts <= as_of and (best is None or v > best):
                 best = v
         if best is None:
@@ -464,8 +554,7 @@ def _resolve_manifest(
         version = best
     if version is None:
         return _latest_manifest(path)
-    with open(f"{_manifest_dir(path)}/{version}.json") as f:
-        return version, json.load(f)
+    return version, _materialize(path, version)
 
 
 def _publish_manifest(
@@ -477,7 +566,12 @@ def _publish_manifest(
     it can NEVER clobber a concurrent writer's commit — so two writers
     racing to version N+1 get exactly one winner and a loud
     :class:`CommitConflict` for the loser. Stamps commit provenance
-    (``op``, ``committed_at``) for DESCRIBE HISTORY / timestamp travel."""
+    (``op``, ``committed_at``) for DESCRIBE HISTORY / timestamp travel.
+
+    The payload is INCREMENTAL: unless this version is a checkpoint
+    (every ``CHECKPOINT_EVERY``-th, or the parent cannot be read), only
+    the diff against the parent version is serialized — commit metadata
+    cost tracks what the commit CHANGED, never table size."""
     import json
     import os
     import time
@@ -488,11 +582,22 @@ def _publish_manifest(
         content["op"] = op
     content["committed_at"] = time.time()
 
+    payload = content
+    if version > 1 and version % CHECKPOINT_EVERY != 0:
+        try:
+            base = _materialize(path, version - 1)
+            payload = {
+                "delta_from": version - 1,
+                "actions": _diff_actions(base, content),
+            }
+        except OSError:
+            payload = content  # parent unreadable: full snapshot is safe
+
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".{version}.json.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as f:
-        json.dump(content, f)
+        json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     target = os.path.join(d, f"{version}.json")
@@ -942,11 +1047,8 @@ def manifest_diff(
     partitions, not the table. Within them, ``exceptAll`` both ways (one
     shuffle each over changed-partition rows).
     """
-    import json
-
     def _load(version: int) -> dict:
-        with open(f"{_manifest_dir(path)}/{version}.json") as f:
-            return json.load(f)
+        return _materialize(path, version)
 
     if to_version is None:
         to_version, new_content = _latest_manifest(path)
@@ -1186,11 +1288,22 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
         int(n[:-5]) for n in os.listdir(d) if n.endswith(".json")
     )
     keep = set(versions[-keep_versions:])
+    # a kept DELTA version materializes through its parent chain: those
+    # commit files must survive too (chain closure, bounded by
+    # CHECKPOINT_EVERY per kept version) — only their metadata, not the
+    # data/sidecars their snapshots referenced
+    needed = set(keep)
     referenced: set[str] = set()
     sidecars: set[str] = set()
     for v in keep:
-        with open(os.path.join(d, f"{v}.json")) as f:
-            content = json.load(f)
+        u = v
+        while True:
+            c = _read_commit_file(path, u)
+            if "delta_from" not in c:
+                break
+            u = c["delta_from"]
+            needed.add(u)
+        content = _materialize(path, v)
         for rel in content["partitions"].values():
             referenced.add(rel.split("/__p=")[0])
         for key in ("stats_ref", "bloom_ref"):
@@ -1218,7 +1331,7 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
                 else:
                     os.remove(target)
     for v in versions:
-        if v not in keep:
+        if v not in needed:
             os.remove(os.path.join(d, f"{v}.json"))
     if keep:
         _write_latest_hint(d, max(keep))  # a regressed hint must not
@@ -1267,20 +1380,30 @@ def manifest_history(path: str) -> list[dict]:
     if not os.path.isdir(d):
         return []
     out = []
-    for name in sorted(
-        (n for n in os.listdir(d) if n.endswith(".json")),
-        key=lambda n: int(n[:-5]),
+    content: dict | None = None
+    for v in sorted(
+        int(n[:-5]) for n in os.listdir(d) if n.endswith(".json")
     ):
-        with open(os.path.join(d, name)) as f:
-            c = json.load(f)
+        c = _read_commit_file(path, v)
+        if "delta_from" not in c:
+            content = c
+        elif content is not None and c["delta_from"] == out[-1]["version"]:
+            # incremental replay: one delta application per row
+            content = _apply_actions(content, c["actions"])
+        else:
+            # chain start is older than the retained window: materialize
+            content = _materialize(path, v)
+        meta = _commit_meta(c)
         out.append(
             {
-                "version": int(name[:-5]),
-                "op": c.get("op"),
-                "committed_at": c.get("committed_at"),
-                "n_partitions": len(c.get("partitions", {})),
-                "n_files": sum(len(v) for v in c.get("files", {}).values()),
-                "pending_deletes": len(c.get("deletes") or []),
+                "version": v,
+                "op": meta.get("op"),
+                "committed_at": meta.get("committed_at"),
+                "n_partitions": len(content.get("partitions", {})),
+                "n_files": sum(
+                    len(x) for x in content.get("files", {}).values()
+                ),
+                "pending_deletes": len(content.get("deletes") or []),
             }
         )
     return out

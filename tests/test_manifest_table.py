@@ -892,10 +892,11 @@ def test_restore_to_version_preserves_history_and_markers(spark, table_path):
     assert content["stream_batches"] == {"app": 7}
 
     # restoring to a snapshot whose data was removed fails loudly
-    import json
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _resolve_manifest,
+    )
 
-    with open(f"{table_path}/_commits/2.json") as f:
-        v2 = json.load(f)
+    _, v2 = _resolve_manifest(table_path, 2)
     shutil.rmtree(f"{table_path}/{v2['partitions']['d3']}".rsplit("/__p=", 1)[0])
     with pytest.raises(ValueError, match="vacuumed"):
         manifest_restore(table_path, version=2)
@@ -1050,3 +1051,69 @@ def test_threaded_concurrent_upserts_all_land(spark, table_path):
     hist = manifest_history(table_path)
     assert len(hist) == n_threads * n_rounds
     assert all(h["op"] == "upsert" for h in hist)
+
+
+def test_incremental_log_bounds_commit_cost(spark, table_path):
+    """The commit log is incremental: after the v1 snapshot, a commit
+    serializes only its diff (O(touched partitions)), with a full
+    checkpoint every CHECKPOINT_EVERY versions bounding the replay chain.
+    A one-partition upsert on a wide table must write a metadata file
+    several times smaller than the full snapshot, and every read /
+    time-travel / history / vacuum path must materialize through the
+    chain correctly."""
+    import json
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CHECKPOINT_EVERY,
+        manifest_history,
+    )
+
+    assert CHECKPOINT_EVERY == 8  # the cadence this test drives through
+
+    wide = [(k, f"d{k}", float(k)) for k in range(40)]
+    manifest_upsert_partitioned(
+        _batch(spark, wide), table_path, ["k"], "day"
+    )
+    size_full = os.path.getsize(f"{table_path}/_commits/1.json")
+
+    # seven single-partition upserts: v2..v7 are deltas, v8 a checkpoint
+    for r in range(2, 9):
+        manifest_upsert_partitioned(
+            _batch(spark, [(0, "d0", float(100 + r))]), table_path, ["k"], "day"
+        )
+    raw2 = open(f"{table_path}/_commits/2.json").read()
+    assert "delta_from" in raw2
+    size_delta = os.path.getsize(f"{table_path}/_commits/2.json")
+    assert size_delta * 5 < size_full, (size_delta, size_full)
+    raw8 = json.loads(open(f"{table_path}/_commits/8.json").read())
+    assert "delta_from" not in raw8  # checkpoint: full snapshot
+
+    # materialization through the delta chain: latest and mid-chain reads
+    expect = {k: (k, f"d{k}", float(k)) for k in range(40)}
+    expect[0] = (0, "d0", 108.0)
+    assert _content(manifest_read(spark, table_path)) == sorted(expect.values())
+    mid = dict(expect)
+    mid[0] = (0, "d0", 104.0)
+    assert _content(
+        manifest_read(spark, table_path, version=4)
+    ) == sorted(mid.values())
+
+    # history replays deltas without materializing per row
+    hist = manifest_history(table_path)
+    assert [h["version"] for h in hist] == list(range(1, 9))
+    assert all(h["op"] == "upsert" for h in hist)
+    assert all(h["n_partitions"] == 40 for h in hist)
+
+    # vacuum keeps the chain a kept delta depends on
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 999.0)]), table_path, ["k"], "day"
+    )  # v9: delta from the v8 checkpoint
+    manifest_vacuum(table_path, keep_versions=1)
+    left = sorted(
+        int(n[:-5])
+        for n in os.listdir(f"{table_path}/_commits")
+        if n.endswith(".json")
+    )
+    assert left == [8, 9]  # v9 + its checkpoint parent; v1..v7 pruned
+    expect[1] = (1, "d1", 999.0)
+    assert _content(manifest_read(spark, table_path)) == sorted(expect.values())

@@ -160,11 +160,15 @@ def test_stats_and_data_commit_atomically(spark, table):
     v_after, content = _latest_manifest(table)
     assert v_after == v_before + 1  # clustering + stats = ONE new version
     with open(f"{table}/_commits/{v_after}.json") as f:
-        on_disk = json.load(f)
+        raw = f.read()
     # index bytes live in the referenced sidecar, committed with the data
-    assert on_disk["stats_ref"] and on_disk["stats_cols"] == ["a"]
-    assert os.path.isfile(f"{table}/{on_disk['stats_ref']}")
+    # (the raw commit payload — full snapshot or delta — carries only the
+    # reference, never inline stats/bloom bitsets)
+    assert content["stats_ref"] and content["stats_cols"] == ["a"]
+    assert os.path.isfile(f"{table}/{content['stats_ref']}")
+    on_disk = json.loads(raw)
     assert "stats" not in on_disk and "bloom" not in on_disk
+    assert '"stats":' not in raw and '"bloom":' not in raw
     # time travel: the pre-clustering version still reads the same content
     old = manifest_read(spark, table, version=v_before)
     assert old.count() == 8000
