@@ -130,6 +130,54 @@ def zorder_column(bucket_cols: list[Column], bits: int) -> Column:
     return z
 
 
+def _zorder_expr(df: DataFrame, c: str) -> tuple[Column, bool]:
+    """(orderable expression, is_numeric) for a clustering column. Dates
+    and timestamps map to epoch numerics (a plain double cast yields NULL
+    — every row would land in bucket 0 and the z-order would silently
+    not cluster that dimension at all); strings stay strings and take
+    the sampled-boundary path."""
+    from pyspark.sql.types import (
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    dt = df.schema[c].dataType
+    if isinstance(dt, NumericType):
+        return F.col(c).cast("double"), True
+    if isinstance(dt, DateType):
+        return F.unix_date(F.col(c)).cast("double"), True
+    if isinstance(dt, TimestampType):
+        return F.col(c).cast("double"), True  # timestamp→double = epoch secs
+    if isinstance(dt, StringType):
+        return F.col(c), False
+    raise TypeError(f"cannot z-order column {c!r} of type {dt.simpleString()}")
+
+
+def _sampled_boundaries(
+    df: DataFrame, c: str, n_buckets: int, target: int = 100_000, seed: int = 7
+) -> list:
+    """Equi-depth cut points for a non-sketchable (string) column from a
+    seeded ROW-uniform sample: one count + one bounded collect (≤ ~target
+    values on the driver regardless of table size). Row-uniform — not
+    distinct-value — sampling keeps hot values owning proportionally many
+    buckets, the same skew property approxQuantile gives numerics."""
+    base = df.select(c).na.drop()
+    n = base.count()
+    if n == 0:
+        return []
+    vals = sorted(
+        r[0] for r in base.sample(False, min(1.0, target / n), seed).collect()
+    )
+    if not vals:
+        vals = [r[0] for r in base.limit(1).collect()]
+    return [
+        vals[min(len(vals) - 1, (i * len(vals)) // n_buckets)]
+        for i in range(1, n_buckets)
+    ]
+
+
 def with_zorder(
     df: DataFrame,
     cols: list[str],
@@ -138,15 +186,29 @@ def with_zorder(
     relative_error: float = 0.001,
 ) -> DataFrame:
     """Attach a Z-order key built from equi-depth quantile ranks of
-    ``cols``. One ``approxQuantile`` pass computes all columns' cut points
-    together (Greenwald-Khanna sketch, driver receives ``k * 2^bits``
-    floats — bounded regardless of row count)."""
+    ``cols``. Numeric, date, and timestamp columns share one
+    ``approxQuantile`` pass over their orderable projections
+    (Greenwald-Khanna sketch, driver receives ``k * 2^bits`` floats —
+    bounded regardless of row count); string columns get seeded
+    sample-based cut points and a string-comparison CASE tree — every
+    type lands in the same codegen'd binary-search bucket lookup."""
     n_buckets = (1 << bits_per_col) - 1  # bucket ids 0..n_buckets fit in bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.stat.approxQuantile(cols, probs, relative_error)
-    buckets = [
-        bucketize(F.col(c).cast("double"), cut) for c, cut in zip(cols, cuts)
-    ]
+    exprs = {c: _zorder_expr(df, c) for c in cols}
+    num_cols = [c for c in cols if exprs[c][1]]
+    cuts: dict[str, list] = {}
+    if num_cols:
+        proj = df.select(
+            *[exprs[c][0].alias(f"__zq_{c}") for c in num_cols]
+        )
+        sketched = proj.stat.approxQuantile(
+            [f"__zq_{c}" for c in num_cols], probs, relative_error
+        )
+        cuts.update(dict(zip(num_cols, sketched)))
+    for c in cols:
+        if not exprs[c][1]:
+            cuts[c] = _sampled_boundaries(df, c, n_buckets)
+    buckets = [bucketize(exprs[c][0], cuts[c]) for c in cols]
     return df.withColumn(name, zorder_column(buckets, bits_per_col))
 
 

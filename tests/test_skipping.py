@@ -479,3 +479,80 @@ def test_noop_analyze_publishes_no_version(spark, table):
     }
     v1, _ = _latest_manifest(table)
     assert v1 == v0
+
+
+def test_zorder_on_date_and_string_dimensions(spark, tmp_path):
+    """Typed z-order: DATE and STRING clustering keys must actually
+    cluster (a plain double cast nulls them out — every row would land in
+    bucket 0 and skipping on that dimension would keep every file). A
+    10%-selectivity box on EITHER the date or the string dimension prunes
+    at least half the files, and the skipping read stays result-identical
+    to the full filter."""
+    path = str(tmp_path / "dstab")
+    df = spark.range(8000).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        # pseudo-uniform date over ~500 days and host over 1000 names,
+        # mutually independent, deterministic
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            ((F.col("id") * 2654435761) % 500).cast("int"),
+        ).alias("event_date"),
+        F.format_string(
+            "host-%04d", ((F.col("id") * 40503 + 7919) % 1000).cast("int")
+        ).alias("host"),
+    )
+    manifest_upsert_partitioned(df, path, ["row_id"], "p")
+    stats = manifest_cluster_zorder(
+        spark, path, ["event_date", "host"], files_per_partition=16
+    )
+    assert stats["partitions"] == 2 and stats["files"] >= 16
+
+    import datetime
+
+    date_box = {
+        "event_date": (datetime.date(2024, 2, 1), datetime.date(2024, 3, 21))
+    }
+    host_box = {"host": ("host-0100", "host-0199")}
+    for ranges in (date_box, host_box):
+        kept, n_kept, n_total, _ = manifest_skipping_plan(path, ranges)
+        assert n_total >= 16 and n_kept <= n_total // 2, (
+            ranges,
+            n_kept,
+            n_total,
+        )
+
+    got = manifest_read_skipping(spark, path, host_box)
+    full = manifest_read(spark, path).filter(
+        F.col("host").between("host-0100", "host-0199")
+    )
+    a = sorted(r.row_id for r in got.select("row_id").collect())
+    b = sorted(r.row_id for r in full.select("row_id").collect())
+    assert a == b and len(a) > 0
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_string_boundaries_equidepth_under_skew(spark):
+    """Sampled string cut points are ROW-uniform: a hot value owns its
+    row share of buckets, so the remaining values still spread instead of
+    collapsing into one bucket (the property a distinct-value sample
+    would lose)."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _sampled_boundaries,
+    )
+
+    # 70% of rows are "mmm", the rest uniform over 260 values
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 7, F.lit("mmm"))
+        .otherwise(
+            F.format_string("v-%03d", (F.col("id") % 260).cast("int"))
+        )
+        .alias("s")
+    )
+    cuts = _sampled_boundaries(df, "s", 16)
+    assert len(cuts) == 15
+    # the hot value occupies ~70% of the cut list (its row share)
+    hot = sum(1 for c in cuts if c == "mmm")
+    assert 8 <= hot <= 13, cuts
+    # and the tail still gets multiple distinct cut points
+    assert len({c for c in cuts if c != "mmm"}) >= 3
