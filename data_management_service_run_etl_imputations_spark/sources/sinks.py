@@ -954,6 +954,7 @@ def manifest_compact(
     path: str,
     partition_values: list | None = None,
     fmt: str = "parquet",
+    min_files: int | None = None,
 ) -> dict[str, int]:
     """File compaction for a manifest table: rewrite the (selected)
     partitions' data into one-file-per-partition and publish the result
@@ -966,6 +967,15 @@ def manifest_compact(
     a physical-layout-only commit), never a mix; prior versions stay
     time-travel-readable until vacuumed.
 
+    ``min_files`` makes the maintenance pass FRAGMENTATION-AWARE: only
+    partitions whose manifest-recorded file count is at least that many
+    are rewritten (the selection reads zero data and lists nothing —
+    file counts come from the commit-time file lists), so a nightly
+    ``manifest_compact(..., min_files=4)`` on a 100 TB table costs
+    exactly the partitions that drifted, not a full rewrite. Partitions
+    with pending merge-on-read deletes are always eligible (compaction
+    is their eager purge).
+
     Returns {"partitions": n, "files_before": n, "files_after": n}.
     """
     import uuid
@@ -975,10 +985,21 @@ def manifest_compact(
         return {"partitions": 0, "files_before": 0, "files_after": 0}
     parts: dict = dict(content["partitions"])
     files: dict = dict(content.get("files", {}))
+    delete_stages = {
+        s for e in content.get("deletes") or [] for s in e["stages"]
+    }
     selected = {
         k: rel
         for k, rel in parts.items()
-        if partition_values is None or k in {str(v) for v in partition_values}
+        if (
+            partition_values is None
+            or k in {str(v) for v in partition_values}
+        )
+        and (
+            min_files is None
+            or len(files.get(k, [])) >= min_files
+            or _stage_of(rel) in delete_stages
+        )
     }
     if not selected:
         return {"partitions": 0, "files_before": 0, "files_after": 0}

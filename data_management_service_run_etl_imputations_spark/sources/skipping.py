@@ -84,6 +84,7 @@ __all__ = [
     "manifest_collect_bloom",
     "manifest_point_plan",
     "manifest_read_point",
+    "manifest_minmax",
 ]
 
 
@@ -855,3 +856,50 @@ def manifest_read_skipping(
         if hi is not None:
             cond = cond & (F.col(c) <= F.lit(hi))
     return df.filter(cond)
+
+
+def manifest_minmax(
+    path: str, cols: list[str], version: int | None = None
+) -> dict[str, tuple]:
+    """MIN/MAX per column from METADATA ALONE: fold the zone-map sidecar
+    over the manifest's live file list — no SparkSession, no scan, no
+    filesystem listing (the companion of ``manifest_count`` for the other
+    half of every dashboard's first query). Returns
+    ``{col: (min, max)}`` in the stored-stat domain (numerics as float,
+    dates/strings as str); an all-NULL table yields ``(None, None)``.
+
+    Loud guards instead of silent wrong answers: raises if any live file
+    lacks stats for a requested column (run ``manifest_collect_stats``
+    first, or scan) or if merge-on-read deletes are pending (masked rows
+    could hold the extremum). High-precision DECIMAL stats are stored
+    outward-rounded (``_json_safe``), so for such columns the result is a
+    tight OUTER BOUND rather than an exact extremum — every other type
+    round-trips losslessly."""
+    version, content = _resolve_manifest(path, version)
+    if content.get("deletes"):
+        raise ValueError(
+            "pending merge-on-read deletes: a masked row could hold the "
+            "extremum — compact first or scan via manifest_read"
+        )
+    stats = _load_stats_sidecar(path, content)
+    out: dict[str, tuple] = {}
+    live = _live_file_rels(content)
+    for c in cols:
+        lo = hi = None
+        for frel in live:
+            s = stats.get(frel)
+            if s is None or c not in s["cols"]:
+                raise ValueError(
+                    f"no stats for {frel!r} column {c!r} — run "
+                    "manifest_collect_stats first or scan instead"
+                )
+            cs = s["cols"][c]
+            if cs["min"] is None and cs["max"] is None:
+                continue  # all-NULL file: contributes no extremum
+            mn, mx = _canon_stat(cs["min"]), _canon_stat(cs["max"])
+            if lo is None or mn < lo:
+                lo = mn
+            if hi is None or mx > hi:
+                hi = mx
+        out[c] = (lo, hi)
+    return out

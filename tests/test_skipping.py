@@ -556,3 +556,81 @@ def test_string_boundaries_equidepth_under_skew(spark):
     assert 8 <= hot <= 13, cuts
     # and the tail still gets multiple distinct cut points
     assert len({c for c in cuts if c != "mmm"}) >= 3
+
+
+def test_manifest_minmax_metadata_only(spark, table):
+    """MIN/MAX from the zone-map sidecar alone: matches a real aggregate,
+    raises loudly when stats are missing for a live file, and refuses
+    under pending merge-on-read deletes (a masked row could hold the
+    extremum)."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_minmax,
+    )
+
+    with pytest.raises(ValueError, match="no stats"):
+        manifest_minmax(table, ["a"])
+
+    manifest_collect_stats(spark, table, ["a", "b"])
+    got = manifest_minmax(table, ["a", "b"])
+    actual = (
+        manifest_read(spark, table)
+        .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b"))
+        .first()
+    )
+    assert got["a"] == (float(actual[0]), float(actual[1]))
+    assert got["b"] == (float(actual[2]), float(actual[3]))
+
+    # a new un-analyzed file breaks coverage -> loud, never stale
+    batch = spark.createDataFrame(
+        [(90002, "1", -5, 20002)], "row_id long, p string, a long, b long"
+    )
+    manifest_upsert_partitioned(batch, table, ["row_id"], "p")
+    with pytest.raises(ValueError, match="no stats"):
+        manifest_minmax(table, ["a"])
+    manifest_collect_stats(spark, table, ["a", "b"])
+    got2 = manifest_minmax(table, ["a", "b"])
+    assert got2["a"][0] == -5.0 and got2["b"][1] == 20002.0
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_delete,
+    )
+
+    manifest_delete(
+        spark.createDataFrame([(90002,)], "row_id long"), table, ["row_id"]
+    )
+    with pytest.raises(ValueError, match="deletes"):
+        manifest_minmax(table, ["a"])
+
+
+def test_compact_min_files_targets_fragmented_partitions(spark, table):
+    """Fragmentation-aware OPTIMIZE: with min_files, only partitions whose
+    manifest-recorded file count crossed the threshold are rewritten —
+    the others' directory entries (and data) are untouched."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+    )
+
+    # fragment everything, then compact fully: every partition at 1 file
+    manifest_cluster_zorder(spark, table, ["a"], files_per_partition=8)
+    manifest_compact(spark, table)
+    _, content = _latest_manifest(table)
+    assert all(len(v) == 1 for v in content["files"].values())
+
+    # one partition drifts to 2 files via an upsert
+    batch = spark.createDataFrame(
+        [(90010, "3", 1, 1)], "row_id long, p string, a long, b long"
+    )
+    manifest_upsert_partitioned(batch, table, ["row_id"], "p")
+    _, before = _latest_manifest(table)
+    frag = {k for k, v in before["files"].items() if len(v) >= 2}
+    assert frag == {"3"}
+
+    r = manifest_compact(spark, table, min_files=2)
+    assert r["partitions"] == 1 and r["files_before"] >= 2
+    _, after = _latest_manifest(table)
+    # untouched partitions keep their exact directory entries
+    for k in before["partitions"]:
+        if k not in frag:
+            assert after["partitions"][k] == before["partitions"][k]
+    assert len(after["files"]["3"]) == 1
+    assert manifest_read(spark, table).count() == 8001
