@@ -1290,17 +1290,25 @@ def manifest_replace_partitions(
     return {"partitions_written": written, "partitions_dropped": dropped}
 
 
-def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
+def manifest_vacuum(
+    path: str, keep_versions: int = 1, retain_seconds: float | None = None
+) -> int:
     """Delete data directories not referenced by the ``keep_versions``
     newest manifests (and drop older manifests + their now-unreferenced
     stats/bloom sidecars): the GC half of the protocol, run out-of-band
     like Delta VACUUM. Vacuum is the ONE maintenance operation that lists
     the filesystem (to catch crashed writers' orphaned stage dirs) —
     every read/plan path resolves files from the manifest alone.
-    Returns removed dir count."""
+
+    ``retain_seconds`` adds Delta's time-based retention (``VACUUM …
+    RETAIN n HOURS``): every version committed within the window is ALSO
+    kept, whatever ``keep_versions`` says — the guard that lets an
+    operator cap history depth without yanking a snapshot a long-running
+    reader resolved minutes ago. Returns removed dir count."""
     import json
     import os
     import shutil
+    import time
 
     d = _manifest_dir(path)
     if not os.path.isdir(d):
@@ -1309,6 +1317,12 @@ def manifest_vacuum(path: str, keep_versions: int = 1) -> int:
         int(n[:-5]) for n in os.listdir(d) if n.endswith(".json")
     )
     keep = set(versions[-keep_versions:])
+    if retain_seconds is not None:
+        cutoff = time.time() - retain_seconds
+        for v in versions:
+            ts = _commit_meta(_read_commit_file(path, v)).get("committed_at")
+            if ts is not None and ts >= cutoff:
+                keep.add(v)
     # a kept DELTA version materializes through its parent chain: those
     # commit files must survive too (chain closure, bounded by
     # CHECKPOINT_EVERY per kept version) — only their metadata, not the

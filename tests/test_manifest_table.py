@@ -1117,3 +1117,40 @@ def test_incremental_log_bounds_commit_cost(spark, table_path):
     assert left == [8, 9]  # v9 + its checkpoint parent; v1..v7 pruned
     expect[1] = (1, "d1", 999.0)
     assert _content(manifest_read(spark, table_path)) == sorted(expect.values())
+
+
+def test_vacuum_time_based_retention(spark, table_path):
+    """retain_seconds keeps every version committed within the window
+    even past keep_versions — a long-running reader's snapshot survives
+    an aggressive vacuum; retain 0 falls back to pure version-count
+    retention."""
+    for i in range(3):
+        manifest_upsert_partitioned(
+            _batch(spark, [(i, f"d{i}", float(i))]), table_path, ["k"], "day"
+        )
+    # everything is seconds old: a 1-hour window protects all versions
+    manifest_vacuum(table_path, keep_versions=1, retain_seconds=3600)
+    left = sorted(
+        int(n[:-5])
+        for n in os.listdir(f"{table_path}/_commits")
+        if n.endswith(".json")
+    )
+    assert left == [1, 2, 3]
+    assert _content(manifest_read(spark, table_path, version=1)) == [
+        (0, "d0", 0.0)
+    ]
+
+    # zero window: version-count retention keeps v3 plus the delta chain
+    # (v2, v1) its materialization replays through
+    manifest_vacuum(table_path, keep_versions=1, retain_seconds=0)
+    left = sorted(
+        int(n[:-5])
+        for n in os.listdir(f"{table_path}/_commits")
+        if n.endswith(".json")
+    )
+    assert left == [1, 2, 3]
+    assert _content(manifest_read(spark, table_path)) == [
+        (0, "d0", 0.0),
+        (1, "d1", 1.0),
+        (2, "d2", 2.0),
+    ]
