@@ -789,6 +789,7 @@ def manifest_upsert_partitioned(
     partition_col: str,
     fmt: str = "parquet",
     extra_meta: dict | None = None,
+    sort_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """ATOMIC partition-level upsert: the scale-safe successor of
     :func:`merge_upsert_partitioned` (reference semantic
@@ -803,7 +804,15 @@ def manifest_upsert_partitioned(
 
     ``extra_meta`` merges caller keys into the committed manifest — the
     hook the exactly-once streaming sink uses to record its batch id IN
-    the same atomic commit as the data. Returns {"updated": n,
+    the same atomic commit as the data.
+
+    ``sort_cols`` is the OPTIMIZED-WRITE knob: the staged rewrite is
+    range-partitioned and sorted on (partition, sort_cols) before
+    landing, so every data file covers a narrow range of the sort key and
+    zone-map skipping on it works from the first ANALYZE — the standing
+    alternative to periodic Z-ORDER when one ordering dimension
+    dominates the query mix (e.g. a timestamp). Costs one extra range
+    shuffle of the TOUCHED partitions only. Returns {"updated": n,
     "inserted": n}.
     """
     import uuid
@@ -849,7 +858,17 @@ def manifest_upsert_partitioned(
         "__p", F.col(partition_col).cast("string")
     ).localCheckpoint()  # materialize once: count + write share it
     n_merged = merged.count()
-    merged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+    staged = merged
+    if sort_cols:
+        # optimized write: contiguous (partition, sort key) ranges per
+        # task -> every output file holds a narrow sort-key slice. The
+        # range count pins the batch's existing parallelism (an explicit
+        # N keeps AQE from coalescing the whole batch into one file).
+        nparts = max(1, merged.rdd.getNumPartitions())
+        staged = merged.repartitionByRange(
+            nparts, "__p", *sort_cols
+        ).sortWithinPartitions("__p", *sort_cols)
+    staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
         f"{path}/{stage}"
     )
     staged_files = {

@@ -1154,3 +1154,32 @@ def test_vacuum_time_based_retention(spark, table_path):
         (1, "d1", 1.0),
         (2, "d2", 2.0),
     ]
+
+
+def test_optimized_write_sorted_files_enable_skipping(spark, table_path):
+    """sort_cols on the upsert: staged files each cover a narrow range of
+    the sort key, so zone-map skipping engages right after ANALYZE — no
+    Z-ORDER pass needed when one dimension dominates. A ~10% range probe
+    must prune at least half the files; content is unaffected."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_stats,
+        manifest_skipping_plan,
+    )
+
+    n = 8000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.lit("d0").alias("day"),
+        # value uncorrelated with id so unsorted files span the domain
+        ((F.col("id") * 2654435761) % 100000).cast("double").alias("v"),
+    )
+    manifest_upsert_partitioned(
+        df.repartition(16), table_path, ["k"], "day", sort_cols=["v"]
+    )
+    manifest_collect_stats(spark, table_path, ["v"])
+    kept, n_kept, n_total, _ = manifest_skipping_plan(
+        table_path, {"v": (0.0, 9999.0)}
+    )
+    assert n_total >= 8, n_total  # enough files for pruning to mean much
+    assert n_kept <= n_total // 2, (n_kept, n_total)
+    assert manifest_read(spark, table_path).count() == n
