@@ -684,3 +684,78 @@ def skew_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.select("event_id", "user_id", "event_type", "user_total")
+
+
+@register(
+    "streaming_manifest_feed",
+    oracle="""
+        WITH tagged AS (
+            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CASE WHEN EXTRACT(YEAR FROM o_orderdate) % 2 = 0
+                        THEN 1 ELSE 2 END AS commit_version,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT commit_version, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM tagged GROUP BY commit_version
+    """,
+)
+def streaming_manifest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE over the manifest commit log: two commits land
+    disjoint partition sets (even order-years as version 1, odd as
+    version 2), then a ``readStream.format("manifest_feed")`` query
+    drains the log into a memory sink — version offsets make the feed
+    exactly-once, so every order arrives exactly once stamped with the
+    commit that added it. The oracle replays the year-parity → version
+    mapping in SQL (sources/manifest_stream.py; restart/evolution
+    semantics pinned in tests/test_manifest_feed.py)."""
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.manifest_stream import (
+        ManifestFeedDataSource,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("manifest_feed") + "_" + _uuid.uuid4().hex[:6]
+    qname = f"mf_{_uuid.uuid4().hex[:8]}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    spark.dataSource.register(ManifestFeedDataSource)
+    q = None
+    try:
+        manifest_upsert_partitioned(
+            orders.filter(F.col("o_year") % 2 == 0), target, ["o_orderkey"], "o_year"
+        )
+        manifest_upsert_partitioned(
+            orders.filter(F.col("o_year") % 2 == 1), target, ["o_orderkey"], "o_year"
+        )
+        feed = (
+            spark.readStream.format("manifest_feed")
+            .option("path", target)
+            .load()
+        )
+        q = (
+            feed.writeStream.format("memory")
+            .queryName(qname)
+            .start()
+        )
+        q.processAllAvailable()
+        return (
+            spark.table(qname)
+            .groupBy(F.col("_commit_version").alias("commit_version"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()  # materialize before sink/table vanish
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(target, ignore_errors=True)

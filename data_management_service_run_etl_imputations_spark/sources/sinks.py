@@ -851,6 +851,7 @@ def manifest_upsert_partitioned(
 
     stage = f"data/{uuid.uuid4().hex[:12]}"
     out_schema = merged.schema.simpleString()
+    out_schema_json = merged.schema.json()
     # partitionBy on a COPY of the partition column: the staging dir gets
     # one subdir per value, while the real column stays in the data files
     # (readers never depend on directory-name parsing).
@@ -895,6 +896,10 @@ def manifest_upsert_partitioned(
             "fmt": fmt,
             "partition_col": partition_col,
             "schema": out_schema,
+            # JSON twin: parseable by StructType.fromJson WITHOUT a
+            # SparkSession — the streaming source's schema() runs in a
+            # session-less Python worker
+            "schema_json": out_schema_json,
             "stats_ref": base.get("stats_ref"),
             "stats_cols": base.get("stats_cols", []),
             "bloom_ref": base.get("bloom_ref"),
@@ -1263,6 +1268,7 @@ def manifest_replace_partitions(
 
     stage = f"data/{uuid.uuid4().hex[:12]}"
     out_schema = df.schema.simpleString()
+    out_schema_json = df.schema.json()
     staged = df.withColumn(
         "__p", F.col(partition_col).cast("string")
     ).localCheckpoint()
@@ -1295,6 +1301,7 @@ def manifest_replace_partitions(
         "fmt": fmt,
         "partition_col": partition_col,
         "schema": out_schema,
+        "schema_json": out_schema_json,
         "stats_ref": content.get("stats_ref"),
         "stats_cols": content.get("stats_cols", []),
         "bloom_ref": content.get("bloom_ref"),

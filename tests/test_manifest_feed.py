@@ -1,0 +1,184 @@
+"""Streaming source over the manifest commit log (manifest_feed):
+version offsets, per-commit added files, exactly-once across restarts.
+
+Pins the Delta-streaming-source contract: backfill = the v1 snapshot,
+each later batch = the files that commit added (a rewrite re-emits its
+partition's carried rows — the documented ignoreChanges caveat), offsets
+checkpoint so a restarted query resumes after the last processed
+version, and pre-evolution files null-fill later-added columns.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from data_management_service_run_etl_imputations_spark.sources.manifest_stream import (
+    ManifestFeedDataSource,
+)
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    manifest_upsert_partitioned,
+)
+
+
+@pytest.fixture()
+def table_path():
+    path = f"{tempfile.gettempdir()}/mfeed_{uuid.uuid4().hex[:12]}"
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(f"{path}_ckpt", ignore_errors=True)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, day STRING, v DOUBLE")
+
+
+def _feed(spark, table_path, name):
+    spark.dataSource.register(ManifestFeedDataSource)
+    stream = (
+        spark.readStream.format("manifest_feed")
+        .option("path", table_path)
+        .load()
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{table_path}_ckpt")
+        .start()
+    )
+
+
+def _rows(spark, name):
+    return sorted(
+        map(
+            tuple,
+            spark.sql(
+                f"select k, day, v, _commit_version from {name}"
+            ).collect(),
+        )
+    )
+
+
+def test_feed_backfill_increments_and_rewrite_semantics(spark, table_path):
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0)]), table_path, ["k"], "day"
+    )
+    manifest_upsert_partitioned(
+        _batch(spark, [(3, "d3", 3.0)]), table_path, ["k"], "day"
+    )
+    q = _feed(spark, table_path, "feed_a")
+    q.processAllAvailable()
+    assert _rows(spark, "feed_a") == [
+        (1, "d1", 1.0, 1),
+        (2, "d2", 2.0, 1),
+        (3, "d3", 3.0, 2),
+    ]
+
+    # disjoint-partition commit: ONLY its file is emitted
+    manifest_upsert_partitioned(
+        _batch(spark, [(4, "d4", 4.0)]), table_path, ["k"], "day"
+    )
+    q.processAllAvailable()
+    assert _rows(spark, "feed_a")[-1] == (4, "d4", 4.0, 3)
+    assert len(_rows(spark, "feed_a")) == 4
+
+    # rewrite of d1: the new stage's file re-emits the carried row plus
+    # the update — append-driven ignoreChanges semantics, loud by design
+    manifest_upsert_partitioned(
+        _batch(spark, [(5, "d1", 5.0)]), table_path, ["k"], "day"
+    )
+    q.processAllAvailable()
+    got = _rows(spark, "feed_a")
+    assert (5, "d1", 5.0, 4) in got and (1, "d1", 1.0, 4) in got
+    q.stop()
+
+
+def test_feed_restart_resumes_from_checkpoint(spark, table_path):
+    """Exactly-once across a restart: a fault-tolerant sink (parquet) plus
+    the version-offset checkpoint resumes after the last processed
+    commit — versions emitted before the stop never re-emit (the memory
+    sink cannot prove this: it does not support checkpoint recovery)."""
+    out = f"{table_path}_out"
+
+    def run():
+        spark.dataSource.register(ManifestFeedDataSource)
+        stream = (
+            spark.readStream.format("manifest_feed")
+            .option("path", table_path)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{table_path}_ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    run()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("k", "day", "v", "_commit_version")
+            .collect(),
+        )
+    )
+    assert got == [(1, "d1", 1.0, 1)]
+
+    # two commits while the stream is DOWN
+    manifest_upsert_partitioned(
+        _batch(spark, [(2, "d2", 2.0)]), table_path, ["k"], "day"
+    )
+    manifest_upsert_partitioned(
+        _batch(spark, [(3, "d3", 3.0)]), table_path, ["k"], "day"
+    )
+
+    # restart from the same checkpoint: only versions > 1 are emitted,
+    # and the earlier output is not duplicated
+    run()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select("k", "day", "v", "_commit_version")
+            .collect(),
+        )
+    )
+    assert got == [
+        (1, "d1", 1.0, 1),
+        (2, "d2", 2.0, 2),
+        (3, "d3", 3.0, 3),
+    ]
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_feed_schema_evolution_null_fills_old_files(spark, table_path):
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    evolved = spark.createDataFrame(
+        [(2, "d2", 2.0, "x")], "k LONG, day STRING, v DOUBLE, tag STRING"
+    )
+    manifest_upsert_partitioned(evolved, table_path, ["k"], "day")
+
+    q = _feed(spark, table_path, "feed_c")
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "select k, tag, _commit_version from feed_c"
+            ).collect(),
+        )
+    )
+    # the pre-evolution file (v1) null-fills the later-added column
+    assert rows == [(1, None, 1), (2, "x", 2)]
