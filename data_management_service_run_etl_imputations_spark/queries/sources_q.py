@@ -759,3 +759,81 @@ def streaming_manifest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q is not None:
             q.stop()
         shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
+    "manifest_merge_clauses",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   o_totalprice
+            FROM orders
+        ),
+        s AS (SELECT * FROM t WHERE o_orderkey % 5 = 0),
+        merged AS (
+            SELECT tt.o_orderkey, tt.o_year,
+                   CASE WHEN ss.o_orderkey IS NOT NULL
+                        THEN tt.o_totalprice + 1000
+                        ELSE tt.o_totalprice END AS o_totalprice
+            FROM t tt LEFT JOIN s ss ON tt.o_orderkey = ss.o_orderkey
+            WHERE ss.o_orderkey IS NULL OR ss.o_totalprice <= 100000
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_year, 1.0
+            FROM t WHERE o_orderkey % 777 = 0
+        )
+        SELECT o_year, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM merged GROUP BY o_year
+    """,
+)
+def manifest_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO against the manifest table: load orders as the target,
+    merge a source of every 5th order — matched rows with totalprice
+    over 100k are DELETED, the rest UPDATED (``t.o_totalprice +
+    1000``) — plus synthetic not-matched keys that INSERT. The oracle
+    replays the three clauses as a left join + filter + union
+    (sources/sinks.py manifest_merge; clause semantics pinned in
+    tests/test_manifest_table.py)."""
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("manifest_mg") + "_" + _uuid.uuid4().hex[:6]
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    src = t.filter(F.col("o_orderkey") % 5 == 0).unionByName(
+        t.filter(F.col("o_orderkey") % 777 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_year",
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    try:
+        manifest_upsert_partitioned(t, target, ["o_orderkey"], "o_year")
+        manifest_merge(
+            src,
+            target,
+            ["o_orderkey"],
+            "o_year",
+            matched_update={"o_totalprice": "t.o_totalprice + 1000"},
+            matched_delete="s.o_totalprice > 100000",
+            insert_not_matched=True,
+        )
+        return (
+            manifest_read(spark, target)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)

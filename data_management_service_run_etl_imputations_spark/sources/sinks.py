@@ -849,6 +849,42 @@ def manifest_upsert_partitioned(
         merged = incoming
         n_existing_touched = n_survivors = 0
 
+    n_merged = _stage_and_commit(
+        path,
+        merged,
+        touched_keys,
+        partition_col,
+        fmt,
+        version,
+        content,
+        extra_meta,
+        op="upsert",
+        sort_cols=sort_cols,
+    )
+    n_batch = n_merged - n_survivors
+    n_updated = n_existing_touched - n_survivors
+    return {"updated": n_updated, "inserted": n_batch - n_updated}
+
+
+def _stage_and_commit(
+    path: str,
+    merged: DataFrame,
+    touched_keys: list[str],
+    partition_col: str,
+    fmt: str,
+    version: int,
+    content: dict,
+    extra_meta: dict | None,
+    op: str,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Shared write tail for partition-rewriting commits (upsert, merge):
+    stage the touched partitions' merged content into an immutable
+    directory, then publish through the fast-forward commit loop.
+    Returns the staged row count (one job — count and write share the
+    localCheckpoint)."""
+    import uuid
+
     stage = f"data/{uuid.uuid4().hex[:12]}"
     out_schema = merged.schema.simpleString()
     out_schema_json = merged.schema.json()
@@ -882,9 +918,14 @@ def manifest_upsert_partitioned(
         dir_schemas = dict(base.get("dir_schemas", {}))
         for k in touched_keys:
             rel = f"{stage}/__p={k}"
-            b_parts[k] = rel
-            b_files[k] = staged_files[k]
-            dir_schemas[rel] = out_schema
+            if staged_files[k]:
+                b_parts[k] = rel
+                b_files[k] = staged_files[k]
+                dir_schemas[rel] = out_schema
+            elif k in b_parts:
+                # every row of the partition was deleted by the rewrite
+                del b_parts[k]
+                b_files.pop(k, None)
         live_dirs = set(b_parts.values())
         # stats/bloom sidecars carry BY REFERENCE: the sidecar files are
         # immutable, and every loader intersects sidecar entries with the
@@ -933,7 +974,7 @@ def manifest_upsert_partitioned(
     # recomputed by the caller against the winner's head.
     for _ in range(16):
         try:
-            _publish_manifest(path, version + 1, _build(content), op="upsert")
+            _publish_manifest(path, version + 1, _build(content), op=op)
             break
         except CommitConflict:
             head_version, head = _latest_manifest(path)
@@ -944,11 +985,9 @@ def manifest_upsert_partitioned(
             version, content = head_version, head
     else:  # pragma: no cover — 16 straight fast-forward losses
         raise CommitConflict(
-            f"upsert at {path} lost {16} fast-forward commit races"
+            f"{op} at {path} lost {16} fast-forward commit races"
         )
-    n_batch = n_merged - n_survivors
-    n_updated = n_existing_touched - n_survivors
-    return {"updated": n_updated, "inserted": n_batch - n_updated}
+    return n_merged
 
 
 def _upsert_fast_forward_safe(
@@ -971,6 +1010,177 @@ def _upsert_fast_forward_safe(
         and head.get("fmt", fmt) == fmt
         and head.get("partition_col", partition_col) == partition_col
     )
+
+
+def manifest_merge(
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    matched_update: dict[str, str] | None = None,
+    matched_delete: str | None = None,
+    insert_not_matched: bool = True,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """MERGE INTO for the manifest table — the full Delta/ANSI merge
+    surface the plain upsert (whole-row replace) cannot express:
+
+    - ``matched_update``: {target column: SQL expression} applied to
+      target rows whose key matches a source row; expressions reference
+      the target as ``t`` and the source as ``s`` (e.g. ``{"v": "t.v +
+      s.v", "status": "s.status"}``). Updating ``partition_col`` is
+      rejected — row migration between partitions is a different
+      operation (delete+insert).
+    - ``matched_delete``: SQL predicate over ``t``/``s``; a matched row
+      satisfying it is removed (evaluated BEFORE matched_update; a row
+      is deleted or updated, never both).
+    - ``insert_not_matched``: source rows with no key match insert.
+
+    Plan shape at 100 TB: one column-pruned scan of (key, partition)
+    pairs joined against the source finds the partitions holding
+    matches (manifest-level pruning applies); only those partitions —
+    plus the insert targets — are rewritten through the same immutable
+    staging + fast-forward commit the upsert uses. A matched partition
+    emptied by deletes drops out of the manifest entirely. Returns
+    {"updated": n, "deleted": n, "inserted": n}.
+    """
+    spark = source.sparkSession
+    if matched_update and partition_col in matched_update:
+        raise ValueError(
+            f"matched_update must not set partition column {partition_col!r}"
+        )
+    version, content = _latest_manifest(path)
+    parts: dict = dict(content.get("partitions", {}))
+
+    src = source.localCheckpoint()  # evaluated once, reused three times
+    src_keys = src.select(*keys).dropDuplicates()
+    if src_keys.count() < src.count():
+        # two source rows matching one target row would duplicate it
+        # through the full outer join — the same loud failure Delta's
+        # MERGE raises ("multiple source rows matched")
+        raise ValueError(
+            "manifest_merge source has duplicate merge keys — "
+            "pre-aggregate the source to one row per key"
+        )
+
+    # pass 1 (column-pruned): which partitions hold matched keys?
+    match_parts: set[str] = set()
+    if parts:
+        all_live = _live_file_rels(content)
+        probe = _load_table_files(spark, path, content, all_live).select(
+            partition_col, *keys
+        )
+        cond = None
+        for k in keys:
+            c = probe[k].eqNullSafe(src_keys[k])
+            cond = c if cond is None else cond & c
+        match_parts = {
+            str(r[0])
+            for r in probe.join(src_keys, cond, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        }
+    insert_parts = (
+        {
+            str(r[0])
+            for r in src.select(partition_col).distinct().collect()
+        }
+        if insert_not_matched
+        else set()
+    )
+    touched_keys = sorted(match_parts | insert_parts)
+    if not touched_keys:
+        return {"updated": 0, "deleted": 0, "inserted": 0}
+
+    live = _live_file_rels(
+        content, {k: parts[k] for k in touched_keys if k in parts}
+    )
+    if live:
+        target = _apply_deletes(
+            spark, path, _load_table_files(spark, path, content, live), content
+        ).alias("t")
+    else:
+        target = spark.createDataFrame([], src.schema).alias("t")
+    t_cols = target.columns
+    # existence markers tagged BEFORE the full outer join: a side's key
+    # columns cannot distinguish "row absent" from "row with null key"
+    # (eqNullSafe join keys make null keys matchable), a constant can
+    target_m = target.withColumn("__in_t", F.lit(True)).alias("t")
+    src_m = src.withColumn("__in_s", F.lit(True)).alias("s")
+    join_cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        join_cond = c if join_cond is None else join_cond & c
+    joined = target_m.join(src_m, join_cond, "full_outer")
+    in_t = F.coalesce(F.col("__in_t"), F.lit(False))
+    in_s = F.coalesce(F.col("__in_s"), F.lit(False))
+
+    delete_cond = (
+        F.expr(matched_delete) if matched_delete is not None else F.lit(False)
+    )
+    action = (
+        F.when(in_t & in_s & delete_cond, F.lit("delete"))
+        .when(
+            in_t & in_s,
+            F.lit("update") if matched_update else F.lit("carry"),
+        )
+        .when(in_t, F.lit("carry"))
+        .otherwise(
+            F.lit("insert") if insert_not_matched else F.lit("drop")
+        )
+    )
+    src_cols = set(src.columns)
+    out_cols = []
+    for c in t_cols:
+        updated = (
+            F.expr(matched_update[c])
+            if matched_update and c in matched_update
+            else F.col(f"t.{c}")
+        )
+        inserted = (
+            F.col(f"s.{c}")
+            if c in src_cols
+            else F.lit(None)  # column the source does not carry
+        )
+        out_cols.append(
+            F.when(F.col("__action") == "insert", inserted)
+            .when(F.col("__action") == "update", updated)
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+    flagged = (
+        joined.withColumn("__action", action)
+        .filter(~F.col("__action").isin("delete", "drop"))
+        .select(*out_cols, "__action")
+        .localCheckpoint()  # counts + staging share one evaluation
+    )
+    counts = {
+        r["__action"]: r["n"]
+        for r in flagged.groupBy("__action")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_target = target.count()
+    n_carried_or_updated = counts.get("carry", 0) + counts.get("update", 0)
+    merged = flagged.drop("__action")
+
+    _stage_and_commit(
+        path,
+        merged,
+        touched_keys,
+        partition_col,
+        fmt,
+        version,
+        content,
+        None,
+        op="merge",
+    )
+    return {
+        "updated": counts.get("update", 0),
+        "deleted": n_target - n_carried_or_updated,
+        "inserted": counts.get("insert", 0),
+    }
 
 
 def manifest_compact(

@@ -1183,3 +1183,108 @@ def test_optimized_write_sorted_files_enable_skipping(spark, table_path):
     assert n_total >= 8, n_total  # enough files for pruning to mean much
     assert n_kept <= n_total // 2, (n_kept, n_total)
     assert manifest_read(spark, table_path).count() == n
+
+
+def test_merge_update_delete_insert_clauses(spark, table_path):
+    """MERGE INTO surface: conditional update expressions over t/s,
+    matched-delete predicate, not-matched insert — counts and content
+    pin each clause; untouched partitions carry by reference; a
+    partition emptied by deletes drops from the manifest."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(
+            spark,
+            [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d3", 4.0)],
+        ),
+        table_path,
+        ["k"],
+        "day",
+    )
+    before_parts = dict(_latest_manifest(table_path)[1]["partitions"])
+
+    src = _batch(spark, [(1, "d1", 10.0), (2, "d1", 0.0), (9, "d2", 9.0)])
+    r = manifest_merge(
+        src,
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "t.v + s.v"},
+        matched_delete="s.v = 0.0",
+        insert_not_matched=True,
+    )
+    assert r == {"updated": 1, "deleted": 1, "inserted": 1}
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 11.0),
+        (3, "d2", 3.0),
+        (4, "d3", 4.0),
+        (9, "d2", 9.0),
+    ]
+    # untouched d3 carried by reference (same directory entry)
+    after_parts = _latest_manifest(table_path)[1]["partitions"]
+    assert after_parts["d3"] == before_parts["d3"]
+
+    # delete-only merge that empties d3: the partition disappears
+    r2 = manifest_merge(
+        _batch(spark, [(4, "d3", 0.0)]),
+        table_path,
+        ["k"],
+        "day",
+        matched_delete="true",
+        insert_not_matched=False,
+    )
+    assert r2 == {"updated": 0, "deleted": 1, "inserted": 0}
+    assert "d3" not in _latest_manifest(table_path)[1]["partitions"]
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 11.0),
+        (3, "d2", 3.0),
+        (9, "d2", 9.0),
+    ]
+
+
+def test_merge_rejects_partition_update_and_empty_source_noop(
+    spark, table_path
+):
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        manifest_merge(
+            _batch(spark, [(1, "d9", 1.0)]),
+            table_path,
+            ["k"],
+            "day",
+            matched_update={"day": "s.day"},
+        )
+    v_before = _latest_manifest(table_path)[0]
+    r = manifest_merge(
+        _batch(spark, []),
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "s.v"},
+        insert_not_matched=False,
+    )
+    assert r == {"updated": 0, "deleted": 0, "inserted": 0}
+    assert _latest_manifest(table_path)[0] == v_before  # no empty commit
+
+
+def test_merge_rejects_duplicate_source_keys(spark, table_path):
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    dup = _batch(spark, [(1, "d1", 2.0), (1, "d1", 3.0)])
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        manifest_merge(
+            dup, table_path, ["k"], "day", matched_update={"v": "s.v"}
+        )
