@@ -328,6 +328,26 @@ def _manifest_dir(path: str) -> str:
 
 CHECKPOINT_EVERY = 8
 
+# Reader-protocol version this code understands. Commits stamp it; a
+# manifest stamped with a HIGHER version was written by newer code whose
+# semantics this reader cannot honor (e.g. a future deletion-vector
+# format) — reads fail loudly instead of returning wrong rows.
+PROTOCOL_VERSION = 1
+
+
+class UnsupportedProtocol(RuntimeError):
+    pass
+
+
+def _check_protocol(content: dict) -> dict:
+    v = content.get("protocol", 1)
+    if v > PROTOCOL_VERSION:
+        raise UnsupportedProtocol(
+            f"manifest requires reader protocol {v}, this engine supports "
+            f"<= {PROTOCOL_VERSION} — upgrade before reading this table"
+        )
+    return content
+
 # dict-valued content keys that are diffed per entry; everything else
 # (schema, stats_ref, deletes, stream_batches, ...) sets wholesale
 _DICT_KEYS = ("partitions", "files", "dir_schemas")
@@ -395,7 +415,7 @@ def _materialize(path: str, version: int) -> dict:
         v = c["delta_from"]
     for delta in reversed(chain):
         content = _apply_actions(content, delta["actions"])
-    return content
+    return _check_protocol(content)
 
 
 def _commit_meta(commit: dict) -> dict:
@@ -581,6 +601,10 @@ def _publish_manifest(
     if op is not None:
         content["op"] = op
     content["committed_at"] = time.time()
+    # reader-protocol stamp (Delta's minReaderVersion idea): a future
+    # format change bumps this, and old readers fail loudly instead of
+    # misreading — see _check_protocol
+    content.setdefault("protocol", PROTOCOL_VERSION)
 
     payload = content
     if version > 1 and version % CHECKPOINT_EVERY != 0:

@@ -1288,3 +1288,31 @@ def test_merge_rejects_duplicate_source_keys(spark, table_path):
         manifest_merge(
             dup, table_path, ["k"], "day", matched_update={"v": "s.v"}
         )
+
+
+def test_protocol_version_guard(spark, table_path):
+    """A manifest stamped with a higher reader protocol (written by
+    newer code) fails reads loudly instead of misreading; current-code
+    commits stamp the supported version."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        PROTOCOL_VERSION,
+        UnsupportedProtocol,
+        _latest_manifest,
+        _publish_manifest,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    v, content = _latest_manifest(table_path)
+    assert content["protocol"] == PROTOCOL_VERSION
+
+    _publish_manifest(
+        table_path, v + 1, dict(content, protocol=PROTOCOL_VERSION + 1)
+    )
+    with pytest.raises(UnsupportedProtocol, match="upgrade"):
+        manifest_read(spark, table_path)
+    # pinned reads of OLD versions still work
+    assert _content(manifest_read(spark, table_path, version=v)) == [
+        (1, "d1", 1.0)
+    ]
