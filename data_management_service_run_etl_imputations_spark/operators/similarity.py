@@ -197,6 +197,8 @@ def embedding_near_duplicates_blocked(
     n_cells: int | None = None,
     seed: int = 42,
     stats_out: dict | None = None,
+    adaptive: bool = True,
+    target_block_rows: int = 4096,
 ) -> DataFrame:
     """Exact cosine-threshold near-dup pairs WITHOUT an all-pairs join:
     metric blocking with a triangle-inequality cell-pair bound.
@@ -218,7 +220,12 @@ def embedding_near_duplicates_blocked(
     scan. At real near-dup thresholds (t ≥ 0.9 ⇒ D ≤ 0.45) most cell
     pairs are pruned; as t → 0 the bound keeps every cell pair and the
     cost honestly degrades toward all-pairs — the correct price for an
-    exact answer at a loose threshold.
+    exact answer at a loose threshold. In that degraded regime
+    ``adaptive=True`` agglomerates the surviving fine cells into
+    super-blocks of ~``target_block_rows`` rows (driver-side weighted
+    Lloyd's over the centroids, exactness preserved — see the inline
+    proof), so shuffle degree and applyInPandas group count shrink by the
+    merge factor while candidate volume stays identical.
 
     The final cosine runs on the ORIGINAL vectors in float64 (BLAS matmul
     per cell-pair block); it agrees with :func:`embedding_near_duplicates`
@@ -331,6 +338,15 @@ def embedding_near_duplicates_blocked(
         F.col("__a.cell").alias("cell"),
         F.col("__a.dist").alias("__dist"),
     )
+    # Materialize the assignment once (localCheckpoint): the radii
+    # aggregate and both sides of the scoring union then re-read the
+    # checkpointed partitions instead of re-running the parquet scan +
+    # assignment UDF (three passes otherwise). Lazy: the blocks persist
+    # as a side effect of the radii job below — no separate
+    # materialization job. Non-replayable on executor loss — the same
+    # tradeoff as the connected-components iteration in dedup.py; the
+    # operator re-runs from source on failure.
+    assigned = assigned.localCheckpoint(eager=False)
     # Radii + sizes: one tiny aggregate (n_cells rows) collected at plan
     # time (sizes feed the candidate-volume diagnostic in stats_out).
     cell_rows = (
@@ -346,15 +362,73 @@ def embedding_near_duplicates_blocked(
             sum((x - y) ** 2 for x, y in zip(centroids[i], centroids[j]))
         )
 
-    cells = sorted(radii)
-    # 1e-9 slack: the bound holds with real arithmetic; the slack keeps a
-    # borderline cell pair (equality up to float rounding) on the safe side
-    pairs = [
-        (c1, c2)
-        for i, c1 in enumerate(cells)
-        for c2 in cells[i:]
-        if _cdist(c1, c2) <= radii[c1] + radii[c2] + d_bound + 1e-9
-    ]
+    def _survivors() -> tuple[list[int], list[tuple[int, int]]]:
+        # 1e-9 slack: the bound holds with real arithmetic; the slack
+        # keeps a borderline cell pair (equality up to float rounding)
+        # on the safe side
+        cs = sorted(radii)
+        return cs, [
+            (c1, c2)
+            for i, c1 in enumerate(cs)
+            for c2 in cs[i:]
+            if _cdist(c1, c2) <= radii[c1] + radii[c2] + d_bound + 1e-9
+        ]
+
+    cells, pairs = _survivors()
+
+    # Adaptive block coarsening — the loose-threshold regime. When the
+    # bound keeps most cell pairs (t → 0 ⇒ D → √2 dwarfs the centroid
+    # spread), fine cells no longer prune anything and only multiply
+    # cost: each vector is shuffled once per surviving pair of its cell
+    # (≈ n_cells copies) and every surviving pair is an applyInPandas
+    # group. Agglomerating cells into super-blocks of ~target_block_rows
+    # rows keeps the SAME candidate volume but divides shuffle degree and
+    # group count by the merge factor. Exactness is preserved: for a
+    # point p in member cell i of super-block S, ‖p−c_S‖ ≤ ‖p−c_i‖ +
+    # ‖c_i−c_S‖ ≤ r_i + ‖c_i−c_S‖ ≤ R_S, so the super-block radius is a
+    # valid (wider) triangle bound. At large n the memory target itself
+    # (k₂ = ⌈n/target_block_rows⌉ ≥ n_cells) disables coarsening: fine
+    # cells are already big enough to amortize per-group overhead, and
+    # merging them would blow the per-task block budget. The remap is a
+    # literal lookup array on the existing cell column — no second pass
+    # over the vectors.
+    coarsened = False
+    n_cells_initial, n_pairs_initial = len(cells), len(pairs)
+    total0 = len(cells) * (len(cells) + 1) // 2
+    k2 = max(4, -(-n_rows // target_block_rows))
+    if adaptive and k2 < len(cells) and len(pairs) > 0.25 * total0:
+        live = list(cells)
+        W = np.array([cell_sizes[c] for c in live], dtype=np.float64)
+        C = cents[np.array(live)]
+        k2 = min(k2, len(live))
+        sup_c = C[rng.choice(len(live), size=k2, replace=False)]
+        for _ in range(10):
+            lbl2 = _d2(C, sup_c).argmin(axis=1)
+            for s in range(k2):
+                m = lbl2 == s
+                if m.any():
+                    sup_c[s] = np.average(C[m], axis=0, weights=W[m])
+        lbl2 = _d2(C, sup_c).argmin(axis=1)
+        sup_of = {c: int(lbl2[i]) for i, c in enumerate(live)}
+        new_radii: dict[int, float] = {}
+        new_sizes: dict[int, int] = {}
+        for i, c in enumerate(live):
+            s = sup_of[c]
+            d_cs = float(np.sqrt(((C[i] - sup_c[s]) ** 2).sum()))
+            new_radii[s] = max(new_radii.get(s, 0.0), d_cs + radii[c])
+            new_sizes[s] = new_sizes.get(s, 0) + cell_sizes[c]
+        lut = [sup_of.get(c, 0) for c in range(len(centroids))]
+        assigned = assigned.withColumn(
+            "cell",
+            F.element_at(
+                F.array(*[F.lit(int(s)) for s in lut]), F.col("cell") + 1
+            ).cast("int"),
+        )
+        radii, cell_sizes = new_radii, new_sizes
+        centroids = [[float(x) for x in c] for c in sup_c]
+        cells, pairs = _survivors()
+        coarsened = True
+
     if stats_out is not None:
         # pruning-evidence hook for scale probes: how many cell pairs
         # survived the triangle-inequality bound, and how many vector
@@ -375,6 +449,9 @@ def embedding_near_duplicates_blocked(
                 "brute_force_volume": n_rows * (n_rows - 1) // 2,
                 "d_bound": d_bound,
                 "threshold": threshold,
+                "coarsened": coarsened,
+                "n_cells_initial": n_cells_initial,
+                "n_cell_pairs_survived_initial": n_pairs_initial,
             }
         )
     pair_df = df.sparkSession.createDataFrame(pairs, "c1 INT, c2 INT")

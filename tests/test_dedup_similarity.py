@@ -86,6 +86,63 @@ def test_blocked_near_duplicates_equals_exact(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_blocked_near_duplicates_adaptive_coarsening(spark):
+    """In the loose-threshold regime (most cell pairs survive the triangle
+    bound) the operator agglomerates fine cells into super-blocks: fewer
+    surviving pairs (lower shuffle degree + group count), identical
+    result. Strict control: adaptive=False keeps the fine blocking and
+    the same rows."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_blocked,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    exact = sorted(
+        map(tuple, embedding_near_duplicates(df, threshold=0.3).collect())
+    )
+
+    st_on: dict = {}
+    out_on = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_blocked(
+                df, threshold=0.3, n_cells=16, stats_out=st_on
+            ).collect(),
+        )
+    )
+    assert st_on["coarsened"] is True
+    assert st_on["n_cells"] < st_on["n_cells_initial"]
+    assert (
+        st_on["n_cell_pairs_survived"]
+        < st_on["n_cell_pairs_survived_initial"]
+    )
+    assert out_on == exact
+
+    st_off: dict = {}
+    out_off = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_blocked(
+                df,
+                threshold=0.3,
+                n_cells=16,
+                stats_out=st_off,
+                adaptive=False,
+            ).collect(),
+        )
+    )
+    assert st_off["coarsened"] is False
+    assert st_off["n_cells"] == st_off["n_cells_initial"] == 16
+    assert out_off == exact
+
+
 def test_connected_components_star_matches_propagation(spark):
     """The O(log n)-round star alternation labels a long chain, multiple
     components, and singletons identically to min-label propagation —
