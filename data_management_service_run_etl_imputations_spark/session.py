@@ -40,6 +40,12 @@ RUNTIME_REQUIRED_CONFS: dict[str, str] = {
     # Pandas-UDF paths assume Arrow interchange (both for speed and for
     # consistent null/array handling in grouped-map shapes).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write-format policy, not read correctness: Spark's default INT96
+    # timestamps carry NO parquet column statistics, which would force
+    # footer-based ANALYZE (skipping._footer_stats_for_files) back onto a
+    # data scan for every timestamp column. TIMESTAMP_MICROS is the
+    # modern stats-capable encoding every lakehouse writer uses.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
@@ -94,6 +100,8 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in RUNTIME_REQUIRED_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -909,6 +909,13 @@ def _stage_and_commit(
     localCheckpoint)."""
     import uuid
 
+    from data_management_service_run_etl_imputations_spark.session import (
+        ensure_runtime_confs,
+    )
+
+    # an injected vanilla session would otherwise write INT96 timestamps
+    # (no parquet column statistics -> footer ANALYZE degrades to a scan)
+    ensure_runtime_confs(merged.sparkSession)
     stage = f"data/{uuid.uuid4().hex[:12]}"
     out_schema = merged.schema.simpleString()
     out_schema_json = merged.schema.json()

@@ -290,7 +290,7 @@ def _write_stats_sidecar(path: str, stats: dict) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    files, nrows, cols, vmins, vmaxs, nulls = [], [], [], [], [], []
+    files, nrows, cols, vmins, vmaxs, nulls, approxs = [], [], [], [], [], [], []
     for frel in sorted(stats):
         s = stats[frel]
         for c in sorted(s["cols"]):
@@ -301,6 +301,7 @@ def _write_stats_sidecar(path: str, stats: dict) -> str:
             vmins.append(json.dumps(cs["min"]))
             vmaxs.append(json.dumps(cs["max"]))
             nulls.append(cs["nulls"])
+            approxs.append(bool(cs.get("approx", False)))
     table = pa.table(
         {
             "file": pa.array(files, pa.string()),
@@ -309,6 +310,9 @@ def _write_stats_sidecar(path: str, stats: dict) -> str:
             "vmin": pa.array(vmins, pa.string()),
             "vmax": pa.array(vmaxs, pa.string()),
             "nulls": pa.array(nulls, pa.int64()),
+            # outer-bound marker (footer-derived string extrema may be
+            # writer-truncated): sound for skipping, refused by minmax
+            "approx": pa.array(approxs, pa.bool_()),
         }
     )
     os.makedirs(_index_dir(path), exist_ok=True)
@@ -329,9 +333,15 @@ def _load_stats_sidecar(path: str, content: dict) -> dict:
 
     table = pq.read_table(f"{path}/{ref}")
     live = set(_live_file_rels(content))
+    approx_col = (
+        table.column("approx").to_pylist()
+        if "approx" in table.column_names  # pre-r05 sidecars lack it
+        else [False] * table.num_rows
+    )
     out: dict = {}
-    for frel, nrows, col, vmin, vmax, nnull in zip(
-        *(table.column(c).to_pylist() for c in ("file", "nrows", "col", "vmin", "vmax", "nulls"))
+    for frel, nrows, col, vmin, vmax, nnull, apx in zip(
+        *(table.column(c).to_pylist() for c in ("file", "nrows", "col", "vmin", "vmax", "nulls")),
+        approx_col,
     ):
         if frel not in live:
             continue
@@ -341,6 +351,8 @@ def _load_stats_sidecar(path: str, content: dict) -> dict:
             "max": json.loads(vmax),
             "nulls": nnull,
         }
+        if apx:
+            e["cols"][col]["approx"] = True
     return out
 
 
@@ -449,18 +461,207 @@ def _stats_for_files(
     return out
 
 
+def _footer_value(v, side: str):
+    """Convert a pyarrow footer statistic into the sidecar's stored domain
+    (the footer twin of ``_json_safe`` on the scan path). Returns None for
+    domains the footer path does not trust — the caller then falls back to
+    scanning that file. ns-precision timestamp maxima widen outward on the
+    lossy ns→µs truncation so a stored bound can never undercut the true
+    extremum."""
+    import pandas as _pd
+
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        if v.nanosecond:
+            # µs truncation floors: safe for min, widen max up instead
+            if side == "max":
+                v = v + _pd.Timedelta(microseconds=1)
+            v = v.replace(nanosecond=0)
+        return str(v.to_pydatetime())
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            # store naive-UTC, the scan path's collected representation
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return str(v)
+    if isinstance(v, datetime.date):
+        return str(v)
+    return None
+
+
+def _footer_stats_one(abs_path: str, cols: list[str]) -> dict | None:
+    """Zone-map stats for ONE file from its parquet FOOTER — a metadata
+    read, no data pages touched. Returns the same shape as the scan path
+    ({"rows": n, "cols": {c: {min, max, nulls}}}), or None when any
+    requested present column lacks trustworthy footer statistics (missing
+    stats or null counts, FIXED_LEN_BYTE_ARRAY/INT96 physical types,
+    Decimal logical type — the scan path owns the outward-rounded Decimal
+    widening). BYTE_ARRAY (string) footer bounds may be writer-truncated;
+    the parquet spec keeps truncated bounds VALID (a truncated max is
+    incremented past the true max), so they are stored with
+    ``"approx": True`` — sound for range skipping, refused by
+    ``manifest_minmax`` which needs exact extrema."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(abs_path)
+    except Exception:
+        return None
+    md = pf.metadata
+    names = set(pf.schema_arrow.names)
+    idx_of: dict[str, int] = {}
+    if md.num_row_groups:
+        rg0 = md.row_group(0)
+        idx_of = {
+            rg0.column(i).path_in_schema: i for i in range(rg0.num_columns)
+        }
+    col_stats: dict[str, dict] = {}
+    for c in cols:
+        if c not in names:
+            # schema evolution: the column postdates this immutable file,
+            # so reads null-fill it — exact stats are all-NULL
+            col_stats[c] = {"min": None, "max": None, "nulls": md.num_rows}
+            continue
+        if c not in idx_of:
+            return None  # nested/unmapped column: scan instead
+        mn = mx = None
+        nulls = 0
+        approx = False
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            ci = rg.column(idx_of[c])
+            st = ci.statistics
+            if st is None or st.null_count is None:
+                return None
+            if ci.physical_type in ("FIXED_LEN_BYTE_ARRAY", "INT96"):
+                return None
+            if str(st.logical_type).startswith("Decimal"):
+                return None
+            nulls += st.null_count
+            if st.null_count == rg.num_rows:
+                continue  # all-NULL row group: contributes no extremum
+            if not st.has_min_max:
+                return None
+            gmin = _footer_value(st.min, "min")
+            gmax = _footer_value(st.max, "max")
+            if gmin is None or gmax is None:
+                return None
+            if ci.physical_type == "BYTE_ARRAY":
+                approx = True
+            if mn is None or _canon_stat(gmin) < _canon_stat(mn):
+                mn = gmin
+            if mx is None or _canon_stat(gmax) > _canon_stat(mx):
+                mx = gmax
+        entry: dict = {"min": mn, "max": mx, "nulls": nulls}
+        if approx:
+            entry["approx"] = True
+        col_stats[c] = entry
+    return {"rows": md.num_rows, "cols": col_stats}
+
+
+def _footer_stats_for_files(
+    spark, table_root: str, file_rels: list[str], cols: list[str]
+) -> tuple[dict[str, dict], list[str]]:
+    """Per-file stats from parquet FOOTERS for an explicit file list,
+    distributed: the file list becomes a small DataFrame and each task
+    reads only footers (O(files) metadata I/O — never O(data), the reason
+    lakehouse ANALYZE stays cheap at 100 TB). Returns
+    ``(stats, leftover_rels)``; leftover files (untrustworthy or missing
+    footer stats) are the caller's to scan."""
+    if not file_rels:
+        return {}, []
+    root_abs = os.path.abspath(table_root)
+    n_slices = min(len(file_rels), spark.sparkContext.defaultParallelism)
+    rels_df = spark.createDataFrame(
+        [(r,) for r in sorted(file_rels)], "rel string"
+    ).repartition(n_slices)
+
+    def _run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rels, oks, payloads = [], [], []
+            for rel in pdf["rel"]:
+                res = _footer_stats_one(os.path.join(root_abs, rel), cols)
+                rels.append(rel)
+                oks.append(res is not None)
+                payloads.append(json.dumps(res) if res is not None else "")
+            yield _pd.DataFrame(
+                {"rel": rels, "ok": oks, "js": payloads}
+            )
+
+    rows = rels_df.mapInPandas(
+        _run, schema="rel string, ok boolean, js string"
+    ).collect()  # bounded: one row per data FILE
+    out: dict[str, dict] = {}
+    leftover: list[str] = []
+    for r in rows:
+        if r["ok"]:
+            out[r["rel"]] = json.loads(r["js"])
+        else:
+            leftover.append(r["rel"])
+    return out, leftover
+
+
+def _collect_stats(
+    spark,
+    table_root: str,
+    file_rels: list[str],
+    cols: list[str],
+    content: dict,
+    source: str = "auto",
+) -> dict[str, dict]:
+    """Stats for a file list by ``source``: "scan" always reads the data;
+    "footer" reads only parquet footers and raises if any file cannot be
+    covered from metadata; "auto" (default) takes footers where
+    trustworthy and scans only the leftovers."""
+    if source == "scan" or content.get("fmt", "parquet") != "parquet":
+        return _stats_for_files(spark, table_root, file_rels, cols, content)
+    fresh, leftover = _footer_stats_for_files(
+        spark, table_root, file_rels, cols
+    )
+    if leftover:
+        if source == "footer":
+            raise ValueError(
+                f"{len(leftover)} file(s) lack trustworthy footer "
+                f"statistics for {cols!r} (e.g. {leftover[0]!r}) — use "
+                "source='auto' or 'scan'"
+            )
+        fresh.update(
+            _stats_for_files(spark, table_root, leftover, cols, content)
+        )
+    return fresh
+
+
 def manifest_collect_stats(
-    spark, path: str, cols: list[str], partition_values: list | None = None
+    spark,
+    path: str,
+    cols: list[str],
+    partition_values: list | None = None,
+    source: str = "auto",
 ) -> dict[str, int]:
     """ANALYZE for a manifest table: compute per-file min/max/null-count
     for ``cols`` over the (selected) partitions and publish a new manifest
     version referencing a fresh stats sidecar. Incremental at FILE and
-    COLUMN granularity: a file is re-scanned only if its existing entry
+    COLUMN granularity: a file is re-read only if its existing entry
     lacks one of the requested columns (so ANALYZE for a new column over
-    already-covered directories scans them again, and fresh per-column
+    already-covered directories reads them again, and fresh per-column
     stats MERGE into the existing entries — never replace them). The
     candidate file set comes from the manifest, not a directory listing.
-    Returns {"files": n, "directories": n}."""
+    ``source="auto"`` (default) reads parquet FOOTERS — O(files) metadata
+    I/O, no data pages — and scans only files whose footer stats are
+    untrustworthy; "scan" forces the data scan, "footer" forbids it (and
+    raises when metadata cannot cover the request). Returns
+    {"files": n, "directories": n}."""
     version, content = _latest_manifest(path)
     if version == 0:
         return {"files": 0, "directories": 0}
@@ -482,7 +683,7 @@ def manifest_collect_stats(
             todo_dirs.add(rel)
     if not todo_files and set(cols) <= set(content.get("stats_cols", [])):
         return {"files": 0, "directories": 0}  # true no-op: no new version
-    fresh = _stats_for_files(spark, path, todo_files, cols, content)
+    fresh = _collect_stats(spark, path, todo_files, cols, content, source)
     for frel, s in fresh.items():
         if frel in stats:
             stats[frel]["cols"].update(s["cols"])  # per-column merge
@@ -577,7 +778,7 @@ def manifest_cluster_zorder(
     }
     for frel in dropped:
         del stats[frel]
-    fresh = _stats_for_files(
+    fresh = _collect_stats(
         spark, path, new_file_rels, zorder_cols, {"fmt": fmt}
     )
     stats.update(fresh)
@@ -894,6 +1095,14 @@ def manifest_minmax(
                     "manifest_collect_stats first or scan instead"
                 )
             cs = s["cols"][c]
+            if cs.get("approx"):
+                raise ValueError(
+                    f"stats for {frel!r} column {c!r} are footer-derived "
+                    "outer bounds (possibly writer-truncated string "
+                    "extrema) — sound for skipping but not for MIN/MAX; "
+                    "re-run manifest_collect_stats(source='scan') for "
+                    "this column"
+                )
             if cs["min"] is None and cs["max"] is None:
                 continue  # all-NULL file: contributes no extremum
             mn, mx = _canon_stat(cs["min"]), _canon_stat(cs["max"])

@@ -634,3 +634,156 @@ def test_compact_min_files_targets_fragmented_partitions(spark, table):
             assert after["partitions"][k] == before["partitions"][k]
     assert len(after["files"]["3"]) == 1
     assert manifest_read(spark, table).count() == 8001
+
+
+def test_footer_stats_match_scan_stats(spark, tmp_path):
+    """ANALYZE from parquet FOOTERS (O(files) metadata reads) must record
+    the same sidecar as the data scan across int, double, string, date,
+    timestamp, and bool columns — including an all-NULL file and a column
+    added by schema evolution (absent from older files ⇒ all-NULL stats).
+    String entries additionally carry approx=True (possibly-truncated
+    writer bounds — sound for skipping, not for MIN/MAX)."""
+    import datetime as dt
+
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _load_stats_sidecar,
+    )
+
+    def build(path):
+        rows = [
+            (
+                i,
+                str(i % 2),
+                None if i == 7 else i * 3,
+                float(i) / 4,
+                None if i % 5 == 0 else f"s{i:03d}",
+                dt.date(2021, 1, 1) + dt.timedelta(days=i),
+                dt.datetime(2022, 3, 1, 12, 0, 0) + dt.timedelta(hours=i),
+                i % 3 == 0,
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "row_id long, p string, a long, d double, s string, "
+            "dte date, ts timestamp, flag boolean",
+        )
+        manifest_upsert_partitioned(df, path, ["row_id"], "p")
+        # all-NULL batch for column a in partition "0"
+        extra = spark.createDataFrame(
+            [
+                (
+                    100 + i,
+                    "0",
+                    None,
+                    1.5,
+                    "zz",
+                    dt.date(2021, 6, 1),
+                    dt.datetime(2022, 6, 1),
+                    False,
+                )
+                for i in range(3)
+            ],
+            "row_id long, p string, a long, d double, s string, "
+            "dte date, ts timestamp, flag boolean",
+        )
+        manifest_upsert_partitioned(extra, path, ["row_id"], "p")
+        # schema evolution: a new column only the newest file carries
+        newer = spark.createDataFrame(
+            [
+                (
+                    200,
+                    "1",
+                    9,
+                    2.5,
+                    "aa",
+                    dt.date(2021, 7, 1),
+                    dt.datetime(2022, 7, 1),
+                    True,
+                    77,
+                )
+            ],
+            "row_id long, p string, a long, d double, s string, "
+            "dte date, ts timestamp, flag boolean, extra long",
+        )
+        manifest_upsert_partitioned(newer, path, ["row_id"], "p")
+        return path
+
+    cols = ["a", "d", "s", "dte", "ts", "flag", "extra"]
+    p_scan = build(str(tmp_path / "scan_tab"))
+    p_foot = build(str(tmp_path / "foot_tab"))
+    manifest_collect_stats(spark, p_scan, cols, source="scan")
+    # strict footer mode: every file must be coverable from metadata alone
+    manifest_collect_stats(spark, p_foot, cols, source="footer")
+
+    _, c_scan = _latest_manifest(p_scan)
+    _, c_foot = _latest_manifest(p_foot)
+    s_scan = _load_stats_sidecar(p_scan, c_scan)
+    s_foot = _load_stats_sidecar(p_foot, c_foot)
+    assert len(s_scan) == len(s_foot) > 0
+
+    # stage paths are random per table: compare the per-file entries as
+    # canonical multisets (identical builds => identical file contents)
+    def canon_entries(stats, expect_approx):
+        out = []
+        saw_approx = False
+        for frel, s in stats.items():
+            entry = {"rows": s["rows"], "cols": {}}
+            for c in cols:
+                cs = dict(s["cols"][c])
+                if cs.pop("approx", False):
+                    assert expect_approx and c == "s", (frel, c)
+                    saw_approx = True
+                entry["cols"][c] = cs
+            out.append(json.dumps(entry, sort_keys=True))
+        assert saw_approx == expect_approx
+        return sorted(out)
+
+    assert canon_entries(s_scan, False) == canon_entries(s_foot, True)
+
+
+def test_footer_source_refuses_decimals_and_minmax_refuses_approx(
+    spark, tmp_path
+):
+    """Decimal columns stay on the scan path (which owns the
+    outward-rounded widening): source='footer' raises, source='auto'
+    falls back to scanning and records exact decimal stats. And
+    manifest_minmax refuses footer-derived (approx) string stats while
+    range skipping still prunes with them."""
+    from decimal import Decimal
+
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_minmax,
+    )
+
+    path = str(tmp_path / "dectab")
+    df = spark.createDataFrame(
+        [
+            (i, str(i % 2), Decimal(i) / 4, f"v{i:02d}")
+            for i in range(20)
+        ],
+        "row_id long, p string, dec decimal(12,4), s string",
+    )
+    manifest_upsert_partitioned(df, path, ["row_id"], "p")
+
+    with pytest.raises(ValueError, match="footer"):
+        manifest_collect_stats(spark, path, ["dec"], source="footer")
+    # s first (footer-sourced, approx); dec after (scan fallback merges
+    # ONLY the dec stats into the entries, leaving s footer-sourced)
+    manifest_collect_stats(spark, path, ["s"], source="auto")
+    manifest_collect_stats(spark, path, ["dec"], source="auto")
+
+    got = manifest_minmax(path, ["dec"])
+    assert got["dec"] == (0.0, 4.75)
+    with pytest.raises(ValueError, match="footer-derived"):
+        manifest_minmax(path, ["s"])
+
+    # approx string bounds still prune: probe a range past every max
+    kept, n_kept, n_total, _ = manifest_skipping_plan(
+        path, {"s": ("w", None)}
+    )
+    assert n_total > 0 and n_kept == 0
+    assert (
+        manifest_read_skipping(spark, path, {"s": ("v05", "v07")}).count()
+        == 3
+    )
