@@ -497,6 +497,51 @@ class CommitConflict(RuntimeError):
     same contract Delta/Iceberg give through their locking/CAS layer)."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write-time table constraint (CHECK / NOT NULL) failed for the
+    batch being committed. Nothing was staged or committed — the table
+    still reads its previous version. The violation counts per rule are
+    in ``.counts``."""
+
+    def __init__(self, path: str, op: str, counts: dict[str, int]):
+        self.counts = counts
+        detail = ", ".join(f"{n}: {c} row(s)" for n, c in counts.items())
+        super().__init__(
+            f"{op} at {path} violates table constraint(s) [{detail}] — "
+            "fix the batch or drop the constraint"
+        )
+
+
+def _observe_constraints(df: DataFrame, constraints: dict[str, str]):
+    """Attach a CollectMetrics node counting violations of every table
+    constraint to ``df``'s plan. The counters ride the write job itself
+    (``DataFrame.observe`` — zero extra scan, exactly the Delta CHECK
+    mechanism); a NULL predicate result counts as a violation, the SQL
+    CHECK stance inverted to proven-good-only, matching
+    operators/quality.py. Returns ``(df, observation)``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    metrics = [
+        F.sum(
+            (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    return df.observe(obs, *metrics), obs
+
+
+def _check_observed_constraints(obs, path: str, op: str) -> None:
+    """Raise :class:`ConstraintViolation` if any observed counter is
+    positive. Call only after the observed plan ran a job (the eager
+    localCheckpoint on every manifest write path) — ``obs.get`` blocks
+    until the metrics arrive."""
+    counts = {n: int(v or 0) for n, v in obs.get.items()}
+    bad = {n: c for n, c in counts.items() if c > 0}
+    if bad:
+        raise ConstraintViolation(path, op, bad)
+
+
 def _load_table_files(
     spark, path: str, content: dict, rels: list[str]
 ) -> "DataFrame":
@@ -922,9 +967,16 @@ def _stage_and_commit(
     # partitionBy on a COPY of the partition column: the staging dir gets
     # one subdir per value, while the real column stays in the data files
     # (readers never depend on directory-name parsing).
+    constraints = content.get("constraints") or {}
+    obs = None
+    if constraints:
+        merged, obs = _observe_constraints(merged, constraints)
     merged = merged.withColumn(
         "__p", F.col(partition_col).cast("string")
     ).localCheckpoint()  # materialize once: count + write share it
+    if obs is not None:
+        # metrics rode the checkpoint job; abort BEFORE anything is staged
+        _check_observed_constraints(obs, path, op)
     n_merged = merged.count()
     staged = merged
     if sort_cols:
@@ -1035,6 +1087,10 @@ def _upsert_fast_forward_safe(
     if any(b_parts.get(k) != h_parts.get(k) for k in touched_keys):
         return False
     if (base.get("deletes") or []) != (head.get("deletes") or []):
+        return False
+    if (base.get("constraints") or {}) != (head.get("constraints") or {}):
+        # the staged batch was validated against base's constraint set; a
+        # constraint added meanwhile must re-validate via a full retry
         return False
     return (
         base.get("schema") == head.get("schema")
@@ -1510,9 +1566,15 @@ def manifest_replace_partitions(
     stage = f"data/{uuid.uuid4().hex[:12]}"
     out_schema = df.schema.simpleString()
     out_schema_json = df.schema.json()
+    constraints = content.get("constraints") or {}
+    obs = None
+    if constraints:
+        df, obs = _observe_constraints(df, constraints)
     staged = df.withColumn(
         "__p", F.col(partition_col).cast("string")
     ).localCheckpoint()
+    if obs is not None:
+        _check_observed_constraints(obs, path, "replace-partitions")
     staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
         f"{path}/{stage}"
     )
@@ -1780,6 +1842,61 @@ def with_commit_retry(op, max_attempts: int = 3):
         except CommitConflict as e:  # noqa: PERF203 — retry loop by design
             last = e
     raise last
+
+
+def manifest_add_constraint(
+    spark, path: str, name: str, expr: str
+) -> None:
+    """ADD CONSTRAINT: register a CHECK predicate (SQL boolean expression
+    over the table's columns; NOT NULL is ``"col IS NOT NULL"``) that
+    every subsequent upsert / merge / replace-partitions batch must
+    satisfy — enforced by counters riding the write job itself
+    (``DataFrame.observe``, no extra scan), with a violating batch
+    aborted BEFORE staging. Existing data is validated first with one
+    aggregate scan; a table already in violation refuses the constraint
+    (no commit). The constraint lives in the manifest and is enforced by
+    every writer from the commit on; adding one races fairly with
+    in-flight writers (their fast-forward refuses across a constraint
+    change, forcing a revalidating retry)."""
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"no manifest table at {path}")
+    existing = content.get("constraints") or {}
+    if name in existing:
+        raise ValueError(
+            f"constraint {name!r} already exists: {existing[name]!r}"
+        )
+    bad = (
+        manifest_read(spark, path)
+        .agg(
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+            ).alias("v")
+        )
+        .first()["v"]
+    )
+    if bad:
+        raise ConstraintViolation(path, f"add-constraint {name}", {name: int(bad)})
+    content = dict(content)
+    content["constraints"] = {**existing, name: expr}
+    _publish_manifest(
+        path, version + 1, content, op=f"add-constraint({name})"
+    )
+
+
+def manifest_drop_constraint(path: str, name: str) -> None:
+    """DROP CONSTRAINT: metadata-only commit removing a named constraint;
+    raises KeyError if it does not exist."""
+    version, content = _latest_manifest(path)
+    existing = dict(content.get("constraints") or {})
+    if name not in existing:
+        raise KeyError(f"no constraint {name!r} at {path}")
+    del existing[name]
+    content = dict(content)
+    content["constraints"] = existing
+    _publish_manifest(
+        path, version + 1, content, op=f"drop-constraint({name})"
+    )
 
 
 def manifest_count(

@@ -1316,3 +1316,98 @@ def test_protocol_version_guard(spark, table_path):
     assert _content(manifest_read(spark, table_path, version=v)) == [
         (1, "d1", 1.0)
     ]
+
+
+def test_table_constraints_enforced_on_write(spark, table_path):
+    """CHECK constraints live in the manifest and are enforced by
+    counters riding the write job itself (DataFrame.observe — no extra
+    scan): a violating upsert/merge/replace batch aborts BEFORE staging,
+    leaving the table on its previous version; NULL predicate results
+    violate (proven-good-only); DROP CONSTRAINT re-opens the gate."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        ConstraintViolation,
+        manifest_add_constraint,
+        manifest_drop_constraint,
+        manifest_history,
+        manifest_merge,
+        manifest_replace_partitions,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    manifest_add_constraint(spark, table_path, "v_nonneg", "v >= 0")
+    assert manifest_history(table_path)[-1]["op"] == "add-constraint(v_nonneg)"
+    with pytest.raises(ValueError, match="already exists"):
+        manifest_add_constraint(spark, table_path, "v_nonneg", "v >= 0")
+
+    # a clean batch commits; version advances past the constraint commit
+    manifest_upsert_partitioned(
+        _batch(spark, [(4, "d2", 4.0)]), table_path, ["k"], "day"
+    )
+    v_good, _ = _latest_manifest(table_path)
+
+    # violating upsert: loud, counted, nothing committed or staged
+    bad = _batch(spark, [(5, "d3", -1.0), (6, "d3", 6.0), (7, "d3", None)])
+    with pytest.raises(ConstraintViolation) as ei:
+        manifest_upsert_partitioned(bad, table_path, ["k"], "day")
+    assert ei.value.counts == {"v_nonneg": 2}  # NULL is a violation
+    v_after, content = _latest_manifest(table_path)
+    assert v_after == v_good
+    # aborted BEFORE staging: no orphan stage directory was written
+    assert sorted(os.listdir(f"{table_path}/data")) == sorted(
+        {rel.split("/")[1] for rel in content["partitions"].values()}
+    )
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d1", 2.0),
+        (3, "d2", 3.0),
+        (4, "d2", 4.0),
+    ]
+
+    # merge and replace-partitions enforce the same set
+    with pytest.raises(ConstraintViolation):
+        manifest_merge(
+            _batch(spark, [(1, "d1", -9.0)]),
+            table_path,
+            ["k"],
+            "day",
+            matched_update={"v": "s.v"},
+        )
+    with pytest.raises(ConstraintViolation):
+        manifest_replace_partitions(
+            _batch(spark, [(3, "d2", -3.0)]), table_path, "day", ["d2"]
+        )
+
+    # adding a constraint the EXISTING data violates refuses (no commit)
+    v_before, _ = _latest_manifest(table_path)
+    with pytest.raises(ConstraintViolation):
+        manifest_add_constraint(spark, table_path, "v_small", "v < 3")
+    assert _latest_manifest(table_path)[0] == v_before
+
+    manifest_drop_constraint(table_path, "v_nonneg")
+    with pytest.raises(KeyError):
+        manifest_drop_constraint(table_path, "v_nonneg")
+    manifest_upsert_partitioned(
+        _batch(spark, [(5, "d3", -1.0)]), table_path, ["k"], "day"
+    )
+    assert (1, "d1", 1.0) in _content(manifest_read(spark, table_path))
+
+
+def test_constraint_change_refuses_fast_forward(spark, table_path):
+    """A writer that staged against constraint set A must not fast-forward
+    over a head whose constraints changed to B — its batch was never
+    validated against B. The safety predicate refuses, forcing the full
+    revalidating retry."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _upsert_fast_forward_safe,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    _, base = _latest_manifest(table_path)
+    head = dict(base)
+    head["constraints"] = {"v_nonneg": "v >= 0"}
+    assert _upsert_fast_forward_safe(base, head, ["d9"], "parquet", "day") is False
+    # identical constraint sets stay fast-forwardable on disjoint keys
+    head2 = dict(base)
+    assert _upsert_fast_forward_safe(base, head2, ["d9"], "parquet", "day") is True
