@@ -354,7 +354,7 @@ _DICT_KEYS = ("partitions", "files", "dir_schemas")
 # per-commit provenance: always present in a delta's action set even when
 # the value did not change, so history never has to materialize to answer
 # "what op was this"
-_ALWAYS_SET = ("op", "committed_at")
+_ALWAYS_SET = ("op", "committed_at", "op_metrics")
 
 
 def _read_commit_file(path: str, version: int) -> dict:
@@ -623,7 +623,11 @@ def _resolve_manifest(
 
 
 def _publish_manifest(
-    path: str, version: int, content: dict, op: str | None = None
+    path: str,
+    version: int,
+    content: dict,
+    op: str | None = None,
+    op_metrics: dict | None = None,
 ) -> None:
     """Atomic, conflict-safe publish: write a writer-unique temp in the
     same directory, fsync, then ``os.link`` it to the version file.
@@ -646,6 +650,9 @@ def _publish_manifest(
     if op is not None:
         content["op"] = op
     content["committed_at"] = time.time()
+    # per-commit operation metrics (Delta operationMetrics): what THIS
+    # commit did, never carried over from the parent (_ALWAYS_SET)
+    content["op_metrics"] = dict(op_metrics or {})
     # reader-protocol stamp (Delta's minReaderVersion idea): a future
     # format change bumps this, and old readers fail loudly instead of
     # misreading — see _check_protocol
@@ -834,7 +841,9 @@ def manifest_delete(
         *(content.get("deletes") or []),
         {"ref": ref, "cols": list(key_cols), "stages": stages},
     ]
-    _publish_manifest(path, version + 1, content, op="delete")
+    _publish_manifest(
+        path, version + 1, content, op="delete", op_metrics={"delete_keys": n}
+    )
     return {"keys": n}
 
 
@@ -1055,9 +1064,25 @@ def _stage_and_commit(
     # carrying `extra_meta` never fast-forward: those keys were computed
     # against OUR base (e.g. streaming batch markers) and must be
     # recomputed by the caller against the winner's head.
+    op_metrics = {
+        "rows_staged": n_merged,
+        "partitions_rewritten": sum(
+            1 for k in touched_keys if staged_files[k]
+        ),
+        "partitions_dropped": sum(
+            1 for k in touched_keys if not staged_files[k]
+        ),
+        "files_added": sum(len(v) for v in staged_files.values()),
+    }
     for _ in range(16):
         try:
-            _publish_manifest(path, version + 1, _build(content), op=op)
+            _publish_manifest(
+                path,
+                version + 1,
+                _build(content),
+                op=op,
+                op_metrics=op_metrics,
+            )
             break
         except CommitConflict:
             head_version, head = _latest_manifest(path)
@@ -1361,8 +1386,18 @@ def manifest_compact(
         d: sc for d, sc in dir_schemas.items() if d in live_dirs
     }
     content["deletes"] = _purge_dead_deletes(content)
-    _publish_manifest(path, version + 1, content, op="compact")
     files_after = sum(len(files[k]) for k in selected)
+    _publish_manifest(
+        path,
+        version + 1,
+        content,
+        op="compact",
+        op_metrics={
+            "partitions_compacted": len(selected),
+            "files_before": files_before,
+            "files_after": files_after,
+        },
+    )
     return {
         "partitions": len(selected),
         "files_before": files_before,
@@ -1615,7 +1650,16 @@ def manifest_replace_partitions(
     }
     for k, v in content.items():
         new_content.setdefault(k, v)
-    _publish_manifest(path, version + 1, new_content, op="replace-partitions")
+    _publish_manifest(
+        path,
+        version + 1,
+        new_content,
+        op="replace-partitions",
+        op_metrics={
+            "partitions_written": written,
+            "partitions_dropped": dropped,
+        },
+    )
     return {"partitions_written": written, "partitions_dropped": dropped}
 
 
@@ -1768,6 +1812,9 @@ def manifest_history(path: str) -> list[dict]:
                     len(x) for x in content.get("files", {}).values()
                 ),
                 "pending_deletes": len(content.get("deletes") or []),
+                # what THIS commit did (Delta operationMetrics): rows
+                # staged, partitions rewritten/dropped, files added, ...
+                "op_metrics": meta.get("op_metrics") or {},
             }
         )
     return out

@@ -695,7 +695,13 @@ def manifest_collect_stats(
     content["stats_cols"] = sorted(
         set(content.get("stats_cols", [])) | set(cols)
     )
-    _publish_manifest(path, version + 1, content, op="analyze-stats")
+    _publish_manifest(
+        path,
+        version + 1,
+        content,
+        op="analyze-stats",
+        op_metrics={"files_analyzed": len(fresh), "cols": sorted(cols)},
+    )
     return {"files": len(fresh), "directories": len(todo_dirs)}
 
 
@@ -797,7 +803,17 @@ def manifest_cluster_zorder(
     )
 
     content["deletes"] = _purge_dead_deletes(content)
-    _publish_manifest(path, version + 1, content, op="optimize-zorder")
+    _publish_manifest(
+        path,
+        version + 1,
+        content,
+        op="optimize-zorder",
+        op_metrics={
+            "partitions_rewritten": len(selected),
+            "files_written": len(fresh),
+            "zorder_cols": list(zorder_cols),
+        },
+    )
     return {"partitions": len(selected), "files": len(fresh)}
 
 
@@ -959,7 +975,13 @@ def manifest_collect_bloom(
     bloom[col] = entry
     content = dict(content)
     content["bloom_ref"] = _write_bloom_sidecar(path, bloom)
-    _publish_manifest(path, version + 1, content, op="analyze-bloom")
+    _publish_manifest(
+        path,
+        version + 1,
+        content,
+        op="analyze-bloom",
+        op_metrics={"files_indexed": n_files, "col": col},
+    )
     return {"files": n_files, "directories": len(todo_dirs)}
 
 

@@ -1411,3 +1411,40 @@ def test_constraint_change_refuses_fast_forward(spark, table_path):
     # identical constraint sets stay fast-forwardable on disjoint keys
     head2 = dict(base)
     assert _upsert_fast_forward_safe(base, head2, ["d9"], "parquet", "day") is True
+
+
+def test_history_carries_operation_metrics(spark, table_path):
+    """DESCRIBE HISTORY exposes per-commit operation metrics (what THIS
+    commit did — never carried from the parent): upsert rows/files,
+    compact before/after, delete key counts, metadata-only commits {}."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_add_constraint,
+        manifest_compact,
+        manifest_delete,
+        manifest_history,
+    )
+
+    b1 = _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)])
+    manifest_upsert_partitioned(b1, table_path, ["k"], "day")
+    manifest_upsert_partitioned(
+        _batch(spark, [(4, "d2", 4.0)]), table_path, ["k"], "day"
+    )
+    manifest_delete(
+        spark.createDataFrame([(4,)], "k long"), table_path, ["k"]
+    )
+    manifest_compact(spark, table_path)
+    manifest_add_constraint(spark, table_path, "v_nonneg", "v >= 0")
+
+    hist = manifest_history(table_path)
+    by_op = {h["op"]: h["op_metrics"] for h in hist}
+    first_upsert = [h for h in hist if h["op"] == "upsert"][0]["op_metrics"]
+    assert first_upsert["rows_staged"] == 3
+    assert first_upsert["partitions_rewritten"] == 2
+    assert first_upsert["files_added"] >= 2
+    assert by_op["delete"] == {"delete_keys": 1}
+    assert by_op["compact"]["partitions_compacted"] >= 1
+    assert by_op["compact"]["files_after"] >= 1
+    assert by_op["add-constraint(v_nonneg)"] == {}
+    # the second upsert's metrics are its OWN, not the first commit's
+    v2 = [h for h in hist if h["op"] == "upsert"][1]["op_metrics"]
+    assert v2["rows_staged"] >= 1 and v2["partitions_rewritten"] == 1
