@@ -114,7 +114,7 @@ def api_endpoint_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through the custom source, and aggregates; the oracle is the
     same aggregate on the source parquet, so the driver certifies the
     fetch + parse + typing path end-to-end."""
-    import csv as _csv
+    import glob as _glob
     import os
 
     from data_management_service_run_etl_imputations_spark.sources.api_source import (
@@ -122,18 +122,29 @@ def api_endpoint_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _tmp("api_endpoint")
-    os.makedirs(d)
-    nation = load_table(spark, sf_dir, "nation")
-    rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
-    regions = sorted({r.n_regionkey for r in rows})
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
     try:
+        # fixture CSVs written BY SPARK (no driver row collect): hash
+        # repartition on the region puts each region in exactly one task,
+        # partitionBy splits dirs, so every region dir holds ONE part
+        # file — renamed to the {param}.csv shape the endpoint serves
+        (
+            nation.withColumn("__rk", F.col("n_regionkey"))
+            .repartition("__rk")
+            .write.partitionBy("__rk")
+            .option("header", True)
+            .mode("overwrite")
+            .csv(d)
+        )
+        regions = sorted(
+            int(p.rsplit("=", 1)[1]) for p in _glob.glob(f"{d}/__rk=*")
+        )
         for rk in regions:
-            with open(f"{d}/{rk}.csv", "w", newline="") as f:
-                w = _csv.writer(f)
-                w.writerow(["n_nationkey", "n_name", "n_regionkey"])
-                for r in rows:
-                    if r.n_regionkey == rk:
-                        w.writerow([r.n_nationkey, r.n_name, r.n_regionkey])
+            part = _glob.glob(f"{d}/__rk={rk}/part-*.csv")
+            assert len(part) == 1, part
+            os.replace(part[0], f"{d}/{rk}.csv")
         register_csv_endpoint(spark)
         df = (
             spark.read.format("csv_endpoint")

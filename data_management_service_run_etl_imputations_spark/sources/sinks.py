@@ -474,14 +474,21 @@ def _read_latest_hint(commit_dir: str) -> int | None:
 
 
 def _write_latest_hint(commit_dir: str, version: int) -> None:
-    """Best-effort, atomic, monotone-enough: a replace can regress the
-    hint by a version or two when commits finish out of order — the
-    reader's forward probe absorbs that. Failure here never fails the
-    commit (the version file IS the truth)."""
+    """Best-effort, atomic, MONOTONE: never replaces a higher hint with a
+    lower one (commits finishing out of order would otherwise regress it
+    arbitrarily far — and a regression below a vacuum-retained gap would
+    make the forward probe resolve a stale head). The read-then-replace
+    is still racy in a tiny window, which can regress the hint by a
+    version or two at most; the reader's forward probe absorbs that
+    because vacuum keeps version files DENSE above its floor. Failure
+    here never fails the commit (the version file IS the truth)."""
     import os
     import uuid
 
     try:
+        current = _read_latest_hint(commit_dir)
+        if current is not None and current >= version:
+            return
         tmp = os.path.join(commit_dir, f"._latest.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -955,12 +962,23 @@ def _stage_and_commit(
     extra_meta: dict | None,
     op: str,
     sort_cols: list[str] | None = None,
+    allow_fast_forward: bool = True,
+    op_metrics_extra: dict | None = None,
 ) -> int:
     """Shared write tail for partition-rewriting commits (upsert, merge):
     stage the touched partitions' merged content into an immutable
     directory, then publish through the fast-forward commit loop.
     Returns the staged row count (one job — count and write share the
-    localCheckpoint)."""
+    localCheckpoint).
+
+    ``allow_fast_forward=False`` disables the lost-race fast-forward and
+    escalates every conflict to :class:`CommitConflict` — required by
+    writers whose STAGED CONTENT depends on table state outside the
+    touched partitions (MERGE's pass-1 match probe scans other
+    partitions' keys: a concurrent commit adding a source-matching key
+    to an untouched partition invalidates the staged merge even though
+    no touched partition moved, so the whole merge must re-run against
+    the new head via ``with_commit_retry``)."""
     import uuid
 
     from data_management_service_run_etl_imputations_spark.session import (
@@ -1073,6 +1091,7 @@ def _stage_and_commit(
             1 for k in touched_keys if not staged_files[k]
         ),
         "files_added": sum(len(v) for v in staged_files.values()),
+        **(op_metrics_extra or {}),
     }
     for _ in range(16):
         try:
@@ -1086,8 +1105,12 @@ def _stage_and_commit(
             break
         except CommitConflict:
             head_version, head = _latest_manifest(path)
-            if extra_meta or not _upsert_fast_forward_safe(
-                content, head, touched_keys, fmt, partition_col
+            if (
+                extra_meta
+                or not allow_fast_forward
+                or not _upsert_fast_forward_safe(
+                    content, head, touched_keys, fmt, partition_col
+                )
             ):
                 raise
             version, content = head_version, head
@@ -1124,6 +1147,183 @@ def _upsert_fast_forward_safe(
     )
 
 
+def _merge_probe_candidates(
+    spark,
+    path: str,
+    content: dict,
+    src_keys: DataFrame,
+    n_src_keys: int,
+    keys: list[str],
+    all_live: list[str],
+) -> list[str]:
+    """Candidate files for MERGE's pass-1 match probe, pruned with the
+    table's OWN index sidecars instead of scanning every live file's key
+    columns: a file survives only if the zone map says its per-column
+    [min, max] (or nulls) can intersect the source's key envelope, and —
+    when a key column has a bloom index and the source key set is small —
+    only if at least one source key's bloom positions are all set in the
+    file's bitset. Files or columns without index entries are always
+    kept: pruning is an optimization, never a correctness dependency
+    (exactly the skipping-plan contract). Cost: one tiny agg over the
+    (already checkpointed) source keys, plus driver-side index folds
+    bounded by |files| x |key cols| — a merge whose source touches 0.1%
+    of the key space loads ~0.1% of the files, not all of them."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _bloom_positions,
+        _canon_stat,
+        _load_bloom_sidecar,
+        _load_stats_sidecar,
+    )
+
+    stats = _load_stats_sidecar(path, content)
+    candidates = list(all_live)
+    if stats:
+        env_aggs = []
+        for c in keys:
+            env_aggs += [
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+                F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{c}"),
+            ]
+        env = src_keys.agg(*env_aggs).first().asDict()
+        bounds: dict[str, tuple] = {}
+        for c in keys:
+            # canonicalize through the sidecar's own JSON domain so the
+            # comparison below is stat-vs-stat, never cross-domain
+            lo = _canon_stat(_json_safe_stat(env[f"__lo_{c}"], "min"))
+            hi = _canon_stat(_json_safe_stat(env[f"__hi_{c}"], "max"))
+            bounds[c] = (lo, hi, bool(env[f"__nl_{c}"]))
+        kept = []
+        for frel in candidates:
+            s = stats.get(frel)
+            if s is None:
+                kept.append(frel)
+                continue
+            drop = False
+            for c, (lo, hi, src_has_null) in bounds.items():
+                cs = s["cols"].get(c)
+                if cs is None:
+                    continue
+                smin, smax = _canon_stat(cs["min"]), _canon_stat(cs["max"])
+                if smin is None and smax is None:
+                    # all-NULL file column: eqNullSafe matches only a
+                    # NULL source key
+                    if not src_has_null:
+                        drop = True
+                        break
+                    continue
+                if lo is None and hi is None:
+                    # all-NULL source column: only a file with nulls can
+                    # match (when it has none recorded, prune)
+                    if cs.get("nulls", 1) == 0:
+                        drop = True
+                        break
+                    continue
+                # disjoint ranges prove no VALUE match; a mixed-domain
+                # comparison (stat float vs source str) never prunes —
+                # keep is always sound
+                disjoint = (
+                    smax is not None
+                    and lo is not None
+                    and type(smax) is type(lo)
+                    and smax < lo
+                ) or (
+                    smin is not None
+                    and hi is not None
+                    and type(smin) is type(hi)
+                    and smin > hi
+                )
+                if disjoint and not (
+                    src_has_null and cs.get("nulls", 0) > 0
+                ):
+                    drop = True
+                    break
+            if not drop:
+                kept.append(frel)
+        candidates = kept
+    # bloom pass: per indexed key column, a candidate file survives only
+    # if SOME source key's k positions are all set in its bitset. Bounded:
+    # positions come from one JVM-side job per (column, recorded dtype),
+    # the membership fold is a vectorized numpy gather per file.
+    _BLOOM_PROBE_CAP = 65536
+    if candidates and n_src_keys <= _BLOOM_PROBE_CAP:
+        import numpy as np
+
+        for c in keys:
+            entry = _load_bloom_sidecar(path, content, col=c).get(c)
+            if entry is None:
+                continue
+            has_null = (
+                src_keys.filter(F.col(c).isNull()).limit(1).count() > 0
+            )
+            if has_null:
+                # a NULL source key's bloom probe is undefined (the point
+                # plan treats NULL as unrepresentable) — skip this column
+                continue
+            cand_set = set(candidates)
+            dtypes = sorted(
+                {
+                    entry["files"][f]["dtype"]
+                    for f in entry["files"]
+                    if f in cand_set
+                }
+            )
+            pos_by_dtype: dict[str, "np.ndarray | None"] = {}
+            for dt in dtypes:
+                probe = F.col(c).try_cast(dt)
+                rows = (
+                    src_keys.select(c)
+                    .dropDuplicates()
+                    .select(
+                        probe.isNull().alias("bad"),
+                        _bloom_positions(
+                            probe, entry["bits"], entry["k"]
+                        ).alias("p"),
+                    )
+                    .collect()
+                )
+                if any(r["bad"] for r in rows):
+                    # some key unrepresentable under this build dtype:
+                    # cannot soundly prune files indexed under it
+                    pos_by_dtype[dt] = None
+                else:
+                    pos_by_dtype[dt] = np.array(
+                        [r["p"] for r in rows], dtype=np.int64
+                    )
+            kept = []
+            for frel in candidates:
+                fe = entry["files"].get(frel)
+                if fe is None:
+                    kept.append(frel)
+                    continue
+                positions = pos_by_dtype.get(fe["dtype"])
+                if positions is None:
+                    kept.append(frel)
+                    continue
+                words = np.array(fe["words"], dtype=np.uint64)
+                bit = (
+                    words[positions >> 6]
+                    >> (positions & 63).astype(np.uint64)
+                ) & np.uint64(1)
+                if bool(bit.all(axis=1).any()):
+                    kept.append(frel)
+            candidates = kept
+            if not candidates:
+                break
+    return candidates
+
+
+def _json_safe_stat(v, side: str):
+    """Source-envelope twin of skipping._json_safe (lazy import avoids a
+    module cycle): route a live Spark value into the sidecar's stored
+    JSON domain before comparison."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _json_safe,
+    )
+
+    return _json_safe(v, side=side)
+
+
 def manifest_merge(
     source: DataFrame,
     path: str,
@@ -1151,8 +1351,11 @@ def manifest_merge(
     Plan shape at 100 TB: one column-pruned scan of (key, partition)
     pairs joined against the source finds the partitions holding
     matches (manifest-level pruning applies); only those partitions —
-    plus the insert targets — are rewritten through the same immutable
-    staging + fast-forward commit the upsert uses. A matched partition
+    plus the insert targets — are rewritten through the upsert's
+    immutable staging + exclusive-create commit (fast-forward disabled:
+    the match probe depends on table state OUTSIDE the touched
+    partitions, so a lost commit race always escalates as
+    :class:`CommitConflict` for a full re-merge). A matched partition
     emptied by deletes drops out of the manifest entirely. Returns
     {"updated": n, "deleted": n, "inserted": n}.
     """
@@ -1166,7 +1369,8 @@ def manifest_merge(
 
     src = source.localCheckpoint()  # evaluated once, reused three times
     src_keys = src.select(*keys).dropDuplicates()
-    if src_keys.count() < src.count():
+    n_src_keys = src_keys.count()
+    if n_src_keys < src.count():
         # two source rows matching one target row would duplicate it
         # through the full outer join — the same loud failure Delta's
         # MERGE raises ("multiple source rows matched")
@@ -1175,24 +1379,38 @@ def manifest_merge(
             "pre-aggregate the source to one row per key"
         )
 
-    # pass 1 (column-pruned): which partitions hold matched keys?
+    if n_src_keys == 0:
+        return {"updated": 0, "deleted": 0, "inserted": 0}
+
+    # pass 1 (column-pruned, INDEX-PRUNED): which partitions hold matched
+    # keys? The zone-map/bloom sidecars the table already maintains cut
+    # the probe to files whose key ranges/bitsets can intersect the
+    # source — a narrow merge loads a handful of files' key columns, not
+    # every live file's.
     match_parts: set[str] = set()
+    n_live_files = n_probe_files = 0
     if parts:
         all_live = _live_file_rels(content)
-        probe = _load_table_files(spark, path, content, all_live).select(
-            partition_col, *keys
+        n_live_files = len(all_live)
+        probe_rels = _merge_probe_candidates(
+            spark, path, content, src_keys, n_src_keys, keys, all_live
         )
-        cond = None
-        for k in keys:
-            c = probe[k].eqNullSafe(src_keys[k])
-            cond = c if cond is None else cond & c
-        match_parts = {
-            str(r[0])
-            for r in probe.join(src_keys, cond, "left_semi")
-            .select(partition_col)
-            .distinct()
-            .collect()
-        }
+        n_probe_files = len(probe_rels)
+        if probe_rels:
+            probe = _load_table_files(spark, path, content, probe_rels).select(
+                partition_col, *keys
+            )
+            cond = None
+            for k in keys:
+                c = probe[k].eqNullSafe(src_keys[k])
+                cond = c if cond is None else cond & c
+            match_parts = {
+                str(r[0])
+                for r in probe.join(src_keys, cond, "left_semi")
+                .select(partition_col)
+                .distinct()
+                .collect()
+            }
     insert_parts = (
         {
             str(r[0])
@@ -1261,11 +1479,14 @@ def manifest_merge(
             .otherwise(F.col(f"t.{c}"))
             .alias(c)
         )
+    # delete/drop rows ride the checkpoint so ONE evaluation serves the
+    # action counts (incl. the "deleted" metric — no extra target.count()
+    # job) and the staged write; they filter out of the staged content
+    # below
     flagged = (
         joined.withColumn("__action", action)
-        .filter(~F.col("__action").isin("delete", "drop"))
         .select(*out_cols, "__action")
-        .localCheckpoint()  # counts + staging share one evaluation
+        .localCheckpoint()
     )
     counts = {
         r["__action"]: r["n"]
@@ -1273,10 +1494,13 @@ def manifest_merge(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    n_target = target.count()
-    n_carried_or_updated = counts.get("carry", 0) + counts.get("update", 0)
-    merged = flagged.drop("__action")
+    merged = flagged.filter(
+        ~F.col("__action").isin("delete", "drop")
+    ).drop("__action")
 
+    # no fast-forward for MERGE: the match probe read OTHER partitions'
+    # keys, so any interleaved commit can invalidate the staged result —
+    # a lost race escalates so with_commit_retry re-runs the whole merge
     _stage_and_commit(
         path,
         merged,
@@ -1287,10 +1511,18 @@ def manifest_merge(
         content,
         None,
         op="merge",
+        allow_fast_forward=False,
+        op_metrics_extra={
+            "probe_files": n_probe_files,
+            "live_files": n_live_files,
+            "rows_updated": counts.get("update", 0),
+            "rows_deleted": counts.get("delete", 0),
+            "rows_inserted": counts.get("insert", 0),
+        },
     )
     return {
         "updated": counts.get("update", 0),
-        "deleted": n_target - n_carried_or_updated,
+        "deleted": counts.get("delete", 0),
         "inserted": counts.get("insert", 0),
     }
 
@@ -1375,9 +1607,18 @@ def manifest_compact(
     new_schema = staged.drop("__p").schema.simpleString()
     for k in selected:
         rel = f"{stage}/__p={k}"
-        parts[k] = rel
-        files[k] = _list_dir_files(path, rel, fmt)
-        dir_schemas[rel] = new_schema
+        staged_list = _list_dir_files(path, rel, fmt)
+        if staged_list:
+            parts[k] = rel
+            files[k] = staged_list
+            dir_schemas[rel] = new_schema
+        else:
+            # materializing pending MoR deletes emptied the partition:
+            # drop it from the manifest (same as _stage_and_commit) —
+            # repointing at a directory the write never created would
+            # make a later partition-pruned read fail on an empty path
+            parts.pop(k, None)
+            files.pop(k, None)
     live_dirs = set(parts.values())
     content = dict(content)
     content["partitions"] = parts
@@ -1386,7 +1627,7 @@ def manifest_compact(
         d: sc for d, sc in dir_schemas.items() if d in live_dirs
     }
     content["deletes"] = _purge_dead_deletes(content)
-    files_after = sum(len(files[k]) for k in selected)
+    files_after = sum(len(files.get(k, [])) for k in selected)
     _publish_manifest(
         path,
         version + 1,
@@ -1701,6 +1942,7 @@ def manifest_vacuum(
     # CHECKPOINT_EVERY per kept version) — only their metadata, not the
     # data/sidecars their snapshots referenced
     needed = set(keep)
+    dense_floor: int | None = None
     referenced: set[str] = set()
     sidecars: set[str] = set()
     for v in keep:
@@ -1738,8 +1980,20 @@ def manifest_vacuum(
                     shutil.rmtree(target)
                 else:
                     os.remove(target)
+    # GAP-FREE retention: version FILES stay dense from the lowest needed
+    # version up to the head. Mixed keep_versions/retain_seconds selection
+    # can otherwise leave holes (e.g. {1,2,3} by time + {8,9,10} by count),
+    # and _latest_manifest's O(1) forward probe from the hint assumes the
+    # next version being absent MEANS head — a hint stranded below a hole
+    # would silently resolve a stale head and fork history on the next
+    # commit. Commit files are tiny deltas; retaining the in-between
+    # metadata is cheap. Their DATA may still be vacuumed (data GC keys on
+    # the kept snapshots above), so time travel into a gap version can
+    # fail loudly at scan time — same contract as Delta VACUUM.
+    if needed:
+        dense_floor = min(needed)
     for v in versions:
-        if v not in needed:
+        if v not in needed and (dense_floor is None or v < dense_floor):
             os.remove(os.path.join(d, f"{v}.json"))
     if keep:
         _write_latest_hint(d, max(keep))  # a regressed hint must not

@@ -1448,3 +1448,213 @@ def test_history_carries_operation_metrics(spark, table_path):
     # the second upsert's metrics are its OWN, not the first commit's
     v2 = [h for h in hist if h["op"] == "upsert"][1]["op_metrics"]
     assert v2["rows_staged"] >= 1 and v2["partitions_rewritten"] == 1
+
+
+def test_merge_conflict_never_fast_forwards(spark, table_path, monkeypatch):
+    """MERGE's pass-1 match probe reads table state OUTSIDE the partitions
+    it rewrites, so losing the commit race is ALWAYS a data conflict — even
+    to a writer whose commit touched only partitions the merge did not.
+    Here the racing upsert inserts a source-matching key into a partition
+    the merge classified as untouched: a fast-forward would commit a
+    duplicate insert; the direct call must raise CommitConflict, and
+    with_commit_retry's full re-merge classifies the key as matched."""
+    from data_management_service_run_etl_imputations_spark.sources import sinks
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CommitConflict,
+        manifest_merge,
+        with_commit_retry,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+
+    real_latest = sinks._latest_manifest
+    state = {"raced": False}
+
+    def racing_latest(path):
+        v, c = real_latest(path)
+        if not state["raced"]:
+            state["raced"] = True
+            manifest_upsert_partitioned(
+                _batch(spark, [(2, "d9", 99.0)]), path, ["k"], "day"
+            )
+        return v, c
+
+    monkeypatch.setattr(sinks, "_latest_manifest", racing_latest)
+    run = lambda: manifest_merge(  # noqa: E731
+        _batch(spark, [(2, "d2", 2.0)]),
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "s.v"},
+        insert_not_matched=True,
+    )
+    with pytest.raises(CommitConflict):
+        run()
+    monkeypatch.setattr(sinks, "_latest_manifest", real_latest)
+
+    r = with_commit_retry(run)
+    # the retry saw the raced row: k=2 is an UPDATE in d9, not an insert
+    assert r == {"updated": 1, "deleted": 0, "inserted": 0}
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d9", 2.0),
+    ]
+
+
+def test_vacuum_gap_free_versions_and_monotone_hint(spark, table_path):
+    """Version files stay DENSE above vacuum's retention floor, and the
+    _latest hint never regresses: the pair of invariants that keeps
+    _latest_manifest's O(1) forward probe from resolving a stale head
+    (which a later writer would fork history on). Gap pressure is real —
+    clock skew can make retain_seconds keep an OLD version while newer
+    ones age out by count."""
+    import json
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _write_latest_hint,
+    )
+
+    for i in range(10):
+        manifest_upsert_partitioned(
+            _batch(spark, [(i, f"d{i}", float(i))]), table_path, ["k"], "day"
+        )
+    d = f"{table_path}/_commits"
+
+    # skewed writer clock: version 2's committed_at lands in the future,
+    # so time-based retention keeps it while 3..7 age out by count
+    p2 = f"{d}/2.json"
+    with open(p2) as f:
+        c2 = json.load(f)
+    import time
+
+    (c2["actions"]["set"] if "delta_from" in c2 else c2)[
+        "committed_at"
+    ] = time.time() + 1e6
+    with open(p2, "w") as f:
+        json.dump(c2, f)
+
+    manifest_vacuum(table_path, keep_versions=1, retain_seconds=3600)
+    present = sorted(
+        int(n[:-5]) for n in os.listdir(d) if n.endswith(".json")
+    )
+    # keep={2 (time), 10 (count)}; chain closure needs {1,2,8,9,10}; the
+    # density floor retains EVERYTHING in between — no holes
+    assert present == list(range(1, 11)), present
+
+    # a regressed hint below where a gap would have been still resolves
+    # the true head through the dense forward probe
+    with open(f"{d}/_latest", "w") as f:
+        f.write("2")
+    assert _latest_manifest(table_path)[0] == 10
+
+    # the hint writer itself is monotone: a late, out-of-order writer
+    # cannot drag the hint backwards
+    _write_latest_hint(d, 10)
+    _write_latest_hint(d, 3)
+    with open(f"{d}/_latest") as f:
+        assert int(f.read()) == 10
+
+
+def test_compact_drops_fully_deleted_partition(spark, table_path):
+    """Compaction materializes pending MoR deletes; a partition whose
+    rows are ALL deleted must drop out of the manifest (same contract as
+    the upsert path), not point at a directory the write never created —
+    a later partition-pruned read of it returns empty instead of failing."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+        manifest_delete,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    manifest_delete(
+        spark.createDataFrame([(3,)], "k long"), table_path, ["k"]
+    )
+    manifest_compact(spark, table_path)
+
+    content = _latest_manifest(table_path)[1]
+    assert "d2" not in content["partitions"]
+    assert "d2" not in content.get("files", {})
+    assert content.get("deletes") in (None, [])  # purged with its stages
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (2, "d1", 2.0),
+    ]
+    # the bug's repro: a pruned read of the emptied partition is a clean
+    # empty result, not a load failure on a nonexistent path
+    assert (
+        manifest_read(spark, table_path, partition_values=["d2"]).count()
+        == 0
+    )
+
+
+def test_merge_probe_prunes_with_index_sidecars(spark, table_path):
+    """Evidence for the stats-pruned MERGE probe: on a table whose key
+    zone-maps and bloom index are collected, a narrow merge's pass-1
+    match scan loads only the files that can hold source keys — probe
+    file count << live files (recorded in the commit's op_metrics) — and
+    the merge result is unchanged."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+        manifest_merge,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+        manifest_collect_stats,
+    )
+
+    # 8 partitions, one file each, disjoint key ranges per file
+    for p in range(8):
+        manifest_upsert_partitioned(
+            _batch(
+                spark,
+                [(p * 10 + j, f"d{p}", float(j)) for j in range(5)],
+            ),
+            table_path,
+            ["k"],
+            "day",
+        )
+    manifest_collect_stats(spark, table_path, ["k"])
+    manifest_collect_bloom(spark, table_path, "k", bits=1024, k=4)
+
+    r = manifest_merge(
+        _batch(spark, [(53, "d5", 99.0)]),
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "s.v"},
+        insert_not_matched=True,
+    )
+    assert r == {"updated": 1, "deleted": 0, "inserted": 0}
+    m = [h for h in manifest_history(table_path) if h["op"] == "merge"][-1][
+        "op_metrics"
+    ]
+    assert m["live_files"] >= 8
+    # zone maps + bloom pin the probe to the file(s) actually holding
+    # k=53 — a small constant, nowhere near the live file count
+    assert m["probe_files"] <= 2, m
+    assert m["probe_files"] < m["live_files"] // 4, m
+    assert (53, "d5", 99.0) in _content(manifest_read(spark, table_path))
+
+    # a merge whose keys match nothing: every INDEXED file prunes; only
+    # the file the previous merge rewrote (not yet re-analyzed, so kept —
+    # skipping is never a correctness dependency) survives the probe
+    r2 = manifest_merge(
+        _batch(spark, [(999, "d9", 9.0)]),
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "s.v"},
+        insert_not_matched=True,
+    )
+    assert r2 == {"updated": 0, "deleted": 0, "inserted": 1}
+    m2 = [h for h in manifest_history(table_path) if h["op"] == "merge"][-1][
+        "op_metrics"
+    ]
+    assert m2["probe_files"] <= 1, m2
