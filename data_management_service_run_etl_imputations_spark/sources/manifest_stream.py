@@ -15,12 +15,15 @@ source and the feed is exactly-once end-to-end.
 Semantics (the same contract Delta's streaming source ships with):
 
 - **Append-driven.** A commit's contribution is the files it ADDED.
-  An upsert that REWRITES a partition re-adds that partition's files,
-  so carried survivor rows are re-emitted (Delta's ``ignoreChanges``
-  caveat, documented rather than hidden); insert-only workloads — the
-  reference's S7 semantics (``function_app.py:305-312``) — emit each
-  row exactly once. Row-level deletes do not emit (use
-  ``manifest_diff`` for a full delete-aware change feed in batch).
+  File-granular copy-on-write keeps this tight: an upsert/merge re-adds
+  only the files it actually REWROTE (those holding matched keys), so
+  survivor rows re-emit only from genuinely rewritten files (Delta's
+  ``ignoreChanges`` caveat, scoped and documented rather than hidden);
+  insert-only workloads — the reference's S7 semantics
+  (``function_app.py:305-312``) — emit each row exactly once, even
+  into partitions that already hold other keys' files. Row-level
+  deletes do not emit (use ``manifest_diff`` for a full delete-aware
+  change feed in batch).
 - **Schema.** The stream schema is the table schema at query start plus
   ``_commit_version long``; files written before a column was added
   emit NULL for it (schema-group alignment, same as batch reads).

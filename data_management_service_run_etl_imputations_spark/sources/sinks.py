@@ -782,6 +782,90 @@ def _stage_of(rel_dir: str) -> str:
     return rel_dir.split("/__p=")[0]
 
 
+# Characters Spark's dynamic-partition writer percent-escapes in partition
+# directory names (ExternalCatalogUtils.escapePathName): constructing
+# ``__p={value}`` by hand for such a value names a directory the write
+# never created — the listing comes back empty and the partition would be
+# silently dropped as "emptied". All staged-dir resolution therefore goes
+# through _staged_partition_dirs (list what Spark ACTUALLY wrote and
+# unescape), never through name construction.
+_ESCAPED_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _unescape_part_dir(name: str) -> str:
+    """Inverse of Spark's escapePathName: decode ``%XX`` sequences in a
+    partition directory component back to the raw partition value."""
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if c == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# Spark's sentinel directory for a NULL dynamic-partition value; the
+# manifest uses the same string as the partition KEY so null-partitioned
+# rows round-trip (str(None) == "None" would name a dir the writer never
+# created).
+NULL_PARTITION_KEY = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_key(value) -> str:
+    """Manifest partition key for a partition-column value."""
+    return NULL_PARTITION_KEY if value is None else str(value)
+
+
+def _staged_partition_dirs(
+    path: str, stage: str, fmt: str
+) -> dict[str, tuple[str, list]]:
+    """The partition directories Spark ACTUALLY wrote under a staged
+    ``data/<uuid>`` prefix: ``{partition_key: (rel_dir, file_entries)}``
+    keyed by the UNESCAPED partition value. This is the data-authoritative
+    presence test for a staged write — a partition absent here was truly
+    written zero rows (Spark creates ``__p=<escaped>`` only when a task
+    emitted rows for it), whereas constructing the dir name from the raw
+    value mistakes any escaped character for an emptied partition."""
+    import os
+
+    out: dict[str, tuple[str, list]] = {}
+    root = os.path.join(path, *stage.split("/"))
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("__p="):
+            continue
+        key = _unescape_part_dir(name[len("__p=") :])
+        rel = f"{stage}/{name}"
+        out[key] = (rel, _list_dir_files(path, rel, fmt))
+    return out
+
+
+def _live_dirs(content: dict) -> set[str]:
+    """Every directory holding a LIVE data file. The per-partition FILE
+    LISTS are the source of truth — after a file-granular merge a
+    partition references files from several stages, so the single
+    ``partitions[k]`` primary dir undercounts; partition dirs are unioned
+    in for legacy manifests written before file lists existed."""
+    dirs = {rel for rel in content.get("partitions", {}).values()}
+    for entries in content.get("files", {}).values():
+        for e in entries:
+            dirs.add(e[0].rsplit("/", 1)[0])
+    return dirs
+
+
+def _live_stages(content: dict) -> set[str]:
+    """Every stage (``data/<uuid>``) holding a live data file."""
+    return {_stage_of(d) for d in _live_dirs(content)}
+
+
 def _apply_deletes(spark, path: str, df: DataFrame, content: dict) -> DataFrame:
     """Merge-on-read equality deletes: mask rows matching a delete entry's
     keys IF the row comes from a stage that was live when the delete
@@ -840,9 +924,7 @@ def manifest_delete(
     dedup = keys.select(*key_cols).dropDuplicates()
     n = dedup.count()
     dedup.coalesce(1).write.mode("errorifexists").parquet(f"{path}/{ref}")
-    stages = sorted(
-        {_stage_of(rel) for rel in content.get("partitions", {}).values()}
-    )
+    stages = sorted(_live_stages(content))
     content = dict(content)
     content["deletes"] = [
         *(content.get("deletes") or []),
@@ -855,11 +937,12 @@ def manifest_delete(
 
 
 def _purge_dead_deletes(content: dict) -> list[dict]:
-    """Delete entries whose stages are all gone from the live partition
-    map are fully materialized in the data — drop them."""
-    live_stages = {
-        _stage_of(rel) for rel in content.get("partitions", {}).values()
-    }
+    """Delete entries none of whose stages still hold a LIVE FILE are
+    fully materialized in the data — drop them. Liveness comes from the
+    per-partition file lists (a file-granular merge leaves carried files
+    in old stages even after ``partitions[k]`` repoints), so an entry
+    stays pending exactly as long as any file it scopes can be read."""
+    live_stages = _live_stages(content)
     return [
         e
         for e in (content.get("deletes") or [])
@@ -910,17 +993,38 @@ def manifest_upsert_partitioned(
     touched = [
         r[0] for r in incoming.select(partition_col).distinct().collect()
     ]
-    touched_keys = [str(v) for v in touched]
-    live = _live_file_rels(
-        content, {k: parts[k] for k in touched_keys if k in parts}
+    touched_keys = [_part_key(v) for v in touched]
+    scope = {k: parts[k] for k in touched_keys if k in parts}
+
+    # FILE-granular copy-on-write: probe which files of the touched
+    # partitions actually hold an incoming key (index-sidecar pruning +
+    # one exact column-pruned semi-join); only those are loaded and
+    # rewritten — every other file carries into the new manifest by
+    # reference, its rows being provably all survivors
+    if scope:
+        src_keys = incoming.select(*keys).dropDuplicates()
+        matched_rels, _mp, n_live_files, n_probe_files = (
+            _probe_matched_files(
+                spark, path, content, src_keys, src_keys.count(), keys,
+                scope, partition_col,
+            )
+        )
+    else:
+        matched_rels, n_live_files, n_probe_files = set(), 0, 0
+    rewrite_rels, carry_files = _split_rewrite_carry(
+        content, touched_keys, matched_rels
     )
 
-    if live:
+    if rewrite_rels:
         # pending MoR deletes apply BEFORE the merge — a deleted key must
-        # not survive the rewrite (it would resurrect); rewriting these
-        # partitions into a new stage is what materializes the delete
+        # not survive the rewrite (it would resurrect); carried files
+        # keep their delete entries PENDING (the entries stay live while
+        # any scoped file does, and readers keep masking)
         existing_touched = _apply_deletes(
-            spark, path, _load_table_files(spark, path, content, live), content
+            spark,
+            path,
+            _load_table_files(spark, path, content, rewrite_rels),
+            content,
         )
         survivors = incremental_new_rows(existing_touched, incoming, keys)
         # schema evolution, Delta-style: a batch may ADD columns — the
@@ -933,6 +1037,14 @@ def manifest_upsert_partitioned(
     else:
         merged = incoming
         n_existing_touched = n_survivors = 0
+    if content.get("schema"):
+        # never let a narrow batch REGRESS the committed table schema:
+        # align through an empty frame carrying the current schema (a
+        # rewrite that loaded only a pre-evolution schema group, or a
+        # pure-insert batch, would otherwise drop evolved columns)
+        merged = spark.createDataFrame([], content["schema"]).unionByName(
+            merged, allowMissingColumns=True
+        )
 
     n_merged = _stage_and_commit(
         path,
@@ -945,6 +1057,12 @@ def manifest_upsert_partitioned(
         extra_meta,
         op="upsert",
         sort_cols=sort_cols,
+        carry_files=carry_files,
+        op_metrics_extra={
+            "probe_files": n_probe_files,
+            "live_files": n_live_files,
+            "files_rewritten": len(rewrite_rels),
+        },
     )
     n_batch = n_merged - n_survivors
     n_updated = n_existing_touched - n_survivors
@@ -964,12 +1082,21 @@ def _stage_and_commit(
     sort_cols: list[str] | None = None,
     allow_fast_forward: bool = True,
     op_metrics_extra: dict | None = None,
+    carry_files: dict[str, list] | None = None,
 ) -> int:
     """Shared write tail for partition-rewriting commits (upsert, merge):
     stage the touched partitions' merged content into an immutable
     directory, then publish through the fast-forward commit loop.
     Returns the staged row count (one job — count and write share the
     localCheckpoint).
+
+    ``carry_files`` is the FILE-GRANULAR copy-on-write hook: per touched
+    partition, file entries that stay live BY REFERENCE alongside the
+    freshly staged files (a narrow merge rewrites only the files its
+    probe proved hold matching keys; the partition's other files never
+    move — Delta's rewrite-matched-files-only design). A touched
+    partition with neither staged nor carried files is dropped; one with
+    only carried files keeps its existing primary dir entry.
 
     ``allow_fast_forward=False`` disables the lost-race fast-forward and
     escalates every conflict to :class:`CommitConflict` — required by
@@ -1018,25 +1145,42 @@ def _stage_and_commit(
     staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
         f"{path}/{stage}"
     )
+    # resolve what Spark ACTUALLY wrote (escaped dir names decoded back
+    # to partition values) — the data-authoritative presence test: a
+    # touched key absent here was written zero rows, never mis-named
+    written = _staged_partition_dirs(path, stage, fmt)
+    stray = set(written) - set(touched_keys)
+    if stray:
+        raise RuntimeError(
+            f"{op} at {path} staged unexpected partition dirs {sorted(stray)[:3]} "
+            f"outside the touched set — partition-key mapping bug"
+        )
     staged_files = {
-        k: _list_dir_files(path, f"{stage}/__p={k}", fmt) for k in touched_keys
+        k: written[k][1] if k in written else [] for k in touched_keys
     }
+    staged_rel = {k: written[k][0] for k in written}
+    carry = carry_files or {}
 
     def _build(base: dict) -> dict:
         b_parts = dict(base.get("partitions", {}))
         b_files = dict(base.get("files", {}))
         dir_schemas = dict(base.get("dir_schemas", {}))
         for k in touched_keys:
-            rel = f"{stage}/__p={k}"
+            carried = carry.get(k, [])
             if staged_files[k]:
+                rel = staged_rel[k]
                 b_parts[k] = rel
-                b_files[k] = staged_files[k]
+                b_files[k] = [*carried, *staged_files[k]]
                 dir_schemas[rel] = out_schema
+            elif carried:
+                # file-granular rewrite emptied its slice but other files
+                # carry: the partition survives on its existing dir entry
+                b_files[k] = list(carried)
             elif k in b_parts:
                 # every row of the partition was deleted by the rewrite
                 del b_parts[k]
                 b_files.pop(k, None)
-        live_dirs = set(b_parts.values())
+        live_dirs = _live_dirs({"partitions": b_parts, "files": b_files})
         # stats/bloom sidecars carry BY REFERENCE: the sidecar files are
         # immutable, and every loader intersects sidecar entries with the
         # manifest's live file list — entries for rewritten files go stale
@@ -1088,9 +1232,12 @@ def _stage_and_commit(
             1 for k in touched_keys if staged_files[k]
         ),
         "partitions_dropped": sum(
-            1 for k in touched_keys if not staged_files[k]
+            1
+            for k in touched_keys
+            if not staged_files[k] and not carry.get(k)
         ),
         "files_added": sum(len(v) for v in staged_files.values()),
+        "files_carried": sum(len(v) for v in carry.values()),
         **(op_metrics_extra or {}),
     }
     for _ in range(16):
@@ -1134,6 +1281,13 @@ def _upsert_fast_forward_safe(
     h_parts = head.get("partitions", {})
     if any(b_parts.get(k) != h_parts.get(k) for k in touched_keys):
         return False
+    # dir entries alone undercount change: a file-granular merge can
+    # alter a partition's FILE LIST while its primary dir stays put
+    # (carried-files-only survivor) — compare the lists themselves
+    b_files = base.get("files", {})
+    h_files = head.get("files", {})
+    if any(b_files.get(k) != h_files.get(k) for k in touched_keys):
+        return False
     if (base.get("deletes") or []) != (head.get("deletes") or []):
         return False
     if (base.get("constraints") or {}) != (head.get("constraints") or {}):
@@ -1145,6 +1299,32 @@ def _upsert_fast_forward_safe(
         and head.get("fmt", fmt) == fmt
         and head.get("partition_col", partition_col) == partition_col
     )
+
+
+_INTEGRALS = frozenset({"tinyint", "smallint", "int", "bigint"})
+_FRACTIONALS = frozenset({"float", "double"})
+
+
+def _bloom_cast_safe(src_dtype: str, build_dtype: str) -> bool:
+    """True iff hashing source keys ``try_cast`` to ``build_dtype`` can
+    never FALSE-NEGATIVE a file the merge join (under Spark's implicit
+    coercion of the two types) would match. Safe cases: identical types;
+    integral→integral (value-preserving or overflow→NULL, and NULL keys
+    disable pruning); integral→fractional and fractional→fractional
+    (the cast rounds exactly like the join's own widening). Everything
+    else — cross string/numeric ('01' vs 1 compares TRUE under coercion
+    but hashes apart), fractional→integral (a 2^53+1 bigint and its
+    nearest double compare TRUE but cast to different integers), any
+    decimal/date/timestamp mixture — must not prune."""
+    if src_dtype == build_dtype:
+        return True
+    if src_dtype in _INTEGRALS and build_dtype in _INTEGRALS:
+        return True
+    if src_dtype in _INTEGRALS and build_dtype in _FRACTIONALS:
+        return True
+    if src_dtype in _FRACTIONALS and build_dtype in _FRACTIONALS:
+        return True
+    return False
 
 
 def _merge_probe_candidates(
@@ -1177,15 +1357,18 @@ def _merge_probe_candidates(
 
     stats = _load_stats_sidecar(path, content)
     candidates = list(all_live)
+    # ONE envelope aggregate serves both passes: per-key min/max for the
+    # zone-map intersection AND has-null flags for the bloom probe's
+    # null-skip — computed even when only the bloom sidecar exists
+    env_aggs = []
+    for c in keys:
+        env_aggs += [
+            F.min(c).alias(f"__lo_{c}"),
+            F.max(c).alias(f"__hi_{c}"),
+            F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{c}"),
+        ]
+    env = src_keys.agg(*env_aggs).first().asDict()
     if stats:
-        env_aggs = []
-        for c in keys:
-            env_aggs += [
-                F.min(c).alias(f"__lo_{c}"),
-                F.max(c).alias(f"__hi_{c}"),
-                F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{c}"),
-            ]
-        env = src_keys.agg(*env_aggs).first().asDict()
         bounds: dict[str, tuple] = {}
         for c in keys:
             # canonicalize through the sidecar's own JSON domain so the
@@ -1249,14 +1432,12 @@ def _merge_probe_candidates(
     if candidates and n_src_keys <= _BLOOM_PROBE_CAP:
         import numpy as np
 
+        src_types = dict(src_keys.dtypes)
         for c in keys:
             entry = _load_bloom_sidecar(path, content, col=c).get(c)
             if entry is None:
                 continue
-            has_null = (
-                src_keys.filter(F.col(c).isNull()).limit(1).count() > 0
-            )
-            if has_null:
+            if bool(env[f"__nl_{c}"]):
                 # a NULL source key's bloom probe is undefined (the point
                 # plan treats NULL as unrepresentable) — skip this column
                 continue
@@ -1270,6 +1451,13 @@ def _merge_probe_candidates(
             )
             pos_by_dtype: dict[str, "np.ndarray | None"] = {}
             for dt in dtypes:
+                if not _bloom_cast_safe(src_types.get(c, ""), dt):
+                    # a value-CHANGING but non-null cast (string '01' vs
+                    # int 1, double 2^53+1 vs bigint) hashes a different
+                    # value than the join's coercion compares — pruning
+                    # would false-negative; keep files of this dtype
+                    pos_by_dtype[dt] = None
+                    continue
                 probe = F.col(c).try_cast(dt)
                 rows = (
                     src_keys.select(c)
@@ -1324,6 +1512,93 @@ def _json_safe_stat(v, side: str):
     return _json_safe(v, side=side)
 
 
+def _probe_matched_files(
+    spark,
+    path: str,
+    content: dict,
+    src_keys: DataFrame,
+    n_src_keys: int,
+    keys: list[str],
+    scope_parts: dict,
+    partition_col: str,
+) -> tuple[set[str], set[str], int, int]:
+    """Exact FILE-level match probe for copy-on-write writers: which of
+    ``scope_parts``'s live files hold at least one row whose key tuple
+    matches the source, and which partitions those files belong to.
+    Two-phase: the zone-map/bloom sidecars prune the candidate set
+    (``_merge_probe_candidates`` — pruning is sound, never required),
+    then ONE column-pruned scan of the survivors semi-joins the source
+    keys with ``input_file_name`` attached, so the collect is bounded by
+    file count. Returns ``(matched_rels, matched_part_keys, n_live,
+    n_candidates)``. A matched file is rewritten; every other file is
+    carried by reference — Delta's rewrite-matched-files-only design."""
+    import os
+
+    all_live = _live_file_rels(content, scope_parts)
+    if not all_live:
+        return set(), set(), 0, 0
+    cand = _merge_probe_candidates(
+        spark, path, content, src_keys, n_src_keys, keys, all_live
+    )
+    if not cand:
+        return set(), set(), len(all_live), 0
+    probe = _load_table_files(spark, path, content, cand).select(
+        F.input_file_name().alias("__file"),
+        F.col(partition_col).alias("__pv"),
+        *keys,
+    )
+    cond = None
+    for k in keys:
+        c = probe[k].eqNullSafe(src_keys[k])
+        cond = c if cond is None else cond & c
+    rows = (
+        probe.join(src_keys, cond, "left_semi")
+        .select("__file", "__pv")
+        .distinct()
+        .collect()  # bounded: one row per matched data file
+    )
+    root_abs = os.path.abspath(path)
+    matched_rels: set[str] = set()
+    matched_parts: set[str] = set()
+    for r in rows:
+        uri = r["__file"]
+        idx = uri.find(root_abs)
+        matched_rels.add(
+            uri[idx + len(root_abs) + 1 :] if idx >= 0 else uri
+        )
+        matched_parts.add(_part_key(r["__pv"]))
+    return matched_rels, matched_parts, len(all_live), len(cand)
+
+
+def _split_rewrite_carry(
+    content: dict, touched_keys: list[str], matched_rels: set[str]
+) -> tuple[list[str], dict[str, list]]:
+    """Partition the touched partitions' live file entries into the rels
+    to REWRITE (hold matched keys) and the per-partition entries to CARRY
+    by reference. Legacy manifests without file lists fall back to
+    rewrite-everything (carry empty)."""
+    files: dict = content.get("files", {})
+    if "files" not in content:
+        live = _live_file_rels(
+            content,
+            {
+                k: content.get("partitions", {})[k]
+                for k in touched_keys
+                if k in content.get("partitions", {})
+            },
+        )
+        return live, {}
+    rewrite: list[str] = []
+    carry: dict[str, list] = {}
+    for k in touched_keys:
+        for e in files.get(k, []):
+            if e[0] in matched_rels:
+                rewrite.append(e[0])
+            else:
+                carry.setdefault(k, []).append(e)
+    return rewrite, carry
+
+
 def manifest_merge(
     source: DataFrame,
     path: str,
@@ -1348,16 +1623,19 @@ def manifest_merge(
       is deleted or updated, never both).
     - ``insert_not_matched``: source rows with no key match insert.
 
-    Plan shape at 100 TB: one column-pruned scan of (key, partition)
-    pairs joined against the source finds the partitions holding
-    matches (manifest-level pruning applies); only those partitions —
-    plus the insert targets — are rewritten through the upsert's
-    immutable staging + exclusive-create commit (fast-forward disabled:
-    the match probe depends on table state OUTSIDE the touched
-    partitions, so a lost commit race always escalates as
-    :class:`CommitConflict` for a full re-merge). A matched partition
-    emptied by deletes drops out of the manifest entirely. Returns
-    {"updated": n, "deleted": n, "inserted": n}.
+    Plan shape at 100 TB — FILE-granular copy-on-write: an index-pruned
+    (zone-map/bloom), column-pruned exact probe with ``input_file_name``
+    identifies the FILES holding matched keys; pass 2 loads and rewrites
+    only those, carrying every other file of the touched partitions by
+    reference in the new manifest. A 1-row update into a 10k-file
+    partition rewrites one file, not the partition — op_metrics record
+    ``probe_files`` / ``files_rewritten`` / ``files_carried`` as
+    evidence. Staging + exclusive-create commit as the upsert, but
+    fast-forward disabled: the match probe depends on table state
+    OUTSIDE the touched partitions, so a lost commit race always
+    escalates as :class:`CommitConflict` for a full re-merge. A
+    partition emptied entirely by deletes drops out of the manifest.
+    Returns {"updated": n, "deleted": n, "inserted": n}.
     """
     spark = source.sparkSession
     if matched_update and partition_col in matched_update:
@@ -1382,38 +1660,22 @@ def manifest_merge(
     if n_src_keys == 0:
         return {"updated": 0, "deleted": 0, "inserted": 0}
 
-    # pass 1 (column-pruned, INDEX-PRUNED): which partitions hold matched
-    # keys? The zone-map/bloom sidecars the table already maintains cut
-    # the probe to files whose key ranges/bitsets can intersect the
-    # source — a narrow merge loads a handful of files' key columns, not
-    # every live file's.
-    match_parts: set[str] = set()
-    n_live_files = n_probe_files = 0
-    if parts:
-        all_live = _live_file_rels(content)
-        n_live_files = len(all_live)
-        probe_rels = _merge_probe_candidates(
-            spark, path, content, src_keys, n_src_keys, keys, all_live
+    # pass 1 (column-pruned, INDEX-PRUNED, FILE-exact): which FILES hold
+    # matched keys? The zone-map/bloom sidecars cut the probe to files
+    # whose key ranges/bitsets can intersect the source, and the exact
+    # semi-join tags ``input_file_name`` — a narrow merge rewrites a
+    # handful of matched files, never whole partitions.
+    matched_rels, match_parts, n_live_files, n_probe_files = (
+        _probe_matched_files(
+            spark, path, content, src_keys, n_src_keys, keys, parts,
+            partition_col,
         )
-        n_probe_files = len(probe_rels)
-        if probe_rels:
-            probe = _load_table_files(spark, path, content, probe_rels).select(
-                partition_col, *keys
-            )
-            cond = None
-            for k in keys:
-                c = probe[k].eqNullSafe(src_keys[k])
-                cond = c if cond is None else cond & c
-            match_parts = {
-                str(r[0])
-                for r in probe.join(src_keys, cond, "left_semi")
-                .select(partition_col)
-                .distinct()
-                .collect()
-            }
+        if parts
+        else (set(), set(), 0, 0)
+    )
     insert_parts = (
         {
-            str(r[0])
+            _part_key(r[0])
             for r in src.select(partition_col).distinct().collect()
         }
         if insert_not_matched
@@ -1423,13 +1685,32 @@ def manifest_merge(
     if not touched_keys:
         return {"updated": 0, "deleted": 0, "inserted": 0}
 
-    live = _live_file_rels(
-        content, {k: parts[k] for k in touched_keys if k in parts}
+    # pass 2 loads ONLY the matched files; every other live file of the
+    # touched partitions carries into the new manifest by reference (its
+    # rows provably hold no matching key, so the full-outer join below
+    # could only ever emit them as 'carry')
+    rewrite_rels, carry_files = _split_rewrite_carry(
+        content, touched_keys, matched_rels
     )
-    if live:
-        target = _apply_deletes(
-            spark, path, _load_table_files(spark, path, content, live), content
-        ).alias("t")
+    if rewrite_rels:
+        tdf = _apply_deletes(
+            spark,
+            path,
+            _load_table_files(spark, path, content, rewrite_rels),
+            content,
+        )
+        if content.get("schema"):
+            # a rewrite set confined to one pre-evolution schema group
+            # must still expose the full table schema to the merge
+            tdf = spark.createDataFrame([], content["schema"]).unionByName(
+                tdf, allowMissingColumns=True
+            )
+        target = tdf.alias("t")
+    elif content.get("schema"):
+        # insert-only into an existing table: target is empty but must
+        # keep the TABLE schema (not the source's) so carried files and
+        # the committed schema never regress to a narrower batch schema
+        target = spark.createDataFrame([], content["schema"]).alias("t")
     else:
         target = spark.createDataFrame([], src.schema).alias("t")
     t_cols = target.columns
@@ -1461,17 +1742,22 @@ def manifest_merge(
         )
     )
     src_cols = set(src.columns)
+    t_types = {f.name: f.dataType for f in target.schema.fields}
     out_cols = []
     for c in t_cols:
+        # every branch pre-cast to the TARGET column type (Delta casts
+        # source to target): a source with a differently-typed key must
+        # not let the CASE WHEN's own coercion rewrite the table's
+        # column type (string '01' would silently become int 1)
         updated = (
             F.expr(matched_update[c])
             if matched_update and c in matched_update
             else F.col(f"t.{c}")
-        )
+        ).cast(t_types[c])
         inserted = (
-            F.col(f"s.{c}")
+            F.col(f"s.{c}").cast(t_types[c])
             if c in src_cols
-            else F.lit(None)  # column the source does not carry
+            else F.lit(None).cast(t_types[c])
         )
         out_cols.append(
             F.when(F.col("__action") == "insert", inserted)
@@ -1512,9 +1798,11 @@ def manifest_merge(
         None,
         op="merge",
         allow_fast_forward=False,
+        carry_files=carry_files,
         op_metrics_extra={
             "probe_files": n_probe_files,
             "live_files": n_live_files,
+            "files_rewritten": len(rewrite_rels),
             "rows_updated": counts.get("update", 0),
             "rows_deleted": counts.get("delete", 0),
             "rows_inserted": counts.get("insert", 0),
@@ -1566,6 +1854,17 @@ def manifest_compact(
     delete_stages = {
         s for e in content.get("deletes") or [] for s in e["stages"]
     }
+
+    def _touches_delete(k: str, rel: str) -> bool:
+        # ANY live file's stage counts — after a file-granular merge a
+        # partition's carried files live outside its primary dir
+        if _stage_of(rel) in delete_stages:
+            return True
+        return any(
+            _stage_of(e[0].rsplit("/", 1)[0]) in delete_stages
+            for e in files.get(k, [])
+        )
+
     selected = {
         k: rel
         for k, rel in parts.items()
@@ -1576,7 +1875,7 @@ def manifest_compact(
         and (
             min_files is None
             or len(files.get(k, [])) >= min_files
-            or _stage_of(rel) in delete_stages
+            or _touches_delete(k, rel)
         )
     }
     if not selected:
@@ -1605,21 +1904,28 @@ def manifest_compact(
     )
     dir_schemas: dict = dict(content.get("dir_schemas", {}))
     new_schema = staged.drop("__p").schema.simpleString()
+    # resolve the dirs Spark ACTUALLY wrote (escaped names decoded) — a
+    # partition absent here was written zero rows, never merely named
+    # differently than the hand-built ``__p={k}`` guess
+    written = _staged_partition_dirs(path, stage, fmt)
+    stray = set(written) - set(selected)
+    if stray:
+        raise RuntimeError(
+            f"compact at {path} staged unexpected partition dirs "
+            f"{sorted(stray)[:3]} — partition-key mapping bug"
+        )
     for k in selected:
-        rel = f"{stage}/__p={k}"
-        staged_list = _list_dir_files(path, rel, fmt)
-        if staged_list:
+        if k in written:
+            rel, staged_list = written[k]
             parts[k] = rel
             files[k] = staged_list
             dir_schemas[rel] = new_schema
         else:
             # materializing pending MoR deletes emptied the partition:
-            # drop it from the manifest (same as _stage_and_commit) —
-            # repointing at a directory the write never created would
-            # make a later partition-pruned read fail on an empty path
+            # drop it from the manifest (same as _stage_and_commit)
             parts.pop(k, None)
             files.pop(k, None)
-    live_dirs = set(parts.values())
+    live_dirs = _live_dirs({"partitions": parts, "files": files})
     content = dict(content)
     content["partitions"] = parts
     content["files"] = files
@@ -1693,15 +1999,30 @@ def manifest_diff(
     for ref in set(old_del) ^ set(new_del):
         delta_stages.update((old_del.get(ref) or new_del[ref])["stages"])
 
-    def _changed(parts: dict, other: dict) -> dict:
+    def _files_key(content: dict, k: str):
+        # per-partition FILE LIST is the change unit (a file-granular
+        # merge can alter it while the primary dir entry stays put);
+        # legacy manifests without file lists fall back to the dir entry
+        if "files" in content:
+            return content["files"].get(k)
+        return content["partitions"].get(k)
+
+    def _part_stages(content: dict, k: str, rel: str) -> set[str]:
+        stages = {_stage_of(rel)}
+        for e in content.get("files", {}).get(k, []):
+            stages.add(_stage_of(e[0].rsplit("/", 1)[0]))
+        return stages
+
+    def _changed(parts: dict, content: dict, other: dict) -> dict:
         return {
             k: rel
             for k, rel in parts.items()
-            if other.get(k) != rel or _stage_of(rel) in delta_stages
+            if _files_key(other, k) != _files_key(content, k)
+            or (_part_stages(content, k, rel) & delta_stages)
         }
 
-    changed_old = _changed(old_parts, new_parts)
-    changed_new = _changed(new_parts, old_parts)
+    changed_old = _changed(old_parts, old_content, new_content)
+    changed_new = _changed(new_parts, new_content, old_content)
 
     def _read(parts: dict, content: dict) -> DataFrame:
         rels = _live_file_rels(content, parts)
@@ -1854,17 +2175,14 @@ def manifest_replace_partitions(
     staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
         f"{path}/{stage}"
     )
-    present = {
-        r[0]
-        for r in staged.select("__p").distinct().collect()
-    }
+    staged_dirs = _staged_partition_dirs(path, stage, fmt)
     written = dropped = 0
     dir_schemas: dict = dict(content.get("dir_schemas", {}))
     for k in wanted:
-        if k in present:
-            rel = f"{stage}/__p={k}"
+        if k in staged_dirs:
+            rel, listed = staged_dirs[k]
             parts[k] = rel
-            files[k] = _list_dir_files(path, rel, fmt)
+            files[k] = listed
             dir_schemas[rel] = out_schema
             written += 1
         elif k in parts:
@@ -1872,7 +2190,9 @@ def manifest_replace_partitions(
             files.pop(k, None)
             dropped += 1
     dir_schemas = {
-        d: sc for d, sc in dir_schemas.items() if d in set(parts.values())
+        d: sc
+        for d, sc in dir_schemas.items()
+        if d in _live_dirs({"partitions": parts, "files": files})
     }
     new_content = {
         "partitions": parts,
@@ -1885,7 +2205,11 @@ def manifest_replace_partitions(
         "stats_cols": content.get("stats_cols", []),
         "bloom_ref": content.get("bloom_ref"),
         "deletes": _purge_dead_deletes(
-            {"partitions": parts, "deletes": content.get("deletes") or []}
+            {
+                "partitions": parts,
+                "files": files,
+                "deletes": content.get("deletes") or [],
+            }
         ),
         "dir_schemas": dir_schemas,
     }
@@ -1954,8 +2278,10 @@ def manifest_vacuum(
             u = c["delta_from"]
             needed.add(u)
         content = _materialize(path, v)
-        for rel in content["partitions"].values():
-            referenced.add(rel.split("/__p=")[0])
+        # stage liveness from the FILE LISTS (a file-granular merge
+        # leaves carried files in stages no partition dir names) — a
+        # partitions-only walk here would GC live data
+        referenced.update(_live_stages(content))
         for key in ("stats_ref", "bloom_ref"):
             if content.get(key):
                 sidecars.add(content[key])
@@ -2100,7 +2426,7 @@ def manifest_restore(
     head_v, head = _latest_manifest(path)
     missing = [
         rel
-        for rel in target.get("partitions", {}).values()
+        for rel in sorted(_live_dirs(target))
         if not os.path.isdir(os.path.join(path, rel))
     ]
     refs = [

@@ -66,11 +66,12 @@ from pyspark.sql import functions as F
 from data_management_service_run_etl_imputations_spark.sources.sinks import (
     _apply_deletes,
     _latest_manifest,
-    _list_dir_files,
+    _live_dirs,
     _live_file_rels,
     _load_table_files,
     _publish_manifest,
     _resolve_manifest,
+    _staged_partition_dirs,
 )
 
 __all__ = [
@@ -769,21 +770,27 @@ def manifest_cluster_zorder(
     stats = _load_stats_sidecar(path, content)
     dir_schemas: dict = dict(content.get("dir_schemas", {}))
     new_schema = staged.drop("__p").schema.simpleString()
+    # every OLD live file of the selected partitions is being replaced
+    # (incl. files a file-granular merge carried into other stages) —
+    # capture the set BEFORE repointing so their stale stats drop
+    old_rels = {e[0] for k in selected for e in files.get(k, [])}
+    # resolve what Spark actually wrote (escaped dir names decoded);
+    # materializing pending MoR deletes can empty a partition entirely —
+    # it must DROP, not point at a never-created directory
+    written = _staged_partition_dirs(path, stage, fmt)
     new_file_rels: list[str] = []
     for k in selected:
-        rel = f"{stage}/__p={k}"
-        parts[k] = rel
-        listed = _list_dir_files(path, rel, fmt)
-        files[k] = listed
-        dir_schemas[rel] = new_schema
-        new_file_rels.extend(e[0] for e in listed)
-    dropped = {
-        frel
-        for frel in stats
-        if any(frel.startswith(rel + "/") for rel in selected.values())
-    }
-    for frel in dropped:
-        del stats[frel]
+        if k in written:
+            rel, listed = written[k]
+            parts[k] = rel
+            files[k] = listed
+            dir_schemas[rel] = new_schema
+            new_file_rels.extend(e[0] for e in listed)
+        else:
+            parts.pop(k, None)
+            files.pop(k, None)
+    for frel in old_rels:
+        stats.pop(frel, None)
     fresh = _collect_stats(
         spark, path, new_file_rels, zorder_cols, {"fmt": fmt}
     )
@@ -792,7 +799,9 @@ def manifest_cluster_zorder(
     content["partitions"] = parts
     content["files"] = files
     content["dir_schemas"] = {
-        d: sc for d, sc in dir_schemas.items() if d in set(parts.values())
+        d: sc
+        for d, sc in dir_schemas.items()
+        if d in _live_dirs({"partitions": parts, "files": files})
     }
     content["stats_ref"] = _write_stats_sidecar(path, stats)
     content["stats_cols"] = sorted(

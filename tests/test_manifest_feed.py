@@ -85,14 +85,26 @@ def test_feed_backfill_increments_and_rewrite_semantics(spark, table_path):
     assert _rows(spark, "feed_a")[-1] == (4, "d4", 4.0, 3)
     assert len(_rows(spark, "feed_a")) == 4
 
-    # rewrite of d1: the new stage's file re-emits the carried row plus
-    # the update — append-driven ignoreChanges semantics, loud by design
+    # disjoint-KEY write into an existing partition: file-granular
+    # copy-on-write carries d1's old file by reference, so ONLY the new
+    # file emits — no spurious re-emission of untouched rows
     manifest_upsert_partitioned(
         _batch(spark, [(5, "d1", 5.0)]), table_path, ["k"], "day"
     )
     q.processAllAvailable()
     got = _rows(spark, "feed_a")
-    assert (5, "d1", 5.0, 4) in got and (1, "d1", 1.0, 4) in got
+    assert (5, "d1", 5.0, 4) in got and (1, "d1", 1.0, 4) not in got
+    assert len(got) == 5
+
+    # a genuine UPDATE rewrites the file holding k=1: its new file
+    # re-emits the updated row — append-driven ignoreChanges semantics
+    # now scoped to truly rewritten files, loud by design
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 10.0)]), table_path, ["k"], "day"
+    )
+    q.processAllAvailable()
+    got = _rows(spark, "feed_a")
+    assert (1, "d1", 10.0, 5) in got
     q.stop()
 
 

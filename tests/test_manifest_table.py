@@ -575,8 +575,11 @@ def test_mor_delete_masks_without_rewrite(spark, table_path):
 def test_mor_delete_upsert_does_not_resurrect(spark, table_path):
     """An upsert touching a partition with pending deletes must not carry
     deleted rows over as merge survivors — deletes apply before the
-    merge, and the rewrite materializes them for that partition."""
+    rewrite of every file the upsert touches, and files it carries by
+    reference (file-granular copy-on-write) keep the entry PENDING so
+    readers keep masking; compaction is the eager purge."""
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
         manifest_delete,
     )
 
@@ -592,9 +595,15 @@ def test_mor_delete_upsert_does_not_resurrect(spark, table_path):
         (1, "d1", 1.0),
         (3, "d1", 30.0),
     ]
-    # d1 was the only partition -> the delete entry is fully purged
+    # the entry survives exactly as long as a file it scopes is live;
+    # compaction rewrites them all and purges it, content unchanged
+    manifest_compact(spark, table_path)
     _, content = _latest_manifest(table_path)
     assert content["deletes"] == []
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "d1", 1.0),
+        (3, "d1", 30.0),
+    ]
 
 
 def test_mor_delete_in_change_feed_and_time_travel(spark, table_path):
@@ -1658,3 +1667,193 @@ def test_merge_probe_prunes_with_index_sidecars(spark, table_path):
         "op_metrics"
     ]
     assert m2["probe_files"] <= 1, m2
+
+
+def test_merge_file_granular_rewrite_carries_unmatched_files(
+    spark, table_path
+):
+    """FILE-granular copy-on-write (VERDICT r06 #1): a narrow merge into
+    a multi-file partition rewrites ONLY the files its exact probe found
+    matching keys in — op_metrics show files_rewritten << the partition's
+    file count, the rest carry by reference — and vacuum keeps the
+    carried files' stages alive (liveness from the FILE lists, not the
+    partition's primary dir)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+        manifest_merge,
+    )
+
+    # one partition, 6 files: each disjoint-key upsert matches nothing,
+    # so it stages one new file and carries the previous ones
+    for i in range(6):
+        manifest_upsert_partitioned(
+            _batch(spark, [(100 * i + j, "d1", float(j)) for j in range(3)]),
+            table_path,
+            ["k"],
+            "day",
+        )
+    _, content = _latest_manifest(table_path)
+    n_files = len(content["files"]["d1"])
+    assert n_files >= 6, content["files"]
+
+    r = manifest_merge(
+        _batch(spark, [(201, "d1", 999.0)]),
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "s.v"},
+        insert_not_matched=True,
+    )
+    assert r == {"updated": 1, "deleted": 0, "inserted": 0}
+    m = [h for h in manifest_history(table_path) if h["op"] == "merge"][-1][
+        "op_metrics"
+    ]
+    assert m["files_rewritten"] == 1, m
+    assert m["files_carried"] >= n_files - 1, m
+
+    # carried files live in stages the new primary dir does not name:
+    # vacuum to the head snapshot must keep every one of them readable
+    manifest_vacuum(table_path, keep_versions=1)
+    got = _content(manifest_read(spark, table_path))
+    assert len(got) == 18
+    assert (201, "d1", 999.0) in got
+    assert (200, "d1", 0.0) in got and (1, "d1", 1.0) in got
+
+
+def test_upsert_file_granular_carries_unmatched_files(spark, table_path):
+    """The partitioned upsert takes the same file-granular path: a batch
+    touching one key of a many-file partition rewrites that key's file
+    and carries the rest; re-reads stay exact and idempotent."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+    )
+
+    for i in range(5):
+        manifest_upsert_partitioned(
+            _batch(spark, [(10 * i, "d1", float(i))]),
+            table_path,
+            ["k"],
+            "day",
+        )
+    r = manifest_upsert_partitioned(
+        _batch(spark, [(20, "d1", 99.0)]), table_path, ["k"], "day"
+    )
+    assert r == {"updated": 1, "inserted": 0}
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["files_rewritten"] == 1, m
+    assert m["files_carried"] >= 4, m
+    assert _content(manifest_read(spark, table_path)) == [
+        (0, "d1", 0.0),
+        (10, "d1", 1.0),
+        (20, "d1", 99.0),
+        (30, "d1", 3.0),
+        (40, "d1", 4.0),
+    ]
+
+
+def test_escaped_partition_value_round_trips(spark, table_path):
+    """A partition value Spark's dynamic-partition writer percent-escapes
+    (':' in a timestamp-like value) must round-trip: the writer resolves
+    the dirs Spark ACTUALLY wrote instead of hand-building '__p={value}',
+    so the partition is neither silently dropped as 'emptied' (ADVICE r06
+    finding) nor unreadable afterwards."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+    )
+
+    b = _batch(
+        spark,
+        [(1, "2024-01-01 10:30", 1.0), (2, "x%y", 2.0), (3, "plain", 3.0)],
+    )
+    r = manifest_upsert_partitioned(b, table_path, ["k"], "day")
+    assert r == {"updated": 0, "inserted": 3}
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "2024-01-01 10:30", 1.0),
+        (2, "x%y", 2.0),
+        (3, "plain", 3.0),
+    ]
+    # manifest-level pruning keys on the raw value
+    assert (
+        manifest_read(
+            spark, table_path, partition_values=["2024-01-01 10:30"]
+        ).count()
+        == 1
+    )
+    # compact resolves the escaped dirs the same way
+    manifest_compact(spark, table_path)
+    assert _content(manifest_read(spark, table_path)) == [
+        (1, "2024-01-01 10:30", 1.0),
+        (2, "x%y", 2.0),
+        (3, "plain", 3.0),
+    ]
+    # update inside the escaped partition
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "2024-01-01 10:30", 10.0)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    assert (1, "2024-01-01 10:30", 10.0) in _content(
+        manifest_read(spark, table_path)
+    )
+
+
+def test_bloom_probe_cross_type_never_false_negatives(spark, table_path):
+    """ADVICE r06: a file bloom-indexed under STRING holding '01' must
+    not be pruned for an INT source key 1 — Spark's join coercion makes
+    '01' = 1 TRUE, but hashing the cast str(1) = '1' misses. The probe
+    now refuses to prune across the string/numeric boundary, so the
+    merge sees the match and updates instead of inserting a duplicate."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
+        manifest_read,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+    )
+
+    tbl = spark.createDataFrame(
+        [("01", "d1", 1.0), ("07", "d1", 7.0)], "k STRING, day STRING, v DOUBLE"
+    )
+    manifest_upsert_partitioned(tbl, table_path, ["k"], "day")
+    manifest_collect_bloom(spark, table_path, "k", bits=1024, k=4)
+
+    src = spark.createDataFrame([(1, "d1", 99.0)], "k INT, day STRING, v DOUBLE")
+    r = manifest_merge(
+        src,
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "s.v"},
+        insert_not_matched=True,
+    )
+    assert r == {"updated": 1, "deleted": 0, "inserted": 0}, r
+    got = sorted(map(tuple, manifest_read(spark, table_path).collect()))
+    assert got == [("01", "d1", 99.0), ("07", "d1", 7.0)], got
+
+
+def test_latest_hint_below_vacuum_floor_falls_back_to_listing(
+    spark, table_path
+):
+    """ADVICE r06: a hint stranded BELOW vacuum's density floor (its
+    version file deleted) must throw _latest_manifest into the listing
+    fallback, which resolves the true head — the cross-function invariant
+    the monotone-hint design leans on, pinned end to end."""
+    for i in range(10):
+        manifest_upsert_partitioned(
+            _batch(spark, [(i, f"d{i}", float(i))]), table_path, ["k"], "day"
+        )
+    manifest_vacuum(table_path, keep_versions=3)
+    d = f"{table_path}/_commits"
+    present = sorted(
+        int(n[:-5]) for n in os.listdir(d) if n.endswith(".json")
+    )
+    assert present[0] == 8 and present[-1] == 10, present
+
+    # a stalled writer publishes an arbitrarily old hint whose version
+    # file vacuum already removed
+    with open(f"{d}/_latest", "w") as f:
+        f.write("3")
+    v, content = _latest_manifest(table_path)
+    assert v == 10
+    assert len(content["partitions"]) == 10
