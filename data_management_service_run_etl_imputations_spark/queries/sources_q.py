@@ -773,6 +773,103 @@ def streaming_manifest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_manifest_cdf",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   o_totalprice
+            FROM orders
+        ),
+        ch AS (
+            SELECT 'insert' AS change_type, 1 AS commit_version,
+                   o_totalprice
+            FROM t
+            UNION ALL
+            SELECT 'update_post', 2, o_totalprice + 1000
+            FROM t WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT 'delete', 3,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN o_totalprice + 1000
+                        ELSE o_totalprice END
+            FROM t WHERE o_orderkey % 7 = 0
+        )
+        SELECT change_type, commit_version, COUNT(*) AS n_rows,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM ch GROUP BY change_type, commit_version
+    """,
+)
+def streaming_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-AWARE streaming change feed (CDF) over the manifest commit
+    log: three commits — a bulk insert, a file-granular update of the
+    %5 keys, and a MERGE-ON-READ delete of the %7 keys (no file moves,
+    only a delete entry) — then ``readStream`` in ``mode="cdf"`` drains
+    the exact change rows (insert / update_post / delete, pre-images
+    suppressed) stamped with their commit version. The oracle replays
+    the three changes in SQL. Planning diffs FILE LISTS per version
+    (shared files cancel by immutability, never read); execution is
+    Arrow-side per changed partition (sources/manifest_stream.py)."""
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.manifest_stream import (
+        ManifestFeedDataSource,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_delete,
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("manifest_cdf") + "_" + _uuid.uuid4().hex[:6]
+    qname = f"cdf_{_uuid.uuid4().hex[:8]}"
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    spark.dataSource.register(ManifestFeedDataSource)
+    q = None
+    try:
+        manifest_upsert_partitioned(t, target, ["o_orderkey"], "o_year")
+        manifest_upsert_partitioned(
+            t.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1000
+            ),
+            target,
+            ["o_orderkey"],
+            "o_year",
+        )
+        manifest_delete(
+            t.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            target,
+            ["o_orderkey"],
+        )
+        feed = (
+            spark.readStream.format("manifest_feed")
+            .option("path", target)
+            .option("mode", "cdf")
+            .load()
+        )
+        q = feed.writeStream.format("memory").queryName(qname).start()
+        q.processAllAvailable()
+        return (
+            spark.table(qname)
+            .groupBy(
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_version").alias("commit_version"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()  # materialize before sink/table vanish
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
     "manifest_merge_clauses",
     oracle="""
         WITH t AS (

@@ -32,12 +32,35 @@ Semantics (the same contract Delta's streaming source ships with):
   silently skips — retain at least the streaming lag
   (``manifest_vacuum(retain_seconds=...)``).
 
+**CDF mode** (``.option("mode", "cdf")``) is the DELETE-AWARE change
+feed (Delta's Change Data Feed): each micro-batch emits the exact CHANGE
+ROWS between consecutive versions — ``_change_type`` ∈ ``insert`` /
+``update_post`` / ``delete`` plus ``_commit_version`` — computed from
+the immutable commit log:
+
+- Planning (driver side, pure metadata): per version, the partitions
+  whose FILE LISTS differ (plus delete-entry deltas) yield one input
+  partition each, carrying only the files present on exactly one side —
+  files shared by both versions cancel by immutability and are never
+  read (file-granular merges make this set small by construction).
+- Execution (executor side, Arrow): each partition reads its two file
+  sets, applies each version's pending merge-on-read deletes, and takes
+  the multiset difference; a removed and an added row sharing the
+  commit's recorded merge key pair into one ``update_post`` event
+  (pre-images are suppressed), unmatched added rows are ``insert``,
+  unmatched removed rows are ``delete`` — so MoR deletes and partition
+  rewrites surface as real change rows, the gap the append-driven mode
+  documents.
+- Content-identical maintenance commits (compact, Z-order, analyze,
+  constraints) are skipped at plan time — zero I/O.
+
 Usage::
 
     spark.dataSource.register(ManifestFeedDataSource)
     stream = (spark.readStream.format("manifest_feed")
               .option("path", table_root)
               .option("start_version", 0)   # 0 = backfill (default)
+              .option("mode", "cdf")        # default: "append"
               .load())
 """
 
@@ -50,12 +73,55 @@ from pyspark.sql.datasource import (
 )
 
 VERSION_COL = "_commit_version"
+CHANGE_COL = "_change_type"
+
+# commits whose content is identical (or metadata-only) by protocol
+# contract: the CDF planner skips them without reading a byte
+_CDF_SKIP_OPS = (
+    "compact",
+    "optimize-zorder",
+    "analyze-stats",
+    "analyze-bloom",
+    "add-constraint",
+    "drop-constraint",
+)
+
+# sentinel standing in for SQL NULL during the executor-side multiset
+# diff: NaN != NaN would keep identical survivor rows from cancelling
+_NULL = "\x00__cdf_null__"
 
 
 class _FilePartition(InputPartition):
     def __init__(self, file_path: str, version: int, arrow_schema_bytes: bytes):
         self.file_path = file_path
         self.version = version
+        self.arrow_schema_bytes = arrow_schema_bytes
+
+
+class _CdfPartition(InputPartition):
+    """One (version, table-partition) diff unit: the file rels present on
+    only one side (or covered by a delete-entry delta), each side's
+    applicable MoR delete entries, and the commit's recorded merge keys
+    for update pairing."""
+
+    def __init__(
+        self,
+        root: str,
+        version: int,
+        old_rels: list[str],
+        new_rels: list[str],
+        old_deletes: list[dict],
+        new_deletes: list[dict],
+        change_keys: list[str] | None,
+        arrow_schema_bytes: bytes,
+    ):
+        self.root = root
+        self.version = version
+        self.old_rels = old_rels
+        self.new_rels = new_rels
+        self.old_deletes = old_deletes
+        self.new_deletes = new_deletes
+        self.change_keys = change_keys
         self.arrow_schema_bytes = arrow_schema_bytes
 
 
@@ -80,6 +146,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("manifest_feed requires .option('path', ...)")
         self.start_version = int(options.get("start_version", 0))
+        self.mode = options.get("mode", "append")
+        if self.mode not in ("append", "cdf"):
+            raise ValueError(f"manifest_feed mode must be append|cdf, got {self.mode!r}")
         # arrow schema for executor-side alignment, shipped per partition
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_type
@@ -87,7 +156,7 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         fields = [
             pa.field(f.name, to_arrow_type(f.dataType))
             for f in schema.fields
-            if f.name != VERSION_COL
+            if f.name not in (VERSION_COL, CHANGE_COL)
         ]
         self._arrow_schema_bytes = pa.schema(fields).serialize().to_pybytes()
 
@@ -103,24 +172,111 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         return {"version": max(v, self.initialOffset()["version"])}
 
     def partitions(self, start: dict, end: dict):
-        parts: list[_FilePartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            for frel in _added_files(self.path, v):
-                parts.append(
-                    _FilePartition(
-                        f"{self.path}/{frel}", v, self._arrow_schema_bytes
-                    )
+        lo, hi = int(start["version"]), int(end["version"])
+        if self.mode == "cdf":
+            parts = self._cdf_partitions(lo, hi)
+        else:
+            parts = [
+                _FilePartition(
+                    f"{self.path}/{frel}", v, self._arrow_schema_bytes
                 )
+                for v in range(lo + 1, hi + 1)
+                for frel in _added_files(self.path, v)
+            ]
         # Spark requires >=1 partition per planned batch; an empty range
         # (e.g. a metadata-only commit) contributes an empty partition
         if not parts:
             parts.append(_FilePartition("", -1, self._arrow_schema_bytes))
         return parts
 
-    def read(self, partition: _FilePartition):
+    def _cdf_partitions(self, lo: int, hi: int) -> list:
+        """Plan the change-diff units for versions (lo, hi] — pure
+        metadata: two materialized manifests per version, one unit per
+        table partition whose FILE LIST differs (plus delete-entry
+        deltas). Shared files cancel by immutability and are excluded
+        unless a delete-entry delta covers their stage (the mask itself
+        changed)."""
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _commit_meta,
+            _materialize,
+            _read_commit_file,
+            _stage_of,
+        )
+
+        parts: list[_CdfPartition] = []
+        for v in range(lo + 1, hi + 1):
+            meta = _commit_meta(_read_commit_file(self.path, v))
+            op = str(meta.get("op") or "")
+            if op.startswith(_CDF_SKIP_OPS):
+                continue
+            new = _materialize(self.path, v)
+            old = (
+                _materialize(self.path, v - 1)
+                if v > 1
+                else {"partitions": {}, "files": {}, "deletes": []}
+            )
+            if "files" not in new and new.get("partitions"):
+                raise ValueError(
+                    "manifest_feed cdf mode requires commit-time file "
+                    f"lists; version {v} at {self.path} predates them"
+                )
+            old_del = {e["ref"]: e for e in old.get("deletes") or []}
+            new_del = {e["ref"]: e for e in new.get("deletes") or []}
+            delta_stages: set[str] = set()
+            for ref in set(old_del) ^ set(new_del):
+                delta_stages.update(
+                    (old_del.get(ref) or new_del[ref])["stages"]
+                )
+            keys = (meta.get("op_metrics") or {}).get("keys")
+            of_, nf_ = old.get("files", {}), new.get("files", {})
+            for k in sorted(set(of_) | set(nf_)):
+                o_rels = [e[0] for e in of_.get(k, [])]
+                n_rels = [e[0] for e in nf_.get(k, [])]
+                o_set, n_set = set(o_rels), set(n_rels)
+                o_side = sorted(
+                    r
+                    for r in o_set
+                    if r not in n_set or _stage_of(r) in delta_stages
+                )
+                n_side = sorted(
+                    r
+                    for r in n_set
+                    if r not in o_set or _stage_of(r) in delta_stages
+                )
+                if not o_side and not n_side:
+                    continue
+                parts.append(
+                    _CdfPartition(
+                        self.path,
+                        v,
+                        o_side,
+                        n_side,
+                        [
+                            e
+                            for e in old.get("deletes") or []
+                            if any(
+                                _stage_of(r) in e["stages"] for r in o_side
+                            )
+                        ],
+                        [
+                            e
+                            for e in new.get("deletes") or []
+                            if any(
+                                _stage_of(r) in e["stages"] for r in n_side
+                            )
+                        ],
+                        list(keys) if keys else None,
+                        self._arrow_schema_bytes,
+                    )
+                )
+        return parts
+
+    def read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if isinstance(partition, _CdfPartition):
+            return _read_cdf_partition(partition)
         target = pa.ipc.read_schema(
             pa.BufferReader(partition.arrow_schema_bytes)
         )
@@ -145,6 +301,154 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+def _norm_value(v):
+    """Hashable, null-normalized stand-in for a cell value so identical
+    rows cancel in the multiset diff: NULL/NaN → sentinel (NaN != NaN
+    would keep every null-bearing survivor alive as phantom churn),
+    arrays/maps → tuples."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_value(x)) for k, x in v.items()))
+    try:
+        if pd.isna(v):
+            return _NULL
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _read_cdf_partition(p: "_CdfPartition"):
+    """Executor-side change computation for one (version, partition)
+    unit: read both file sets (aligned to the stream schema), apply each
+    side's merge-on-read delete masks, multiset-diff, and classify. Cost
+    is bounded by the rows of the files that actually CHANGED — the
+    file-granular writers keep that the touched slice, never the
+    partition."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = pa.ipc.read_schema(pa.BufferReader(p.arrow_schema_bytes))
+    names = [f.name for f in target]
+    delete_keys_cache: dict[str, pd.DataFrame] = {}
+
+    def _sentinel(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        out = pd.DataFrame(index=df.index)
+        for c in cols:
+            s = df[c]
+            out[c] = s.astype(object).where(s.notna(), _NULL)
+        return out
+
+    def _load_side(rels: list[str], deletes: list[dict]) -> pd.DataFrame:
+        frames = []
+        for rel in rels:
+            t = pq.read_table(f"{p.root}/{rel}")
+            n = len(t)
+            cols = []
+            for field in target:
+                if field.name in t.column_names:
+                    cols.append(t.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(n, field.type))
+            df = pa.table(cols, schema=target).to_pandas().reset_index(
+                drop=True
+            )
+            stage = rel.split("/__p=")[0]
+            for entry in deletes:
+                if stage not in entry["stages"] or df.empty:
+                    continue
+                if entry["ref"] not in delete_keys_cache:
+                    delete_keys_cache[entry["ref"]] = pq.read_table(
+                        f"{p.root}/{entry['ref']}"
+                    ).to_pandas()
+                kcols = list(entry["cols"])
+                rk = _sentinel(
+                    delete_keys_cache[entry["ref"]], kcols
+                ).drop_duplicates()
+                rk = rk.assign(__hit=1)
+                m = _sentinel(df, kcols).merge(rk, on=kcols, how="left")
+                df = df[m["__hit"].isna().to_numpy()].reset_index(drop=True)
+            frames.append(df)
+        if not frames:
+            return pd.DataFrame(columns=names)
+        return pd.concat(frames, ignore_index=True)
+
+    def _index(df: pd.DataFrame):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        first: dict = {}
+        vals = (
+            df[names].to_numpy(dtype=object)
+            if len(df)
+            else np.empty((0, len(names)), dtype=object)
+        )
+        for i in range(len(vals)):
+            key = tuple(_norm_value(x) for x in vals[i])
+            counts[key] += 1
+            first.setdefault(key, vals[i])
+        return counts, first
+
+    oc, of_ = _index(_load_side(p.old_rels, p.old_deletes))
+    nc, nf_ = _index(_load_side(p.new_rels, p.new_deletes))
+    added, removed = [], []  # (original_row, multiplicity, norm_key)
+    for key in oc.keys() | nc.keys():
+        d = nc.get(key, 0) - oc.get(key, 0)
+        if d > 0:
+            added.append((nf_[key], d, key))
+        elif d < 0:
+            removed.append((of_[key], -d, key))
+
+    ki = (
+        [names.index(k) for k in p.change_keys if k in names]
+        if p.change_keys
+        else []
+    )
+    out_rows: list[tuple] = []
+    if ki:
+        removed_keys = {tuple(k[j] for j in ki) for _, _, k in removed}
+        added_keys = {tuple(k[j] for j in ki) for _, _, k in added}
+        for row, m, k in added:
+            ctype = (
+                "update_post"
+                if tuple(k[j] for j in ki) in removed_keys
+                else "insert"
+            )
+            out_rows.extend([(row, ctype)] * m)
+        for row, m, k in removed:
+            if tuple(k[j] for j in ki) in added_keys:
+                continue  # pre-image of an update: suppressed
+            out_rows.extend([(row, "delete")] * m)
+    else:
+        for row, m, _ in added:
+            out_rows.extend([(row, "insert")] * m)
+        for row, m, _ in removed:
+            out_rows.extend([(row, "delete")] * m)
+    if not out_rows:
+        return iter(())
+
+    cols = []
+    for j, field in enumerate(target):
+        cols.append(
+            pa.array(
+                [r[0][j] for r in out_rows],
+                type=field.type,
+                from_pandas=True,
+            )
+        )
+    cols.append(pa.array([r[1] for r in out_rows], pa.string()))
+    cols.append(pa.array([p.version] * len(out_rows), pa.int64()))
+    out_schema = target.append(pa.field(CHANGE_COL, pa.string())).append(
+        pa.field(VERSION_COL, pa.int64())
+    )
+    return iter(pa.table(cols, schema=out_schema).to_batches())
 
 
 class ManifestFeedDataSource(DataSource):
@@ -175,9 +479,15 @@ class ManifestFeedDataSource(DataSource):
         # fromJson is pure Python — this method runs in a session-less
         # data-source worker where Spark's DDL parser is unavailable
         base = StructType.fromJson(json.loads(content["schema_json"]))
-        return StructType(
-            [*base.fields, StructField(VERSION_COL, LongType(), False)]
-        )
+        extra = [StructField(VERSION_COL, LongType(), False)]
+        if self.options.get("mode", "append") == "cdf":
+            from pyspark.sql.types import StringType
+
+            extra = [
+                StructField(CHANGE_COL, StringType(), False),
+                *extra,
+            ]
+        return StructType([*base.fields, *extra])
 
     def streamReader(self, schema):
         return ManifestFeedStreamReader(schema, self.options)

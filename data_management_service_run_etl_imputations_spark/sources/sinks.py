@@ -1062,6 +1062,9 @@ def manifest_upsert_partitioned(
             "probe_files": n_probe_files,
             "live_files": n_live_files,
             "files_rewritten": len(rewrite_rels),
+            # merge keys ride the commit so the CDF reader can pair a
+            # removed/added row with the same key into one update event
+            "keys": list(keys),
         },
     )
     n_batch = n_merged - n_survivors
@@ -1806,6 +1809,7 @@ def manifest_merge(
             "rows_updated": counts.get("update", 0),
             "rows_deleted": counts.get("delete", 0),
             "rows_inserted": counts.get("insert", 0),
+            "keys": list(keys),  # lets the CDF reader classify updates
         },
     )
     return {
