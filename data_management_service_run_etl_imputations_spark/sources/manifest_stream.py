@@ -92,10 +92,40 @@ _NULL = "\x00__cdf_null__"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, version: int, arrow_schema_bytes: bytes):
+    def __init__(
+        self,
+        file_path: str,
+        version: int,
+        arrow_schema_bytes: bytes,
+        dir_map: dict | None = None,
+        name_by_id: dict | None = None,
+    ):
         self.file_path = file_path
         self.version = version
         self.arrow_schema_bytes = arrow_schema_bytes
+        # column mapping: {file_col -> stable id} for this file's dir and
+        # {id -> query-start logical name} — lets renamed-away columns
+        # land under their current name instead of null-filling
+        self.dir_map = dir_map
+        self.name_by_id = name_by_id
+
+
+def _source_columns(
+    file_cols: list[str], dir_map: dict | None, name_by_id: dict | None
+) -> dict[str, str]:
+    """{logical_name: file_column} for one file, through the column-id
+    mapping when present (identity otherwise). A MAPPED file column whose
+    id left the table (dropped) is excluded — its bytes must never serve
+    a later column that reuses the name."""
+    out: dict[str, str] = {}
+    for fc in file_cols:
+        if dir_map is not None and fc in dir_map:
+            logical = (name_by_id or {}).get(dir_map[fc])
+            if logical is not None:
+                out[logical] = fc
+        else:
+            out.setdefault(fc, fc)
+    return out
 
 
 class _CdfPartition(InputPartition):
@@ -114,6 +144,9 @@ class _CdfPartition(InputPartition):
         new_deletes: list[dict],
         change_keys: list[str] | None,
         arrow_schema_bytes: bytes,
+        old_maps: dict | None = None,
+        new_maps: dict | None = None,
+        name_by_id: dict | None = None,
     ):
         self.root = root
         self.version = version
@@ -123,6 +156,9 @@ class _CdfPartition(InputPartition):
         self.new_deletes = new_deletes
         self.change_keys = change_keys
         self.arrow_schema_bytes = arrow_schema_bytes
+        self.old_maps = old_maps or {}  # {rel: {file_col: id}} per side
+        self.new_maps = new_maps or {}
+        self.name_by_id = name_by_id
 
 
 def _added_files(path: str, version: int) -> list[str]:
@@ -159,6 +195,22 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             if f.name not in (VERSION_COL, CHANGE_COL)
         ]
         self._arrow_schema_bytes = pa.schema(fields).serialize().to_pybytes()
+        # query-start column-id mapping (None on unmapped tables): lets
+        # files written under pre-rename names feed the current schema
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _latest_manifest,
+        )
+
+        _, head = _latest_manifest(self.path)
+        col_ids = head.get("col_ids")
+        self._name_by_id = (
+            {i: n for n, i in col_ids.items()} if col_ids else None
+        )
+        # head's dir mappings are authoritative for every dir still live
+        # (dirs are immutable; mapping initialization back-filled them) —
+        # old versions materialized from before the initialization carry
+        # none of their own
+        self._head_dir_ids = head.get("dir_col_ids", {})
 
     def initialOffset(self) -> dict:
         return {"version": max(0, self.start_version - 1)}
@@ -176,13 +228,32 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         if self.mode == "cdf":
             parts = self._cdf_partitions(lo, hi)
         else:
-            parts = [
-                _FilePartition(
-                    f"{self.path}/{frel}", v, self._arrow_schema_bytes
+            from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                _live_file_rels,
+                _materialize,
+            )
+
+            parts = []
+            for v in range(lo + 1, hi + 1):
+                now_c = _materialize(self.path, v)
+                now = set(_live_file_rels(now_c))
+                prev = (
+                    set(_live_file_rels(_materialize(self.path, v - 1)))
+                    if v > 1
+                    else set()
                 )
-                for v in range(lo + 1, hi + 1)
-                for frel in _added_files(self.path, v)
-            ]
+                dci = now_c.get("dir_col_ids", {})
+                for frel in sorted(now - prev):
+                    d = frel.rsplit("/", 1)[0]
+                    parts.append(
+                        _FilePartition(
+                            f"{self.path}/{frel}",
+                            v,
+                            self._arrow_schema_bytes,
+                            self._head_dir_ids.get(d) or dci.get(d),
+                            self._name_by_id,
+                        )
+                    )
         # Spark requires >=1 partition per planned batch; an empty range
         # (e.g. a metadata-only commit) contributes an empty partition
         if not parts:
@@ -245,6 +316,8 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 )
                 if not o_side and not n_side:
                     continue
+                o_dci = {**old.get("dir_col_ids", {}), **self._head_dir_ids}
+                n_dci = {**new.get("dir_col_ids", {}), **self._head_dir_ids}
                 parts.append(
                     _CdfPartition(
                         self.path,
@@ -267,6 +340,17 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                         ],
                         list(keys) if keys else None,
                         self._arrow_schema_bytes,
+                        {
+                            r: o_dci[r.rsplit("/", 1)[0]]
+                            for r in o_side
+                            if r.rsplit("/", 1)[0] in o_dci
+                        },
+                        {
+                            r: n_dci[r.rsplit("/", 1)[0]]
+                            for r in n_side
+                            if r.rsplit("/", 1)[0] in n_dci
+                        },
+                        self._name_by_id,
                     )
                 )
         return parts
@@ -284,10 +368,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             return iter(())
         t = pq.read_table(partition.file_path)
         n = len(t)
+        src_of = _source_columns(
+            t.column_names, partition.dir_map, partition.name_by_id
+        )
         cols = []
         for field in target:
-            if field.name in t.column_names:
-                cols.append(t.column(field.name).cast(field.type))
+            if field.name in src_of:
+                cols.append(t.column(src_of[field.name]).cast(field.type))
             else:
                 cols.append(pa.nulls(n, field.type))  # pre-evolution file
         cols.append(pa.array([partition.version] * n, pa.int64()))
@@ -346,15 +433,20 @@ def _read_cdf_partition(p: "_CdfPartition"):
             out[c] = s.astype(object).where(s.notna(), _NULL)
         return out
 
-    def _load_side(rels: list[str], deletes: list[dict]) -> pd.DataFrame:
+    def _load_side(
+        rels: list[str], deletes: list[dict], maps: dict
+    ) -> pd.DataFrame:
         frames = []
         for rel in rels:
             t = pq.read_table(f"{p.root}/{rel}")
             n = len(t)
+            src_of = _source_columns(
+                t.column_names, maps.get(rel), p.name_by_id
+            )
             cols = []
             for field in target:
-                if field.name in t.column_names:
-                    cols.append(t.column(field.name).cast(field.type))
+                if field.name in src_of:
+                    cols.append(t.column(src_of[field.name]).cast(field.type))
                 else:
                     cols.append(pa.nulls(n, field.type))
             df = pa.table(cols, schema=target).to_pandas().reset_index(
@@ -364,13 +456,19 @@ def _read_cdf_partition(p: "_CdfPartition"):
             for entry in deletes:
                 if stage not in entry["stages"] or df.empty:
                     continue
-                if entry["ref"] not in delete_keys_cache:
-                    delete_keys_cache[entry["ref"]] = pq.read_table(
-                        f"{p.root}/{entry['ref']}"
-                    ).to_pandas()
+                ck = (entry["ref"], tuple(entry["cols"]))
+                if ck not in delete_keys_cache:
+                    kt = pq.read_table(f"{p.root}/{entry['ref']}")
+                    kdf = kt.to_pandas()
+                    # key files keep pre-rename physical names; re-label
+                    # to the entry's current logical match columns
+                    fcols = entry.get("key_cols", entry["cols"])
+                    kdf = kdf[list(fcols)]
+                    kdf.columns = list(entry["cols"])
+                    delete_keys_cache[ck] = kdf
                 kcols = list(entry["cols"])
                 rk = _sentinel(
-                    delete_keys_cache[entry["ref"]], kcols
+                    delete_keys_cache[ck], kcols
                 ).drop_duplicates()
                 rk = rk.assign(__hit=1)
                 m = _sentinel(df, kcols).merge(rk, on=kcols, how="left")
@@ -396,8 +494,8 @@ def _read_cdf_partition(p: "_CdfPartition"):
             first.setdefault(key, vals[i])
         return counts, first
 
-    oc, of_ = _index(_load_side(p.old_rels, p.old_deletes))
-    nc, nf_ = _index(_load_side(p.new_rels, p.new_deletes))
+    oc, of_ = _index(_load_side(p.old_rels, p.old_deletes, p.old_maps))
+    nc, nf_ = _index(_load_side(p.new_rels, p.new_deletes, p.new_maps))
     added, removed = [], []  # (original_row, multiplicity, norm_key)
     for key in oc.keys() | nc.keys():
         d = nc.get(key, 0) - oc.get(key, 0)

@@ -332,7 +332,15 @@ CHECKPOINT_EVERY = 8
 # manifest stamped with a HIGHER version was written by newer code whose
 # semantics this reader cannot honor (e.g. a future deletion-vector
 # format) — reads fail loudly instead of returning wrong rows.
-PROTOCOL_VERSION = 1
+# Version 2 = COLUMN MAPPING (rename/drop via stable column ids): a
+# mapped table stamps 2 so pre-mapping readers refuse instead of reading
+# old files' columns by now-stale names; unmapped tables keep stamping 1
+# and stay readable by older code.
+PROTOCOL_VERSION = 2
+
+
+def _required_protocol(content: dict) -> int:
+    return 2 if content.get("col_ids") else 1
 
 
 class UnsupportedProtocol(RuntimeError):
@@ -350,7 +358,7 @@ def _check_protocol(content: dict) -> dict:
 
 # dict-valued content keys that are diffed per entry; everything else
 # (schema, stats_ref, deletes, stream_batches, ...) sets wholesale
-_DICT_KEYS = ("partitions", "files", "dir_schemas")
+_DICT_KEYS = ("partitions", "files", "dir_schemas", "col_ids", "dir_col_ids")
 # per-commit provenance: always present in a delta's action set even when
 # the value did not change, so history never has to materialize to answer
 # "what op was this"
@@ -549,34 +557,159 @@ def _check_observed_constraints(obs, path: str, op: str) -> None:
         raise ConstraintViolation(path, op, bad)
 
 
+# --- column mapping (rename / drop via stable column ids) -----------------
+#
+# Delta's column-mapping design reduced to this log: every logical column
+# gets a STABLE id (`col_ids`: {logical_name: id}); every staged data
+# directory records which id each of its FILE columns carries
+# (`dir_col_ids`: {dir_rel: {file_col_name: id}}, immutable like the dir).
+# RENAME moves the logical name, the id stays — old files keep their bytes
+# and are re-labelled at read time. DROP removes the id from `col_ids`;
+# old files' column simply stops being selected, and a later ADD of the
+# same name takes a FRESH id, so dropped data can never resurrect under a
+# reused name. Mapping is initialized lazily by the first rename/drop;
+# unmapped tables behave exactly as before (and keep protocol 1).
+
+
+def _struct_field_names(simple: str) -> list[str]:
+    """Top-level field names of a ``simpleString`` struct type
+    (``struct<a:bigint,b:struct<x:int,y:int>,c:string>`` → [a, b, c]) —
+    a depth-aware split, no Spark session needed."""
+    if not (simple.startswith("struct<") and simple.endswith(">")):
+        return []
+    body = simple[len("struct<") : -1]
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(body + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = body[start:i]
+            if part:
+                names.append(part.split(":", 1)[0])
+            start = i + 1
+    return names
+
+
+def _ensure_column_mapping(content: dict) -> dict:
+    """Initialize the column-id mapping for a pre-mapping table: current
+    schema fields get ids 1..n, and every live directory's recorded write
+    schema maps its file columns to those ids (names were never renamed
+    before initialization, so by-name is exact). Returns ``content``
+    (mutated copy expected from the caller)."""
+    if content.get("col_ids"):
+        return content
+    import json as _json
+
+    fields = _json.loads(content["schema_json"])["fields"]
+    col_ids = {f["name"]: i + 1 for i, f in enumerate(fields)}
+    dir_col_ids: dict = {}
+    live = _live_dirs(content)
+    dir_schemas = content.get("dir_schemas", {})
+    for d in live:
+        names = _struct_field_names(dir_schemas.get(d, ""))
+        if not names:  # legacy dir without a recorded schema: full set
+            names = list(col_ids)
+        dir_col_ids[d] = {n: col_ids[n] for n in names if n in col_ids}
+    content["col_ids"] = col_ids
+    content["dir_col_ids"] = dir_col_ids
+    content["next_col_id"] = len(col_ids) + 1
+    return content
+
+
+def _record_dir_mapping(content: dict, rel: str, col_names: list[str]) -> None:
+    """Record the id mapping for a freshly staged directory (no-op on
+    unmapped tables). Columns the table has never seen get fresh ids —
+    this is where schema-evolution ADD assigns identity."""
+    if not content.get("col_ids"):
+        return
+    ids = dict(content["col_ids"])
+    nxt = content.get("next_col_id", (max(ids.values()) if ids else 0) + 1)
+    for c in col_names:
+        if c not in ids:
+            ids[c] = nxt
+            nxt += 1
+    content["col_ids"] = ids
+    content["next_col_id"] = nxt
+    content["dir_col_ids"] = {
+        **content.get("dir_col_ids", {}),
+        rel: {c: ids[c] for c in col_names},
+    }
+
+
+def _rename_exprs_for_dir(
+    content: dict, dir_rel: str, file_cols: list[str]
+) -> list | None:
+    """Select expressions re-labelling a directory's FILE columns to the
+    table's current LOGICAL names through the id mapping, dropping
+    columns whose id left ``col_ids``. None = identity (unmapped table,
+    or every name already current)."""
+    col_ids = content.get("col_ids")
+    if not col_ids:
+        return None
+    by_id = {i: n for n, i in col_ids.items()}
+    dmap = content.get("dir_col_ids", {}).get(dir_rel)
+    exprs, changed = [], False
+    for fc in file_cols:
+        if dmap is None or fc not in dmap:
+            # unmapped column (legacy dir): by-name, kept only if current
+            if fc in col_ids:
+                exprs.append(F.col(fc))
+            else:
+                changed = True
+            continue
+        cid = dmap[fc]
+        logical = by_id.get(cid)
+        if logical is None:
+            changed = True  # dropped column: not selected
+        elif logical == fc:
+            exprs.append(F.col(fc))
+        else:
+            exprs.append(F.col(fc).alias(logical))
+            changed = True
+    return exprs if changed else None
+
+
 def _load_table_files(
     spark, path: str, content: dict, rels: list[str]
 ) -> "DataFrame":
     """Load an explicit file list honoring SCHEMA EVOLUTION including
-    TYPE WIDENING: each staged directory's write schema is recorded in
-    the manifest (``dir_schemas``), so files are loaded per schema group
-    and aligned to the table's CURRENT schema (missing columns null,
-    narrower types cast up). Parquet's own mergeSchema only handles
-    added/dropped columns — an int→bigint widening makes it fail with
+    TYPE WIDENING and COLUMN MAPPING: each staged directory's write
+    schema is recorded in the manifest (``dir_schemas``), so files are
+    loaded per (schema, column-id mapping) group, re-labelled to current
+    logical names through the id mapping (renames), and aligned to the
+    table's CURRENT schema (missing/dropped columns null, narrower types
+    cast up). Parquet's own mergeSchema only handles added/dropped
+    columns — an int→bigint widening makes it fail with
     CANNOT_MERGE_SCHEMAS, so homogeneous groups are the only safe unit.
     One group (the overwhelmingly common case) short-circuits to a plain
     load."""
     fmt = content.get("fmt", "parquet")
     dir_schemas: dict = content.get("dir_schemas", {})
+    dir_col_ids: dict = content.get("dir_col_ids", {})
 
-    def schema_of(rel: str) -> str:
+    def group_key(rel: str):
         d = rel.rsplit("/", 1)[0]
-        return dir_schemas.get(d, "")
+        m = dir_col_ids.get(d)
+        return (
+            dir_schemas.get(d, ""),
+            tuple(sorted(m.items())) if m is not None else None,
+        )
 
-    groups: dict[str, list[str]] = {}
+    groups: dict[tuple, list[str]] = {}
     for rel in rels:
-        groups.setdefault(schema_of(rel), []).append(rel)
+        groups.setdefault(group_key(rel), []).append(rel)
 
     def load(group_rels: list[str]):
         reader = spark.read.format(fmt)
         if fmt == "parquet":
             reader = reader.option("mergeSchema", "true")
-        return reader.load([f"{path}/{rel}" for rel in group_rels])
+        df = reader.load([f"{path}/{rel}" for rel in group_rels])
+        exprs = _rename_exprs_for_dir(
+            content, group_rels[0].rsplit("/", 1)[0], df.columns
+        )
+        return df.select(*exprs) if exprs is not None else df
 
     if len(groups) <= 1:
         return load(rels)
@@ -663,7 +796,11 @@ def _publish_manifest(
     # reader-protocol stamp (Delta's minReaderVersion idea): a future
     # format change bumps this, and old readers fail loudly instead of
     # misreading — see _check_protocol
-    content.setdefault("protocol", PROTOCOL_VERSION)
+    # stamp the LOWEST protocol the content actually requires, so tables
+    # not using newer features stay readable by older code
+    content["protocol"] = max(
+        content.get("protocol", 1), _required_protocol(content)
+    )
 
     payload = content
     if version > 1 and version % CHECKPOINT_EVERY != 0:
@@ -884,8 +1021,12 @@ def _apply_deletes(spark, path: str, df: DataFrame, content: dict) -> DataFrame:
     out = df.withColumn("__src", F.input_file_name())
     for i, entry in enumerate(deletes):
         keys = spark.read.parquet(f"{path}/{entry['ref']}")
+        # key FILES are immutable: a column rename re-labels the entry's
+        # logical match columns ("cols") but the file keeps its original
+        # names ("key_cols", defaulted for pre-rename entries)
+        file_cols = entry.get("key_cols", entry["cols"])
         renamed = keys.select(
-            *[F.col(c).alias(f"__dk_{i}_{j}") for j, c in enumerate(entry["cols"])]
+            *[F.col(c).alias(f"__dk_{i}_{j}") for j, c in enumerate(file_cols)]
         ).dropDuplicates()
         in_scope = None
         for stage in entry["stages"]:
@@ -1212,6 +1353,18 @@ def _stage_and_commit(
         # must never erase another component's state
         for k, v in base.items():
             nc.setdefault(k, v)
+        if nc.get("col_ids"):
+            # column mapping: drop dead dirs' entries, record the staged
+            # dirs' (new columns get fresh ids — schema-evolution ADD)
+            nc["dir_col_ids"] = {
+                d: m
+                for d, m in base.get("dir_col_ids", {}).items()
+                if d in live_dirs
+            }
+            staged_names = _struct_field_names(out_schema)
+            for k in touched_keys:
+                if staged_files[k]:
+                    _record_dir_mapping(nc, staged_rel[k], staged_names)
         nc["deletes"] = _purge_dead_deletes(nc)
         return nc
 
@@ -1936,6 +2089,17 @@ def manifest_compact(
     content["dir_schemas"] = {
         d: sc for d, sc in dir_schemas.items() if d in live_dirs
     }
+    if content.get("col_ids"):
+        content["dir_col_ids"] = {
+            d: m
+            for d, m in content.get("dir_col_ids", {}).items()
+            if d in live_dirs
+        }
+        for k in selected:
+            if k in written:
+                _record_dir_mapping(
+                    content, written[k][0], _struct_field_names(new_schema)
+                )
     content["deletes"] = _purge_dead_deletes(content)
     files_after = sum(len(files.get(k, [])) for k in selected)
     _publish_manifest(
@@ -2040,6 +2204,23 @@ def manifest_diff(
 
     old_df = _read(changed_old, old_content)
     new_df = _read(changed_new, new_content)
+    # column mapping across the diff: a rename between the two versions
+    # must not split one column into delete-everything/insert-everything
+    # noise — re-label the OLD side to the new version's names where the
+    # stable column ids match (only when both versions carry mapping;
+    # pre-mapping versions compare by name, the pre-rename truth)
+    o_ids, n_ids = old_content.get("col_ids"), new_content.get("col_ids")
+    if o_ids and n_ids:
+        n_by_id = {i: n for n, i in n_ids.items()}
+        ren = {
+            n: n_by_id[i]
+            for n, i in o_ids.items()
+            if i in n_by_id and n_by_id[i] != n
+        }
+        if ren:
+            old_df = old_df.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in old_df.columns]
+            )
     # schema evolution across the diff: align both sides on the union of
     # columns (missing -> null) so exceptAll compares like with like
     cols = list(dict.fromkeys([*old_df.columns, *new_df.columns]))
@@ -2219,6 +2400,20 @@ def manifest_replace_partitions(
     }
     for k, v in content.items():
         new_content.setdefault(k, v)
+    if new_content.get("col_ids"):
+        live = _live_dirs({"partitions": parts, "files": files})
+        new_content["dir_col_ids"] = {
+            d: m
+            for d, m in new_content.get("dir_col_ids", {}).items()
+            if d in live
+        }
+        for k in wanted:
+            if k in staged_dirs:
+                _record_dir_mapping(
+                    new_content,
+                    staged_dirs[k][0],
+                    _struct_field_names(out_schema),
+                )
     _publish_manifest(
         path,
         version + 1,
@@ -2528,6 +2723,168 @@ def manifest_drop_constraint(path: str, name: str) -> None:
     _publish_manifest(
         path, version + 1, content, op=f"drop-constraint({name})"
     )
+
+
+def _rewrite_schema_fields(content: dict, fn) -> None:
+    """Apply ``fn(fields) -> fields`` to the table schema, refreshing
+    both the JSON and simpleString forms (pure Python — StructType's
+    serialization is sessionless)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    d = _json.loads(content["schema_json"])
+    d["fields"] = fn(d["fields"])
+    st = StructType.fromJson(d)
+    content["schema_json"] = st.json()
+    content["schema"] = st.simpleString()
+
+
+def _refuse_if_referenced(content: dict, name: str, op: str) -> None:
+    """Loud refusal when a rename/drop would break a dependent object:
+    the partition column (layout identity) or a CHECK constraint whose
+    expression mentions the column (token match errs on refusal — a
+    false positive costs a constraint drop/re-add, a false negative a
+    silently broken table)."""
+    import re
+
+    if name == content.get("partition_col"):
+        raise ValueError(
+            f"cannot {op} partition column {name!r} — repartitioning is a "
+            "different operation (write a new table)"
+        )
+    for cname, expr in (content.get("constraints") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", expr):
+            raise ValueError(
+                f"cannot {op} column {name!r}: constraint {cname!r} "
+                f"references it ({expr!r}) — drop the constraint first"
+            )
+
+
+def _rekey_index_sidecars(path: str, content: dict, old: str, new: str | None) -> None:
+    """Rename (``new`` given) or purge (``new=None``) one column's
+    entries across the zone-map and bloom sidecars, writing fresh
+    immutable sidecar files. Rekeying keeps the indexes ALIVE across a
+    rename — same bytes, same stats, new label; purging on drop removes
+    them so a later column reusing the name can never be pruned by the
+    dead column's values (unsound). Bounded by index size, zero data
+    I/O."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _load_bloom_sidecar,
+        _load_stats_sidecar,
+        _write_bloom_sidecar,
+        _write_stats_sidecar,
+    )
+
+    if content.get("stats_ref"):
+        stats = _load_stats_sidecar(path, content)
+        touched = False
+        for e in stats.values():
+            if old in e["cols"]:
+                c = e["cols"].pop(old)
+                if new is not None:
+                    e["cols"][new] = c
+                touched = True
+        if touched:
+            content["stats_ref"] = _write_stats_sidecar(path, stats)
+    if old in content.get("stats_cols", []):
+        content["stats_cols"] = sorted(
+            (set(content.get("stats_cols", [])) - {old})
+            | ({new} if new is not None else set())
+        )
+    if content.get("bloom_ref"):
+        bloom = _load_bloom_sidecar(path, content)
+        if old in bloom:
+            entry = bloom.pop(old)
+            if new is not None:
+                bloom[new] = entry
+            content["bloom_ref"] = (
+                _write_bloom_sidecar(path, bloom) if bloom else None
+            )
+
+
+def manifest_rename_column(path: str, old: str, new: str) -> None:
+    """RENAME COLUMN — metadata-only commit via COLUMN MAPPING (Delta's
+    design: the logical name moves, the stable column id stays, data
+    files never move). Old files stay readable under the new name (the
+    read path re-labels through ``dir_col_ids``), time travel still
+    shows the old name at old versions, zone-map/bloom entries REKEY to
+    the new name (same bytes, indexes stay warm), and pending
+    merge-on-read delete entries re-label their match columns while
+    their key FILES keep the old physical name (``key_cols``). Refuses
+    the partition column and constraint-referenced columns. Initializes
+    mapping lazily; the table stamps reader protocol 2 from here on."""
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"no manifest table at {path}")
+    content = dict(content)
+    import json as _json
+
+    names = [f["name"] for f in _json.loads(content["schema_json"])["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} at {path} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists at {path}")
+    _refuse_if_referenced(content, old, "rename")
+    _ensure_column_mapping(content)
+    col_ids = dict(content["col_ids"])
+    col_ids[new] = col_ids.pop(old)
+    content["col_ids"] = col_ids
+    _rewrite_schema_fields(
+        content,
+        lambda fs: [
+            {**f, "name": new} if f["name"] == old else f for f in fs
+        ],
+    )
+    deletes = []
+    for e in content.get("deletes") or []:
+        e = dict(e)
+        # key files are immutable: remember their physical column names
+        # once, then re-label the logical match columns freely
+        e.setdefault("key_cols", list(e["cols"]))
+        e["cols"] = [new if c == old else c for c in e["cols"]]
+        deletes.append(e)
+    content["deletes"] = deletes
+    _rekey_index_sidecars(path, content, old, new)
+    _publish_manifest(
+        path, version + 1, content, op=f"rename-column({old}->{new})"
+    )
+
+
+def manifest_drop_column(path: str, name: str) -> None:
+    """DROP COLUMN — metadata-only commit via COLUMN MAPPING: the id
+    leaves ``col_ids`` so no reader selects the column again; data files
+    never move (their bytes become dead weight until natural rewrites age
+    them out — Delta makes the same trade). A later ADD of the same name
+    takes a FRESH id, so the dropped data cannot resurrect under the
+    reused name; the column's index entries are purged for the same
+    reason. Refuses the partition column, constraint-referenced columns,
+    and pending delete entries' key columns."""
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"no manifest table at {path}")
+    content = dict(content)
+    import json as _json
+
+    names = [f["name"] for f in _json.loads(content["schema_json"])["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r} at {path} (have {names})")
+    _refuse_if_referenced(content, name, "drop")
+    for e in content.get("deletes") or []:
+        if name in e["cols"]:
+            raise ValueError(
+                f"cannot drop column {name!r}: a pending merge-on-read "
+                "delete entry matches on it — compact first"
+            )
+    _ensure_column_mapping(content)
+    col_ids = dict(content["col_ids"])
+    del col_ids[name]
+    content["col_ids"] = col_ids
+    _rewrite_schema_fields(
+        content, lambda fs: [f for f in fs if f["name"] != name]
+    )
+    _rekey_index_sidecars(path, content, name, None)
+    _publish_manifest(path, version + 1, content, op=f"drop-column({name})")
 
 
 def manifest_count(

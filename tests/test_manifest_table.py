@@ -1314,7 +1314,11 @@ def test_protocol_version_guard(spark, table_path):
         _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
     )
     v, content = _latest_manifest(table_path)
-    assert content["protocol"] == PROTOCOL_VERSION
+    # commits stamp the LOWEST protocol their content requires — a table
+    # not using column mapping stays readable by protocol-1 code even
+    # though this engine understands up to PROTOCOL_VERSION
+    assert content["protocol"] == 1
+    assert PROTOCOL_VERSION >= 2
 
     _publish_manifest(
         table_path, v + 1, dict(content, protocol=PROTOCOL_VERSION + 1)
