@@ -512,6 +512,102 @@ class CommitConflict(RuntimeError):
     same contract Delta/Iceberg give through their locking/CAS layer)."""
 
 
+# --- pluggable commit point ------------------------------------------------
+#
+# Everything in the protocol reduces to ONE primitive: atomically publish
+# bytes as `<version>.json` iff that name does not exist, with exactly one
+# winner under concurrency. POSIX/HDFS give it via exclusive link(2);
+# S3-class object stores give it via conditional PUT (`If-None-Match: *`).
+# The backend is injectable so the same table code runs on both — and so
+# tests can drive the object-store semantics without an object store.
+
+
+class CommitBackend:
+    """Commit-point abstraction: publish ``payload`` as the content of
+    ``target`` iff absent. Returns True on win, False when the target
+    already exists (the one losing mode); any other failure raises. The
+    write must be all-or-nothing — a reader may never observe a torn
+    ``target``."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        raise NotImplementedError
+
+
+class PosixLinkCommitBackend(CommitBackend):
+    """Default: writer-unique temp file in the target's directory,
+    fsync, then ``os.link`` to the target. link(2) fails with EEXIST if
+    the target exists — unlike ``os.replace`` it can NEVER clobber a
+    concurrent writer's commit."""
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        import os
+        import uuid
+
+        d = os.path.dirname(target)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(
+            d, f".{os.path.basename(target)}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+
+
+class ConditionalPutCommitBackend(CommitBackend):
+    """Object-store shape: the server applies existence check + write as
+    ONE atomic operation (``PUT If-None-Match: *`` on S3/GCS/Azure).
+    This in-process stand-in serializes that pair under a lock over the
+    local filesystem — byte-for-byte the semantics a real conditional
+    PUT provides, which is what lets the two-writer and threaded stress
+    tests certify the protocol against the object-store commit point
+    without an object store. A real S3 backend replaces the lock with
+    the service call; nothing else in the protocol changes."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, target: str, payload: bytes) -> bool:
+        import os
+
+        with self._lock:  # the service-side atomicity of the PUT
+            if os.path.exists(target):
+                return False
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            tmp = f"{target}.inflight"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, target)  # readers never see a torn object
+        return True
+
+
+_commit_backend: CommitBackend = PosixLinkCommitBackend()
+
+
+def get_commit_backend() -> CommitBackend:
+    return _commit_backend
+
+
+def set_commit_backend(backend: CommitBackend) -> CommitBackend:
+    """Swap the process-wide commit backend (e.g. for an object-store
+    deployment); returns the previous one so callers can restore it."""
+    global _commit_backend
+    prev = _commit_backend
+    _commit_backend = backend
+    return prev
+
+
 class ConstraintViolation(RuntimeError):
     """A write-time table constraint (CHECK / NOT NULL) failed for the
     batch being committed. Nothing was staged or committed — the table
@@ -784,7 +880,6 @@ def _publish_manifest(
     import json
     import os
     import time
-    import uuid
 
     content = dict(content)
     if op is not None:
@@ -815,21 +910,16 @@ def _publish_manifest(
 
     d = _manifest_dir(path)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".{version}.json.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
     target = os.path.join(d, f"{version}.json")
-    try:
-        os.link(tmp, target)
-    except FileExistsError:
+    # the ONE commit-point primitive, behind the pluggable backend
+    # (exclusive link on POSIX/HDFS, conditional PUT on object stores)
+    if not get_commit_backend().put_if_absent(
+        target, json.dumps(payload).encode()
+    ):
         raise CommitConflict(
             f"manifest version {version} already committed at {path}; "
             "re-read the latest manifest and retry"
-        ) from None
-    finally:
-        os.unlink(tmp)
+        )
     _write_latest_hint(d, version)
 
 

@@ -1861,3 +1861,86 @@ def test_latest_hint_below_vacuum_floor_falls_back_to_listing(
     v, content = _latest_manifest(table_path)
     assert v == 10
     assert len(content["partitions"]) == 10
+
+
+@pytest.fixture()
+def conditional_put_backend():
+    """Swap in the object-store-shaped commit backend (atomic
+    conditional PUT) for one test, restoring the POSIX default after."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        ConditionalPutCommitBackend,
+        set_commit_backend,
+    )
+
+    prev = set_commit_backend(ConditionalPutCommitBackend())
+    yield
+    set_commit_backend(prev)
+
+
+def test_conditional_put_backend_two_writer_race(
+    spark, table_path, conditional_put_backend
+):
+    """The pluggable commit point (VERDICT r06 #5) under the
+    object-store backend: same one-winner/loud-loser contract as the
+    exclusive link, exercised through the identical protocol path."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CommitConflict,
+        _publish_manifest,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    version, content = _latest_manifest(table_path)
+    _publish_manifest(table_path, version + 1, dict(content, winner="A"))
+    with pytest.raises(CommitConflict):
+        _publish_manifest(table_path, version + 1, dict(content, winner="B"))
+    v2, c2 = _latest_manifest(table_path)
+    assert v2 == version + 1 and c2.get("winner") == "A"
+    # no in-flight debris visible as a commit
+    assert not [
+        n
+        for n in os.listdir(f"{table_path}/_commits")
+        if n.endswith(".inflight") or n.endswith(".tmp")
+    ]
+
+
+def test_conditional_put_backend_threaded_stress(
+    spark, table_path, conditional_put_backend
+):
+    """Threaded writers against the conditional-PUT commit point: every
+    commit lands exactly once (fast-forward + retry loop unchanged — the
+    backend only swaps the atomicity primitive)."""
+    import threading
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        with_commit_retry,
+    )
+
+    n_threads, n_rounds = 4, 2
+    errors: list[Exception] = []
+
+    def writer(t: int) -> None:
+        try:
+            for r in range(n_rounds):
+                b = _batch(spark, [(t, f"d{t}", float(10 * t + r))])
+                with_commit_retry(
+                    lambda b=b: manifest_upsert_partitioned(
+                        b, table_path, ["k"], "day"
+                    ),
+                    max_attempts=10,
+                )
+        except Exception as e:  # pragma: no cover — failure is the assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert errors == []
+    assert _content(manifest_read(spark, table_path)) == [
+        (t, f"d{t}", float(10 * t + n_rounds - 1)) for t in range(n_threads)
+    ]
