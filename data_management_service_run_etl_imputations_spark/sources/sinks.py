@@ -408,13 +408,54 @@ def _apply_actions(content: dict, actions: dict) -> dict:
     return out
 
 
+def _checkpoint_dir(path: str) -> str:
+    return f"{_manifest_dir(path)}/_checkpoints"
+
+
+def _has_checkpoint(path: str, version: int) -> bool:
+    import os
+
+    return os.path.isfile(f"{_checkpoint_dir(path)}/{version}.meta.json")
+
+
+def _load_checkpoint(path: str, version: int) -> dict:
+    """Reassemble a version's full content from its parquet checkpoint:
+    the O(files) part (per-partition file lists) from the columnar
+    sidecar, everything else from the small meta JSON. Row order is
+    restored from the explicit index column — file-list order is part of
+    the content (comparisons are order-sensitive)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(f"{_checkpoint_dir(path)}/{version}.meta.json") as f:
+        content = json.load(f)
+    files_ref = content.pop("files_ref")
+    t = pq.read_table(f"{_checkpoint_dir(path)}/{files_ref}")
+    rows = sorted(
+        zip(
+            *(t.column(c).to_pylist() for c in ("part", "rel", "size", "rows", "idx"))
+        ),
+        key=lambda r: r[4],
+    )
+    files: dict[str, list] = {}
+    for part, rel, size, nrows, _ in rows:
+        files.setdefault(part, []).append([rel, size, nrows])
+    content["files"] = files
+    return content
+
+
 def _materialize(path: str, version: int) -> dict:
-    """Full content of a committed version: walk back to the nearest full
-    snapshot, then replay the delta chain forward. Chain length is
-    bounded by CHECKPOINT_EVERY."""
+    """Full content of a committed version: walk back to the nearest
+    anchor — a parquet CHECKPOINT or a full-snapshot commit file — then
+    replay the delta chain forward. Chain length is bounded by the
+    checkpoint cadence."""
     chain: list[dict] = []
     v = version
     while True:
+        if _has_checkpoint(path, v):
+            content = _load_checkpoint(path, v)
+            break
         c = _read_commit_file(path, v)
         if "delta_from" not in c:
             content = c
@@ -431,6 +472,98 @@ def _commit_meta(commit: dict) -> dict:
     if "delta_from" in commit:
         return commit["actions"].get("set", {})
     return commit
+
+
+def _latest_checkpoint_version(path: str, at_or_below: int | None = None) -> int:
+    """Highest checkpointed version (optionally ≤ a bound); 0 if none.
+    One small directory listing of the checkpoint dir."""
+    import os
+
+    d = _checkpoint_dir(path)
+    best = 0
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".meta.json"):
+                try:
+                    v = int(name.split(".", 1)[0])
+                except ValueError:
+                    continue
+                if at_or_below is None or v <= at_or_below:
+                    best = max(best, v)
+    return best
+
+
+def manifest_checkpoint(spark, path: str, version: int | None = None) -> int:
+    """Write a PARQUET CHECKPOINT for a version (default: head) — the
+    out-of-log anchor that keeps every commit O(diff): the per-partition
+    file lists (the O(files) share of table metadata) land as one
+    Spark-written parquet under ``_commits/_checkpoints/``, the small
+    remainder as a meta JSON published through the atomic commit backend
+    (one winner among concurrent checkpointers; a checkpoint is derived
+    state, so losing is a no-op). Readers materialize any version from
+    the nearest checkpoint plus its forward delta chain — this is
+    Delta's parquet-checkpoint design. Returns the checkpointed
+    version."""
+    import json
+    import os
+
+    import uuid
+
+    version, content = _resolve_manifest(path, version)
+    if (
+        version == 0
+        or _has_checkpoint(path, version)
+        or "files" not in content  # legacy listing-fallback table
+    ):
+        return version
+    rows = [
+        (part, e[0], e[1], e[2] if len(e) > 2 else None, i)
+        for i, (part, e) in enumerate(
+            (part, e)
+            for part in sorted(content["files"])
+            for e in content["files"][part]
+        )
+    ]
+    ckpt_dir = _checkpoint_dir(path)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    # writer-unique files dir, referenced from the meta JSON whose
+    # exclusive publish is the checkpoint's commit point — concurrent
+    # checkpointers never touch each other's bytes
+    files_ref = f"{version}.files.{uuid.uuid4().hex[:8]}.parquet"
+    (
+        spark.createDataFrame(
+            rows, "part STRING, rel STRING, size LONG, rows LONG, idx LONG"
+        )
+        .repartition(max(1, len(rows) // 100_000 + 1))
+        .write.mode("errorifexists")
+        .parquet(f"{ckpt_dir}/{files_ref}")
+    )
+    meta = {k: v for k, v in content.items() if k != "files"}
+    meta["files_ref"] = files_ref
+    published = get_commit_backend().put_if_absent(
+        f"{ckpt_dir}/{version}.meta.json", json.dumps(meta).encode()
+    )
+    if not published:
+        # another checkpointer won the race for this version — identical
+        # derived content; drop the losing bytes
+        import shutil
+
+        shutil.rmtree(f"{ckpt_dir}/{files_ref}", ignore_errors=True)
+    return version
+
+
+def _maybe_auto_checkpoint(spark, path: str, version: int) -> None:
+    """Best-effort cadence trigger called by writers after a successful
+    commit: checkpoint when the head has drifted CHECKPOINT_EVERY or
+    more versions past the newest checkpoint (or the v1 snapshot).
+    Failure never fails the commit — the log alone is always
+    sufficient."""
+    try:
+        anchor = max(1, _latest_checkpoint_version(path, version))
+        if version - anchor >= CHECKPOINT_EVERY:
+            manifest_checkpoint(spark, path, version)
+    except Exception:  # pragma: no cover — checkpointing is derived state
+        pass
 
 
 def _latest_manifest(path: str) -> tuple[int, dict]:
@@ -898,7 +1031,11 @@ def _publish_manifest(
     )
 
     payload = content
-    if version > 1 and version % CHECKPOINT_EVERY != 0:
+    if version > 1:
+        # ALWAYS a delta: the anchor role the every-8th full JSON
+        # snapshot used to play moved to out-of-log PARQUET CHECKPOINTS
+        # (executor-written, _commits/_checkpoints/) so no commit ever
+        # serializes O(table) metadata on the driver
         try:
             base = _materialize(path, version - 1)
             payload = {
@@ -1164,6 +1301,7 @@ def manifest_delete(
     _publish_manifest(
         path, version + 1, content, op="delete", op_metrics={"delete_keys": n}
     )
+    _maybe_auto_checkpoint(spark, path, version + 1)
     return {"keys": n}
 
 
@@ -1511,6 +1649,7 @@ def _stage_and_commit(
         raise CommitConflict(
             f"{op} at {path} lost {16} fast-forward commit races"
         )
+    _maybe_auto_checkpoint(merged.sparkSession, path, version + 1)
     return n_merged
 
 
@@ -2203,6 +2342,7 @@ def manifest_compact(
             "files_after": files_after,
         },
     )
+    _maybe_auto_checkpoint(spark, path, version + 1)
     return {
         "partitions": len(selected),
         "files_before": files_before,
@@ -2514,6 +2654,7 @@ def manifest_replace_partitions(
             "partitions_dropped": dropped,
         },
     )
+    _maybe_auto_checkpoint(spark, path, version + 1)
     return {"partitions_written": written, "partitions_dropped": dropped}
 
 
@@ -2551,16 +2692,34 @@ def manifest_vacuum(
             if ts is not None and ts >= cutoff:
                 keep.add(v)
     # a kept DELTA version materializes through its parent chain: those
-    # commit files must survive too (chain closure, bounded by
-    # CHECKPOINT_EVERY per kept version) — only their metadata, not the
-    # data/sidecars their snapshots referenced
+    # commit files must survive too (chain closure, bounded by the
+    # checkpoint cadence per kept version) — only their metadata, not the
+    # data/sidecars their snapshots referenced. A parquet CHECKPOINT is
+    # an equivalent anchor: the walk stops there.
     needed = set(keep)
     dense_floor: int | None = None
     referenced: set[str] = set()
     sidecars: set[str] = set()
+    # LOG COMPACTION: anchor the oldest kept version so its delta chain
+    # cannot force retaining versions below it — materialize once and
+    # rewrite its commit file as a content-identical full snapshot
+    # (atomic replace; vacuum is the one writer allowed to touch
+    # existing log bytes, and only with equivalent content)
+    if keep:
+        vmin = min(keep)
+        if not _has_checkpoint(path, vmin):
+            c = _read_commit_file(path, vmin)
+            if "delta_from" in c:
+                snap = _materialize(path, vmin)
+                tmp = os.path.join(d, f".{vmin}.json.compact.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(snap, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, os.path.join(d, f"{vmin}.json"))
     for v in keep:
         u = v
-        while True:
+        while not _has_checkpoint(path, u):
             c = _read_commit_file(path, u)
             if "delta_from" not in c:
                 break
@@ -2610,6 +2769,27 @@ def manifest_vacuum(
     for v in versions:
         if v not in needed and (dense_floor is None or v < dense_floor):
             os.remove(os.path.join(d, f"{v}.json"))
+    # checkpoint GC: anchors for kept/needed versions (and anything
+    # above the density floor — cheap, and they speed up time travel)
+    # survive; older checkpoints and orphaned loser files dirs go
+    ckd = _checkpoint_dir(path)
+    if os.path.isdir(ckd):
+        live_refs: set[str] = set()
+        for name in os.listdir(ckd):
+            if not name.endswith(".meta.json"):
+                continue
+            try:
+                v = int(name.split(".", 1)[0])
+            except ValueError:
+                continue
+            if v in needed or (dense_floor is not None and v >= dense_floor):
+                with open(os.path.join(ckd, name)) as f:
+                    live_refs.add(json.load(f).get("files_ref"))
+            else:
+                os.remove(os.path.join(ckd, name))
+        for name in os.listdir(ckd):
+            if ".files." in name and name not in live_refs:
+                shutil.rmtree(os.path.join(ckd, name), ignore_errors=True)
     if keep:
         _write_latest_hint(d, max(keep))  # a regressed hint must not
         # point at a version this vacuum just removed

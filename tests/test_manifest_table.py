@@ -1094,8 +1094,12 @@ def test_incremental_log_bounds_commit_cost(spark, table_path):
     assert "delta_from" in raw2
     size_delta = os.path.getsize(f"{table_path}/_commits/2.json")
     assert size_delta * 5 < size_full, (size_delta, size_full)
+    # EVERY commit after v1 is a delta — the anchor role moved to the
+    # out-of-log parquet checkpoint, so no commit ever serializes
+    # O(table) metadata on the driver
     raw8 = json.loads(open(f"{table_path}/_commits/8.json").read())
-    assert "delta_from" not in raw8  # checkpoint: full snapshot
+    assert "delta_from" in raw8
+    assert not os.path.isdir(f"{table_path}/_commits/_checkpoints")
 
     # materialization through the delta chain: latest and mid-chain reads
     expect = {k: (k, f"d{k}", float(k)) for k in range(40)}
@@ -1113,17 +1117,28 @@ def test_incremental_log_bounds_commit_cost(spark, table_path):
     assert all(h["op"] == "upsert" for h in hist)
     assert all(h["n_partitions"] == 40 for h in hist)
 
-    # vacuum keeps the chain a kept delta depends on
+    # v9 drifts CHECKPOINT_EVERY past the v1 anchor: the writer drops an
+    # executor-written parquet checkpoint (commit itself stays a delta)
     manifest_upsert_partitioned(
         _batch(spark, [(1, "d1", 999.0)]), table_path, ["k"], "day"
-    )  # v9: delta from the v8 checkpoint
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _has_checkpoint,
+    )
+
+    assert _has_checkpoint(table_path, 9)
+    raw9 = json.loads(open(f"{table_path}/_commits/9.json").read())
+    assert "delta_from" in raw9
+
+    # vacuum: the checkpoint is the anchor, so the whole delta chain
+    # below the kept head can go; reads materialize from the checkpoint
     manifest_vacuum(table_path, keep_versions=1)
     left = sorted(
         int(n[:-5])
         for n in os.listdir(f"{table_path}/_commits")
         if n.endswith(".json")
     )
-    assert left == [8, 9]  # v9 + its checkpoint parent; v1..v7 pruned
+    assert left == [9], left
     expect[1] = (1, "d1", 999.0)
     assert _content(manifest_read(spark, table_path)) == sorted(expect.values())
 
@@ -1149,15 +1164,16 @@ def test_vacuum_time_based_retention(spark, table_path):
         (0, "d0", 0.0)
     ]
 
-    # zero window: version-count retention keeps v3 plus the delta chain
-    # (v2, v1) its materialization replays through
+    # zero window: version-count retention keeps only v3 — vacuum's log
+    # compaction rewrites it as a content-identical full snapshot, so
+    # the delta chain below is no longer needed and is pruned
     manifest_vacuum(table_path, keep_versions=1, retain_seconds=0)
     left = sorted(
         int(n[:-5])
         for n in os.listdir(f"{table_path}/_commits")
         if n.endswith(".json")
     )
-    assert left == [1, 2, 3]
+    assert left == [3]
     assert _content(manifest_read(spark, table_path)) == [
         (0, "d0", 0.0),
         (1, "d1", 1.0),
@@ -1552,8 +1568,8 @@ def test_vacuum_gap_free_versions_and_monotone_hint(spark, table_path):
     present = sorted(
         int(n[:-5]) for n in os.listdir(d) if n.endswith(".json")
     )
-    # keep={2 (time), 10 (count)}; chain closure needs {1,2,8,9,10}; the
-    # density floor retains EVERYTHING in between — no holes
+    # every version is seconds old, so the 1-hour window keeps them all
+    # (the future-dated v2 included); density holds trivially — no holes
     assert present == list(range(1, 11)), present
 
     # a regressed hint below where a gap would have been still resolves
@@ -1944,3 +1960,56 @@ def test_conditional_put_backend_threaded_stress(
     assert _content(manifest_read(spark, table_path)) == [
         (t, f"d{t}", float(10 * t + n_rounds - 1)) for t in range(n_threads)
     ]
+
+
+def test_parquet_checkpoint_anchors_reads_and_stays_o_diff(
+    spark, table_path
+):
+    """Executor-written parquet checkpoints (VERDICT r06 #4): commits
+    are ALWAYS O(diff) deltas; the periodic anchor is an out-of-log
+    parquet checkpoint. A version materialized from the checkpoint
+    equals the delta-replayed content byte for byte, an explicit
+    checkpoint is idempotent, and commit-file size stays flat as the
+    table grows."""
+    import json
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _has_checkpoint,
+        _load_checkpoint,
+        _materialize,
+        manifest_checkpoint,
+    )
+
+    wide = [(k, f"d{k % 7}", float(k)) for k in range(30)]
+    manifest_upsert_partitioned(_batch(spark, wide), table_path, ["k"], "day")
+    for r in range(2, 6):
+        manifest_upsert_partitioned(
+            _batch(spark, [(0, "d0", float(r))]), table_path, ["k"], "day"
+        )
+
+    # explicit checkpoint mid-history; idempotent on repeat
+    v = manifest_checkpoint(spark, table_path)
+    assert v == 5 and _has_checkpoint(table_path, 5)
+    assert manifest_checkpoint(spark, table_path) == 5
+
+    # checkpoint content == delta-replayed content (files order intact)
+    replayed = dict(_materialize(table_path, 5))
+    loaded = _load_checkpoint(table_path, 5)
+    assert loaded["files"] == replayed["files"]
+    assert loaded["partitions"] == replayed["partitions"]
+    assert loaded["schema"] == replayed["schema"]
+
+    # commit sizes: every post-v1 commit is a delta of bounded size
+    sizes = [
+        os.path.getsize(f"{table_path}/_commits/{i}.json") for i in range(2, 6)
+    ]
+    for i in range(2, 6):
+        assert "delta_from" in json.loads(
+            open(f"{table_path}/_commits/{i}.json").read()
+        )
+    assert max(sizes) < os.path.getsize(f"{table_path}/_commits/1.json")
+
+    # reads after vacuum resolve through the checkpoint alone
+    manifest_vacuum(table_path, keep_versions=1)
+    got = _content(manifest_read(spark, table_path))
+    assert (0, "d0", 5.0) in got and len(got) == 30
