@@ -773,6 +773,59 @@ def streaming_manifest_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_multicol_partitions",
+    oracle="""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_year
+    """,
+)
+def manifest_multicol_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN partitioned manifest table: orders land partitioned
+    on (order year, order priority) — nested escaped dirs, canonical
+    JSON composite keys, reader protocol 2 — then a SUBSET
+    partition_filter reads ONE priority across every year (manifest-
+    level pruning on a component, no directory listing, no data read
+    outside the matching cells). The oracle is the plain predicate the
+    filter replaces (sources/sinks.py multi-column layout; protocol
+    pinned in tests/test_multicol_partitioning.py)."""
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("manifest_multicol") + "_" + _uuid.uuid4().hex[:6]
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderpriority").alias("o_pri"),
+        "o_totalprice",
+    )
+    try:
+        manifest_upsert_partitioned(
+            t, target, ["o_orderkey"], ["o_year", "o_pri"]
+        )
+        pruned = manifest_read(
+            spark, target, partition_filter={"o_pri": "1-URGENT"}
+        )
+        return (
+            pruned.groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()  # materialize before the table vanishes
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
     "streaming_manifest_cdf",
     oracle="""
         WITH t AS (

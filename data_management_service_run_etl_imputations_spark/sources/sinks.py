@@ -340,7 +340,11 @@ PROTOCOL_VERSION = 2
 
 
 def _required_protocol(content: dict) -> int:
-    return 2 if content.get("col_ids") else 1
+    # protocol 2: column mapping and/or multi-column partitioning —
+    # features a protocol-1 reader would silently misread
+    if content.get("col_ids") or content.get("partition_cols"):
+        return 2
+    return 1
 
 
 class UnsupportedProtocol(RuntimeError):
@@ -1118,18 +1122,57 @@ def manifest_read(
     partition_values: list | None = None,
     version: int | None = None,
     as_of: float | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Read a manifest-committed table: resolve ONE manifest version (the
     latest, or a pinned ``version`` for time travel / a stable multi-read
     snapshot) and scan exactly the FILES it lists — the manifest records
     per-partition file lists at commit time, so planning a read performs
     ZERO filesystem listing (a stray/orphaned file inside a data directory
-    is invisible). ``partition_values`` prunes at the manifest level."""
+    is invisible). ``partition_values`` prunes at the manifest level —
+    scalars on single-column tables, value TUPLES on multi-column ones;
+    ``partition_filter`` ({col: value-or-values}) prunes on any SUBSET of
+    the partition columns (a (day, source) table reads one day across
+    all sources without naming them)."""
     version, content = _resolve_manifest(path, version, as_of=as_of)
     parts = content["partitions"]
+    pcols = (
+        _partition_cols(content)
+        if (partition_values is not None or partition_filter)
+        else []
+    )
     if partition_values is not None:
-        wanted = {str(v) for v in partition_values}
+        wanted = {
+            _normalize_partition_value(v, pcols) for v in partition_values
+        }
         parts = {k: v for k, v in parts.items() if k in wanted}
+    if partition_filter:
+        import json as _json
+
+        bad = sorted(set(partition_filter) - set(pcols))
+        if bad:
+            raise ValueError(
+                f"partition_filter columns {bad} not in partition columns "
+                f"{pcols}"
+            )
+        want_by_col = {
+            c: {_part_key(x) for x in (
+                vs if isinstance(vs, (list, tuple, set)) else [vs]
+            )}
+            for c, vs in partition_filter.items()
+        }
+
+        def _comps(k: str) -> list[str]:
+            return [k] if len(pcols) == 1 else _json.loads(k)
+
+        parts = {
+            k: v
+            for k, v in parts.items()
+            if all(
+                _comps(k)[pcols.index(c)] in want
+                for c, want in want_by_col.items()
+            )
+        }
     if not parts:
         schema = content.get("schema")
         if schema:
@@ -1142,8 +1185,10 @@ def manifest_read(
 
 def _stage_of(rel_dir: str) -> str:
     """Stage prefix of a partition directory (``data/<uuid>``) — the unit
-    of immutability: every directory in a stage was written by one commit."""
-    return rel_dir.split("/__p=")[0]
+    of immutability: every directory in a stage was written by one
+    commit. Splits on the first partition-copy level (``/__p=`` single,
+    ``/__p0=`` multi)."""
+    return rel_dir.split("/__p")[0]
 
 
 # Characters Spark's dynamic-partition writer percent-escapes in partition
@@ -1187,28 +1232,118 @@ def _part_key(value) -> str:
     return NULL_PARTITION_KEY if value is None else str(value)
 
 
+# --- multi-column partitioning ---------------------------------------------
+#
+# A table may partition on SEVERAL columns (the real 100 TB shape:
+# (date, source) at least). Layout: Spark's native nested dynamic
+# partitioning — staged dirs are ``__p0=<v0>/__p1=<v1>/...`` (copies of
+# the partition columns, escaped by Spark) — and the manifest partition
+# KEY is the canonical JSON array of the per-component keys,
+# ``["2024-01-01","web"]``, produced ONLY driver-side (never by a Spark
+# expression, so no cross-engine JSON-formatting drift). Single-column
+# tables keep the original ``__p=<v>`` dirs and raw-string keys — fully
+# back-compatible; multi-partitioned tables stamp reader protocol 2.
+
+
+def _pcols(partition_col) -> list[str]:
+    """Normalize the partition spec to a column list."""
+    if isinstance(partition_col, str):
+        return [partition_col]
+    return list(partition_col)
+
+
+def _single_pcol(partition_col) -> "str | None":
+    cols = _pcols(partition_col)
+    return cols[0] if len(cols) == 1 else None
+
+
+def _partition_cols(content: dict) -> list[str]:
+    """The table's partition columns from the manifest (either form)."""
+    if content.get("partition_cols"):
+        return list(content["partition_cols"])
+    return [content["partition_col"]]
+
+
+def _part_key_tuple(values, pcols: list[str]) -> str:
+    """Composite manifest key for one partition-value tuple (single
+    column: the raw component key, unchanged on-disk format)."""
+    import json
+
+    comps = [_part_key(v) for v in values]
+    return comps[0] if len(pcols) == 1 else json.dumps(
+        comps, separators=(",", ":")
+    )
+
+
+def _normalize_partition_value(v, pcols: list[str]) -> str:
+    """A caller-supplied partition_values element → manifest key
+    (scalars for single-column tables, tuples/lists for multi)."""
+    if len(pcols) == 1:
+        return _part_key(v) if not isinstance(v, (tuple, list)) else (
+            _part_key(v[0])
+        )
+    if not isinstance(v, (tuple, list)) or len(v) != len(pcols):
+        raise ValueError(
+            f"partition_values elements must be {len(pcols)}-tuples for a "
+            f"table partitioned on {pcols}"
+        )
+    return _part_key_tuple(v, pcols)
+
+
+def _part_copy_cols(pcols: list[str]) -> list[str]:
+    """Names of the staged COPY columns (``__p`` single, ``__pN``
+    multi)."""
+    if len(pcols) == 1:
+        return ["__p"]
+    return [f"__p{i}" for i in range(len(pcols))]
+
+
+def _with_part_copies(df: DataFrame, pcols: list[str]) -> DataFrame:
+    for name, c in zip(_part_copy_cols(pcols), pcols):
+        df = df.withColumn(name, F.col(c).cast("string"))
+    return df
+
+
 def _staged_partition_dirs(
-    path: str, stage: str, fmt: str
+    path: str, stage: str, fmt: str, n_levels: int = 1
 ) -> dict[str, tuple[str, list]]:
     """The partition directories Spark ACTUALLY wrote under a staged
     ``data/<uuid>`` prefix: ``{partition_key: (rel_dir, file_entries)}``
-    keyed by the UNESCAPED partition value. This is the data-authoritative
-    presence test for a staged write — a partition absent here was truly
-    written zero rows (Spark creates ``__p=<escaped>`` only when a task
-    emitted rows for it), whereas constructing the dir name from the raw
-    value mistakes any escaped character for an emptied partition."""
+    keyed by the UNESCAPED partition value (single level) or the
+    canonical JSON array of unescaped components (``n_levels > 1``).
+    This is the data-authoritative presence test for a staged write — a
+    partition absent here was truly written zero rows (Spark creates the
+    escaped dirs only when a task emitted rows for them), whereas
+    constructing dir names from raw values mistakes any escaped
+    character for an emptied partition."""
+    import json
     import os
 
     out: dict[str, tuple[str, list]] = {}
     root = os.path.join(path, *stage.split("/"))
     if not os.path.isdir(root):
         return out
-    for name in sorted(os.listdir(root)):
-        if not name.startswith("__p="):
-            continue
-        key = _unescape_part_dir(name[len("__p=") :])
-        rel = f"{stage}/{name}"
-        out[key] = (rel, _list_dir_files(path, rel, fmt))
+
+    def walk(d: str, rel: str, comps: list[str], level: int) -> None:
+        prefix = "__p=" if n_levels == 1 else f"__p{level}="
+        for name in sorted(os.listdir(d)):
+            if not name.startswith(prefix):
+                continue
+            comp = _unescape_part_dir(name[len(prefix) :])
+            sub_rel = f"{rel}/{name}"
+            if level + 1 == n_levels:
+                key = (
+                    comp
+                    if n_levels == 1
+                    else json.dumps([*comps, comp], separators=(",", ":"))
+                )
+                out[key] = (sub_rel, _list_dir_files(path, sub_rel, fmt))
+            else:
+                walk(
+                    os.path.join(d, name), sub_rel, [*comps, comp], level + 1
+                )
+
+    walk(root, stage, [], 0)
     return out
 
 
@@ -1323,7 +1458,7 @@ def manifest_upsert_partitioned(
     incoming: DataFrame,
     path: str,
     keys: list[str],
-    partition_col: str,
+    partition_col: "str | list[str]",
     fmt: str = "parquet",
     extra_meta: dict | None = None,
     sort_cols: list[str] | None = None,
@@ -1343,6 +1478,13 @@ def manifest_upsert_partitioned(
     hook the exactly-once streaming sink uses to record its batch id IN
     the same atomic commit as the data.
 
+    ``partition_col`` may be a LIST for multi-column partitioning (the
+    real 100 TB shape, e.g. ``["day", "source"]``): staged dirs nest one
+    escaped level per column, the manifest key is the canonical JSON
+    tuple, and such tables stamp reader protocol 2. All pruning APIs
+    then take value tuples (or ``manifest_read(partition_filter=...)``
+    for a subset of the columns).
+
     ``sort_cols`` is the OPTIMIZED-WRITE knob: the staged rewrite is
     range-partitioned and sorted on (partition, sort_cols) before
     landing, so every data file covers a narrow range of the sort key and
@@ -1359,10 +1501,9 @@ def manifest_upsert_partitioned(
     parts: dict = dict(content.get("partitions", {}))
     files: dict = dict(content.get("files", {}))
 
-    touched = [
-        r[0] for r in incoming.select(partition_col).distinct().collect()
-    ]
-    touched_keys = [_part_key(v) for v in touched]
+    pcols = _pcols(partition_col)
+    touched = incoming.select(*pcols).distinct().collect()
+    touched_keys = [_part_key_tuple(tuple(r), pcols) for r in touched]
     scope = {k: parts[k] for k in touched_keys if k in parts}
 
     # FILE-granular copy-on-write: probe which files of the touched
@@ -1445,7 +1586,7 @@ def _stage_and_commit(
     path: str,
     merged: DataFrame,
     touched_keys: list[str],
-    partition_col: str,
+    partition_col: "str | list[str]",
     fmt: str,
     version: int,
     content: dict,
@@ -1497,8 +1638,10 @@ def _stage_and_commit(
     obs = None
     if constraints:
         merged, obs = _observe_constraints(merged, constraints)
-    merged = merged.withColumn(
-        "__p", F.col(partition_col).cast("string")
+    pcols = _pcols(partition_col)
+    copies = _part_copy_cols(pcols)
+    merged = _with_part_copies(
+        merged, pcols
     ).localCheckpoint()  # materialize once: count + write share it
     if obs is not None:
         # metrics rode the checkpoint job; abort BEFORE anything is staged
@@ -1512,15 +1655,15 @@ def _stage_and_commit(
         # N keeps AQE from coalescing the whole batch into one file).
         nparts = max(1, merged.rdd.getNumPartitions())
         staged = merged.repartitionByRange(
-            nparts, "__p", *sort_cols
-        ).sortWithinPartitions("__p", *sort_cols)
-    staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+            nparts, *copies, *sort_cols
+        ).sortWithinPartitions(*copies, *sort_cols)
+    staged.write.mode("overwrite").partitionBy(*copies).format(fmt).save(
         f"{path}/{stage}"
     )
     # resolve what Spark ACTUALLY wrote (escaped dir names decoded back
     # to partition values) — the data-authoritative presence test: a
     # touched key absent here was written zero rows, never mis-named
-    written = _staged_partition_dirs(path, stage, fmt)
+    written = _staged_partition_dirs(path, stage, fmt, len(pcols))
     stray = set(written) - set(touched_keys)
     if stray:
         raise RuntimeError(
@@ -1561,7 +1704,7 @@ def _stage_and_commit(
             "partitions": b_parts,
             "files": b_files,
             "fmt": fmt,
-            "partition_col": partition_col,
+            "partition_col": _single_pcol(partition_col),
             "schema": out_schema,
             # JSON twin: parseable by StructType.fromJson WITHOUT a
             # SparkSession — the streaming source's schema() runs in a
@@ -1574,6 +1717,7 @@ def _stage_and_commit(
             "dir_schemas": {
                 d: sc for d, sc in dir_schemas.items() if d in live_dirs
             },
+            **({"partition_cols": pcols} if len(pcols) > 1 else {}),
             **(extra_meta or {}),
         }
         # metadata keys this writer does not manage (streaming batch
@@ -1679,10 +1823,15 @@ def _upsert_fast_forward_safe(
         # the staged batch was validated against base's constraint set; a
         # constraint added meanwhile must re-validate via a full retry
         return False
+    head_pcols = (
+        _partition_cols(head)
+        if (head.get("partition_cols") or head.get("partition_col"))
+        else _pcols(partition_col)
+    )
     return (
         base.get("schema") == head.get("schema")
         and head.get("fmt", fmt) == fmt
-        and head.get("partition_col", partition_col) == partition_col
+        and head_pcols == _pcols(partition_col)
     )
 
 
@@ -1905,7 +2054,7 @@ def _probe_matched_files(
     n_src_keys: int,
     keys: list[str],
     scope_parts: dict,
-    partition_col: str,
+    partition_col,
 ) -> tuple[set[str], set[str], int, int]:
     """Exact FILE-level match probe for copy-on-write writers: which of
     ``scope_parts``'s live files hold at least one row whose key tuple
@@ -1919,6 +2068,7 @@ def _probe_matched_files(
     carried by reference — Delta's rewrite-matched-files-only design."""
     import os
 
+    pcols = _pcols(partition_col)
     all_live = _live_file_rels(content, scope_parts)
     if not all_live:
         return set(), set(), 0, 0
@@ -1927,9 +2077,10 @@ def _probe_matched_files(
     )
     if not cand:
         return set(), set(), len(all_live), 0
+    pv_names = [f"__pv{i}" for i in range(len(pcols))]
     probe = _load_table_files(spark, path, content, cand).select(
         F.input_file_name().alias("__file"),
-        F.col(partition_col).alias("__pv"),
+        *[F.col(c).alias(n) for c, n in zip(pcols, pv_names)],
         *keys,
     )
     cond = None
@@ -1938,7 +2089,7 @@ def _probe_matched_files(
         cond = c if cond is None else cond & c
     rows = (
         probe.join(src_keys, cond, "left_semi")
-        .select("__file", "__pv")
+        .select("__file", *pv_names)
         .distinct()
         .collect()  # bounded: one row per matched data file
     )
@@ -1951,7 +2102,9 @@ def _probe_matched_files(
         matched_rels.add(
             uri[idx + len(root_abs) + 1 :] if idx >= 0 else uri
         )
-        matched_parts.add(_part_key(r["__pv"]))
+        matched_parts.add(
+            _part_key_tuple([r[n] for n in pv_names], pcols)
+        )
     return matched_rels, matched_parts, len(all_live), len(cand)
 
 
@@ -1988,7 +2141,7 @@ def manifest_merge(
     source: DataFrame,
     path: str,
     keys: list[str],
-    partition_col: str,
+    partition_col: "str | list[str]",
     matched_update: dict[str, str] | None = None,
     matched_delete: str | None = None,
     insert_not_matched: bool = True,
@@ -2023,9 +2176,11 @@ def manifest_merge(
     Returns {"updated": n, "deleted": n, "inserted": n}.
     """
     spark = source.sparkSession
-    if matched_update and partition_col in matched_update:
+    pcols = _pcols(partition_col)
+    bad_set = matched_update and sorted(set(matched_update) & set(pcols))
+    if bad_set:
         raise ValueError(
-            f"matched_update must not set partition column {partition_col!r}"
+            f"matched_update must not set partition column(s) {bad_set}"
         )
     version, content = _latest_manifest(path)
     parts: dict = dict(content.get("partitions", {}))
@@ -2060,8 +2215,8 @@ def manifest_merge(
     )
     insert_parts = (
         {
-            _part_key(r[0])
-            for r in src.select(partition_col).distinct().collect()
+            _part_key_tuple(tuple(r), pcols)
+            for r in src.select(*pcols).distinct().collect()
         }
         if insert_not_matched
         else set()
@@ -2251,12 +2406,17 @@ def manifest_compact(
             for e in files.get(k, [])
         )
 
+    _sel_pcols = _partition_cols(content)
     selected = {
         k: rel
         for k, rel in parts.items()
         if (
             partition_values is None
-            or k in {str(v) for v in partition_values}
+            or k
+            in {
+                _normalize_partition_value(v, _sel_pcols)
+                for v in partition_values
+            }
         )
         and (
             min_files is None
@@ -2269,7 +2429,7 @@ def manifest_compact(
 
     # file counts come from the manifest, not a directory listing
     files_before = sum(len(files.get(k, [])) for k in selected)
-    pcol = content["partition_col"]
+    pcols = _partition_cols(content)
     # pending MoR deletes materialize here — compaction is the eager purge
     df = _apply_deletes(
         spark,
@@ -2282,18 +2442,19 @@ def manifest_compact(
     stage = f"data/{uuid.uuid4().hex[:12]}"
     # one output file per partition: repartition BY the partition value,
     # so every partition's rows land in exactly one task's output
-    staged = df.withColumn("__p", F.col(pcol).cast("string")).repartition(
-        F.col("__p")
+    copies = _part_copy_cols(pcols)
+    staged = _with_part_copies(df, pcols).repartition(
+        *[F.col(c) for c in copies]
     )
-    staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+    staged.write.mode("overwrite").partitionBy(*copies).format(fmt).save(
         f"{path}/{stage}"
     )
     dir_schemas: dict = dict(content.get("dir_schemas", {}))
-    new_schema = staged.drop("__p").schema.simpleString()
+    new_schema = staged.drop(*copies).schema.simpleString()
     # resolve the dirs Spark ACTUALLY wrote (escaped names decoded) — a
     # partition absent here was written zero rows, never merely named
     # differently than the hand-built ``__p={k}`` guess
-    written = _staged_partition_dirs(path, stage, fmt)
+    written = _staged_partition_dirs(path, stage, fmt, len(pcols))
     stray = set(written) - set(selected)
     if stray:
         raise RuntimeError(
@@ -2555,7 +2716,7 @@ def manifest_refresh_aggregate(
 def manifest_replace_partitions(
     df: DataFrame,
     path: str,
-    partition_col: str,
+    partition_col,
     partition_values: list,
     fmt: str = "parquet",
 ) -> dict[str, int]:
@@ -2573,7 +2734,8 @@ def manifest_replace_partitions(
     version, content = _latest_manifest(path)
     parts: dict = dict(content.get("partitions", {}))
     files: dict = dict(content.get("files", {}))
-    wanted = [str(v) for v in partition_values]
+    pcols = _pcols(partition_col)
+    wanted = [_normalize_partition_value(v, pcols) for v in partition_values]
 
     stage = f"data/{uuid.uuid4().hex[:12]}"
     out_schema = df.schema.simpleString()
@@ -2582,15 +2744,14 @@ def manifest_replace_partitions(
     obs = None
     if constraints:
         df, obs = _observe_constraints(df, constraints)
-    staged = df.withColumn(
-        "__p", F.col(partition_col).cast("string")
-    ).localCheckpoint()
+    staged = _with_part_copies(df, pcols).localCheckpoint()
     if obs is not None:
         _check_observed_constraints(obs, path, "replace-partitions")
-    staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+    copies = _part_copy_cols(pcols)
+    staged.write.mode("overwrite").partitionBy(*copies).format(fmt).save(
         f"{path}/{stage}"
     )
-    staged_dirs = _staged_partition_dirs(path, stage, fmt)
+    staged_dirs = _staged_partition_dirs(path, stage, fmt, len(pcols))
     written = dropped = 0
     dir_schemas: dict = dict(content.get("dir_schemas", {}))
     for k in wanted:
@@ -2613,7 +2774,8 @@ def manifest_replace_partitions(
         "partitions": parts,
         "files": files,
         "fmt": fmt,
-        "partition_col": partition_col,
+        "partition_col": _single_pcol(partition_col),
+        **({"partition_cols": pcols} if len(pcols) > 1 else {}),
         "schema": out_schema,
         "schema_json": out_schema_json,
         "stats_ref": content.get("stats_ref"),
@@ -3018,7 +3180,7 @@ def _refuse_if_referenced(content: dict, name: str, op: str) -> None:
     silently broken table)."""
     import re
 
-    if name == content.get("partition_col"):
+    if name in _partition_cols(content):
         raise ValueError(
             f"cannot {op} partition column {name!r} — repartitioning is a "
             "different operation (write a new table)"
@@ -3177,7 +3339,10 @@ def manifest_count(
         )
     parts = content.get("partitions", {})
     if partition_values is not None:
-        wanted = {str(v) for v in partition_values}
+        cnt_pcols = _partition_cols(content)
+        wanted = {
+            _normalize_partition_value(v, cnt_pcols) for v in partition_values
+        }
         parts = {k: v for k, v in parts.items() if k in wanted}
     total = 0
     for k in parts:
@@ -3194,7 +3359,7 @@ def manifest_count(
 def foreach_batch_manifest_upsert(
     path: str,
     keys: list[str],
-    partition_col: str,
+    partition_col: "str | list[str]",
     fmt: str = "parquet",
     app_id: str = "default",
 ):

@@ -669,7 +669,19 @@ def manifest_collect_stats(
     fmt = content.get("fmt", "parquet")
     stats = _load_stats_sidecar(path, content)
     want = set(cols)
-    wanted = None if partition_values is None else {str(v) for v in partition_values}
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _normalize_partition_value,
+        _partition_cols,
+    )
+
+    wanted = (
+        None
+        if partition_values is None
+        else {
+            _normalize_partition_value(v, _partition_cols(content))
+            for v in partition_values
+        }
+    )
     todo_files: list[str] = []
     todo_dirs: set[str] = set()
     for pk, rel in sorted(content["partitions"].items()):
@@ -725,14 +737,23 @@ def manifest_cluster_zorder(
     version, content = _latest_manifest(path)
     if version == 0:
         return {"partitions": 0, "files": 0}
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _normalize_partition_value,
+        _part_copy_cols,
+        _partition_cols,
+        _with_part_copies,
+    )
+
     fmt = content.get("fmt", "parquet")
-    pcol = content["partition_col"]
+    pcols = _partition_cols(content)
     parts: dict = dict(content["partitions"])
     files: dict = dict(content.get("files", {}))
     selected = {
         k: rel
         for k, rel in parts.items()
-        if partition_values is None or k in {str(v) for v in partition_values}
+        if partition_values is None
+        or k
+        in {_normalize_partition_value(v, pcols) for v in partition_values}
     }
     if not selected:
         return {"partitions": 0, "files": 0}
@@ -749,18 +770,19 @@ def manifest_cluster_zorder(
         content,
     )
     dfz = with_zorder(df, zorder_cols, bits_per_col=bits_per_col)
+    copies = _part_copy_cols(pcols)
     staged = (
-        dfz.withColumn("__p", F.col(pcol).cast("string"))
+        _with_part_copies(dfz, pcols)
         # contiguous (partition, z) ranges per task: each output file holds
         # one narrow z-slice of (almost always) one partition
         .repartitionByRange(
-            max(1, files_per_partition * len(selected)), "__p", "__z"
+            max(1, files_per_partition * len(selected)), *copies, "__z"
         )
-        .sortWithinPartitions("__p", "__z")
+        .sortWithinPartitions(*copies, "__z")
         .drop("__z")
     )
     stage = f"data/{uuid.uuid4().hex[:12]}"
-    staged.write.mode("overwrite").partitionBy("__p").format(fmt).save(
+    staged.write.mode("overwrite").partitionBy(*copies).format(fmt).save(
         f"{path}/{stage}"
     )
 
@@ -769,7 +791,7 @@ def manifest_cluster_zorder(
     # sidecar, committed atomically with the data it indexes
     stats = _load_stats_sidecar(path, content)
     dir_schemas: dict = dict(content.get("dir_schemas", {}))
-    new_schema = staged.drop("__p").schema.simpleString()
+    new_schema = staged.drop(*copies).schema.simpleString()
     # every OLD live file of the selected partitions is being replaced
     # (incl. files a file-granular merge carried into other stages) —
     # capture the set BEFORE repointing so their stale stats drop
@@ -777,7 +799,7 @@ def manifest_cluster_zorder(
     # resolve what Spark actually wrote (escaped dir names decoded);
     # materializing pending MoR deletes can empty a partition entirely —
     # it must DROP, not point at a never-created directory
-    written = _staged_partition_dirs(path, stage, fmt)
+    written = _staged_partition_dirs(path, stage, fmt, len(pcols))
     new_file_rels: list[str] = []
     for k in selected:
         if k in written:
@@ -933,7 +955,19 @@ def manifest_collect_bloom(
     if entry is None or entry["bits"] != bits or entry["k"] != k:
         entry = {"bits": bits, "k": k, "files": {}}
     files: dict = dict(entry["files"])
-    wanted = None if partition_values is None else {str(v) for v in partition_values}
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _normalize_partition_value,
+        _partition_cols,
+    )
+
+    wanted = (
+        None
+        if partition_values is None
+        else {
+            _normalize_partition_value(v, _partition_cols(content))
+            for v in partition_values
+        }
+    )
     todo_files: list[str] = []
     todo_dirs: set[str] = set()
     for pk, rel in sorted(content["partitions"].items()):
