@@ -820,11 +820,29 @@ def manifest_cluster_zorder(
     content = dict(content)
     content["partitions"] = parts
     content["files"] = files
+    live = _live_dirs({"partitions": parts, "files": files})
     content["dir_schemas"] = {
-        d: sc
-        for d, sc in dir_schemas.items()
-        if d in _live_dirs({"partitions": parts, "files": files})
+        d: sc for d, sc in dir_schemas.items() if d in live
     }
+    if content.get("col_ids"):
+        # column mapping: the fresh dirs must record their column ids —
+        # an unmapped dir written AFTER mapping initialization would
+        # read as legacy by-name and lose its columns on a later rename
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _record_dir_mapping,
+            _struct_field_names,
+        )
+
+        content["dir_col_ids"] = {
+            d: m
+            for d, m in content.get("dir_col_ids", {}).items()
+            if d in live
+        }
+        for k in selected:
+            if k in written:
+                _record_dir_mapping(
+                    content, written[k][0], _struct_field_names(new_schema)
+                )
     content["stats_ref"] = _write_stats_sidecar(path, stats)
     content["stats_cols"] = sorted(
         set(content.get("stats_cols", [])) | set(zorder_cols)

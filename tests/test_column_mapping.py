@@ -277,3 +277,24 @@ def test_refusals(spark, table_path):
         manifest_drop_column(table_path, "k")
     with pytest.raises(ValueError, match="already exists"):
         manifest_rename_column(table_path, "k", "v")
+
+
+def test_zorder_dirs_stay_mapped_across_later_rename(spark, table_path):
+    """A Z-order rewrite AFTER mapping initialization must record its new
+    dirs' column ids — otherwise a later rename would read those files
+    as legacy by-name and null the renamed column."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_cluster_zorder,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(i, "d1", float(i)) for i in range(8)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    manifest_rename_column(table_path, "v", "amount")  # initializes mapping
+    manifest_cluster_zorder(spark, table_path, ["k", "amount"])
+    manifest_rename_column(table_path, "amount", "val")
+    got = _content(manifest_read(spark, table_path), ["k", "day", "val"])
+    assert got == [(i, "d1", float(i)) for i in range(8)], got
