@@ -2640,7 +2640,7 @@ def manifest_refresh_aggregate(
     agg_path: str,
     from_version: int,
     group_cols: list[str],
-    partition_col: str,
+    partition_col: "str | list[str]",
     sum_cols: list[str],
 ) -> dict[str, int]:
     """Incremental materialized-aggregate maintenance: bring a SUM/COUNT
@@ -2652,7 +2652,8 @@ def manifest_refresh_aggregate(
     count reaches zero disappear. The group deltas merge into the
     (manifest-committed) aggregate table via the atomic partitioned
     upsert, touching only partitions with changed groups —
-    ``partition_col`` must be one of ``group_cols``.
+    ``partition_col`` (a column or list of columns) must be a subset of
+    ``group_cols``.
 
     This is the 100 TB rollup story: a daily fact upsert touches
     |batch dates| partitions; the refresh reads that diff, aggregates
@@ -2674,9 +2675,12 @@ def manifest_refresh_aggregate(
     )
 
     # agg-side manifest pruning: only partitions holding changed groups
-    # are read, and exactly those are rewritten below
+    # are read, and exactly those are rewritten below (tuples on a
+    # multi-column-partitioned rollup)
+    ref_pcols = _pcols(partition_col)
     touched = [
-        r[0] for r in delta.select(partition_col).distinct().collect()
+        r[0] if len(ref_pcols) == 1 else tuple(r)
+        for r in delta.select(*ref_pcols).distinct().collect()
     ]
     _, agg_content = _latest_manifest(agg_path)
     if agg_content.get("partitions"):

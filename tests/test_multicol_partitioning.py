@@ -201,3 +201,71 @@ def test_multicol_streaming_feed_and_cdf(spark, table_path):
         (2, "app", 2.0, "insert", 1),
         (2, "app", 20.0, "update_post", 2),
     ], got
+
+
+def test_multicol_incremental_aggregate_refresh(spark, table_path):
+    """manifest_refresh_aggregate maintains a rollup PARTITIONED ON TWO
+    of its group columns — the change feed touches only changed (day,
+    src) cells of the rollup."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_refresh_aggregate,
+    )
+
+    fact = f"{table_path}_fact"
+    agg = f"{table_path}_agg"
+    try:
+        manifest_upsert_partitioned(
+            _batch(
+                spark,
+                [
+                    (1, "d1", "web", 1.0),
+                    (2, "d1", "app", 2.0),
+                    (3, "d2", "web", 3.0),
+                ],
+            ),
+            fact,
+            ["k"],
+            "day",
+        )
+        r = manifest_refresh_aggregate(
+            spark, fact, agg, 0, ["day", "src"], ["day", "src"], ["v"]
+        )
+        assert r["changed_groups"] == 3
+        got = sorted(
+            map(
+                tuple,
+                manifest_read(spark, agg)
+                .select("day", "src", "n_rows", "sum_v")
+                .collect(),
+            )
+        )
+        assert got == [
+            ("d1", "app", 1, 2.0),
+            ("d1", "web", 1, 1.0),
+            ("d2", "web", 1, 3.0),
+        ]
+        v_fact, _ = _latest_manifest(fact)
+        # incremental: a one-cell fact update refreshes one rollup cell
+        manifest_upsert_partitioned(
+            _batch(spark, [(2, "d1", "app", 20.0)]), fact, ["k"], "day"
+        )
+        r2 = manifest_refresh_aggregate(
+            spark, fact, agg, v_fact, ["day", "src"], ["day", "src"], ["v"]
+        )
+        assert r2["changed_groups"] == 1
+        got = sorted(
+            map(
+                tuple,
+                manifest_read(spark, agg)
+                .select("day", "src", "n_rows", "sum_v")
+                .collect(),
+            )
+        )
+        assert got == [
+            ("d1", "app", 1, 20.0),
+            ("d1", "web", 1, 1.0),
+            ("d2", "web", 1, 3.0),
+        ]
+    finally:
+        shutil.rmtree(fact, ignore_errors=True)
+        shutil.rmtree(agg, ignore_errors=True)
