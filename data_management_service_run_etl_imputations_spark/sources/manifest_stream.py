@@ -494,6 +494,34 @@ def _read_cdf_partition(p: "_CdfPartition"):
             first.setdefault(key, vals[i])
         return counts, first
 
+    def _emit_whole_side(df: pd.DataFrame, ctype: str):
+        # FAST PATH: one side is empty, so every surviving row of the
+        # other side is a change of one type — no normalization, no
+        # per-row hashing; vectorized pandas → Arrow. This is the
+        # dominant shape (v1 backfill and append-only commits).
+        n = len(df)
+        if not n:
+            return iter(())
+        cols = [
+            pa.array(df[f.name], type=f.type, from_pandas=True)
+            for f in target
+        ]
+        cols.append(pa.array([ctype] * n, pa.string()))
+        cols.append(pa.array([p.version] * n, pa.int64()))
+        out_schema = target.append(
+            pa.field(CHANGE_COL, pa.string())
+        ).append(pa.field(VERSION_COL, pa.int64()))
+        return iter(pa.table(cols, schema=out_schema).to_batches())
+
+    if not p.old_rels:
+        return _emit_whole_side(
+            _load_side(p.new_rels, p.new_deletes, p.new_maps), "insert"
+        )
+    if not p.new_rels:
+        return _emit_whole_side(
+            _load_side(p.old_rels, p.old_deletes, p.old_maps), "delete"
+        )
+
     oc, of_ = _index(_load_side(p.old_rels, p.old_deletes, p.old_maps))
     nc, nf_ = _index(_load_side(p.new_rels, p.new_deletes, p.new_maps))
     added, removed = [], []  # (original_row, multiplicity, norm_key)
