@@ -1512,10 +1512,15 @@ def manifest_upsert_partitioned(
     # rewritten — every other file carries into the new manifest by
     # reference, its rows being provably all survivors
     if scope:
-        src_keys = incoming.select(*keys).dropDuplicates()
+        # NO dropDuplicates / count jobs here: the exact semi-join does
+        # not need distinct keys, the envelope aggregate derives the
+        # (upper-bound) key count, and the bloom path dedups internally
+        # under its own cap — the probe costs ONE tiny aggregate plus
+        # one column-pruned scan, nothing else over the source
+        src_keys = incoming.select(*keys)
         matched_rels, _mp, n_live_files, n_probe_files = (
             _probe_matched_files(
-                spark, path, content, src_keys, src_keys.count(), keys,
+                spark, path, content, src_keys, None, keys,
                 scope, partition_col,
             )
         )
@@ -1866,10 +1871,10 @@ def _merge_probe_candidates(
     path: str,
     content: dict,
     src_keys: DataFrame,
-    n_src_keys: int,
+    n_src_keys: "int | None",
     keys: list[str],
     all_live: list[str],
-) -> list[str]:
+) -> tuple[list[str], int]:
     """Candidate files for MERGE's pass-1 match probe, pruned with the
     table's OWN index sidecars instead of scanning every live file's key
     columns: a file survives only if the zone map says its per-column
@@ -1891,10 +1896,13 @@ def _merge_probe_candidates(
 
     stats = _load_stats_sidecar(path, content)
     candidates = list(all_live)
-    # ONE envelope aggregate serves both passes: per-key min/max for the
-    # zone-map intersection AND has-null flags for the bloom probe's
-    # null-skip — computed even when only the bloom sidecar exists
-    env_aggs = []
+    # ONE envelope aggregate serves everything: per-key min/max for the
+    # zone-map intersection, has-null flags for the bloom probe's
+    # null-skip, and the source-key count (an upper bound on distinct
+    # keys when the caller skipped deduplication) — computed even when
+    # only the bloom sidecar exists, and the only job over the source
+    # besides the exact scan
+    env_aggs = [F.count(F.lit(1)).alias("__n_src")]
     for c in keys:
         env_aggs += [
             F.min(c).alias(f"__lo_{c}"),
@@ -1902,6 +1910,8 @@ def _merge_probe_candidates(
             F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{c}"),
         ]
     env = src_keys.agg(*env_aggs).first().asDict()
+    if n_src_keys is None:
+        n_src_keys = int(env["__n_src"])
     if stats:
         bounds: dict[str, tuple] = {}
         for c in keys:
@@ -2032,7 +2042,7 @@ def _merge_probe_candidates(
             candidates = kept
             if not candidates:
                 break
-    return candidates
+    return candidates, n_src_keys
 
 
 def _json_safe_stat(v, side: str):
@@ -2051,7 +2061,7 @@ def _probe_matched_files(
     path: str,
     content: dict,
     src_keys: DataFrame,
-    n_src_keys: int,
+    n_src_keys: "int | None",
     keys: list[str],
     scope_parts: dict,
     partition_col,
@@ -2072,7 +2082,7 @@ def _probe_matched_files(
     all_live = _live_file_rels(content, scope_parts)
     if not all_live:
         return set(), set(), 0, 0
-    cand = _merge_probe_candidates(
+    cand, n_src_keys = _merge_probe_candidates(
         spark, path, content, src_keys, n_src_keys, keys, all_live
     )
     if not cand:
