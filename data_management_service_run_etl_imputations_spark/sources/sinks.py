@@ -1518,7 +1518,7 @@ def manifest_upsert_partitioned(
         # under its own cap — the probe costs ONE tiny aggregate plus
         # one column-pruned scan, nothing else over the source
         src_keys = incoming.select(*keys)
-        matched_rels, _mp, n_live_files, n_probe_files = (
+        matched_rels, _mp, n_live_files, n_probe_files, exact_ran = (
             _probe_matched_files(
                 spark, path, content, src_keys, None, keys,
                 scope, partition_col,
@@ -1526,6 +1526,7 @@ def manifest_upsert_partitioned(
         )
     else:
         matched_rels, n_live_files, n_probe_files = set(), 0, 0
+        exact_ran = False
     rewrite_rels, carry_files = _split_rewrite_carry(
         content, touched_keys, matched_rels
     )
@@ -1575,6 +1576,7 @@ def manifest_upsert_partitioned(
         carry_files=carry_files,
         op_metrics_extra={
             "probe_files": n_probe_files,
+            "probe_exact": exact_ran,
             "live_files": n_live_files,
             "files_rewritten": len(rewrite_rels),
             # merge keys ride the commit so the CDF reader can pair a
@@ -1843,6 +1845,12 @@ def _upsert_fast_forward_safe(
 _INTEGRALS = frozenset({"tinyint", "smallint", "int", "bigint"})
 _FRACTIONALS = frozenset({"float", "double"})
 
+# Bulk-vs-narrow regime boundary for the merge/upsert match probe: once
+# the source holds this many keys PER CANDIDATE FILE, the exact per-file
+# scan is skipped (see _probe_matched_files). e^-16 ≈ 1e-7 untouched-file
+# probability under uniform placement.
+_BULK_PROBE_MATCH_FACTOR = 16
+
 
 def _bloom_cast_safe(src_dtype: str, build_dtype: str) -> bool:
     """True iff hashing source keys ``try_cast`` to ``build_dtype`` can
@@ -2073,20 +2081,44 @@ def _probe_matched_files(
     (``_merge_probe_candidates`` — pruning is sound, never required),
     then ONE column-pruned scan of the survivors semi-joins the source
     keys with ``input_file_name`` attached, so the collect is bounded by
-    file count. Returns ``(matched_rels, matched_part_keys, n_live,
-    n_candidates)``. A matched file is rewritten; every other file is
+    file count — and a BULK source (expected matches per candidate file
+    ≥ ``_BULK_PROBE_MATCH_FACTOR``) skips the exact scan entirely,
+    conservatively marking every candidate matched. Returns
+    ``(matched_rels, matched_part_keys, n_live, n_candidates,
+    exact_ran)``. A matched file is rewritten; every other file is
     carried by reference — Delta's rewrite-matched-files-only design."""
     import os
 
     pcols = _pcols(partition_col)
     all_live = _live_file_rels(content, scope_parts)
     if not all_live:
-        return set(), set(), 0, 0
+        return set(), set(), 0, 0, False
     cand, n_src_keys = _merge_probe_candidates(
         spark, path, content, src_keys, n_src_keys, keys, all_live
     )
     if not cand:
-        return set(), set(), len(all_live), 0
+        return set(), set(), len(all_live), 0, False
+    # BULK fast path: under uniform key placement the expected number of
+    # source keys landing in each candidate file is n_src_keys/len(cand);
+    # past ~16 the untouched-file probability is e^-16 ≈ 1e-7 — the exact
+    # scan would read every candidate's key columns only to conclude
+    # "rewrite them all". Skip it and mark every candidate matched: an
+    # over-approximation is always CORRECT (a no-match file rewrites to
+    # identical content), it just forgoes minimality — and the regime
+    # where minimality matters (few keys, or range-clustered keys on a
+    # stats-indexed table) keeps the exact scan because metadata pruning
+    # has already shrunk len(cand) or n_src_keys is small. n_src_keys may
+    # be a row-count upper bound on distinct keys (partitioned upsert
+    # passes None); overestimating only skips toward the correct-but-
+    # bulkier path.
+    if n_src_keys >= _BULK_PROBE_MATCH_FACTOR * len(cand):
+        cand_set = set(cand)
+        bulk_parts = {
+            k
+            for k, entries in content.get("files", {}).items()
+            if any(e[0] in cand_set for e in entries)
+        }
+        return cand_set, bulk_parts, len(all_live), len(cand), False
     pv_names = [f"__pv{i}" for i in range(len(pcols))]
     probe = _load_table_files(spark, path, content, cand).select(
         F.input_file_name().alias("__file"),
@@ -2115,7 +2147,7 @@ def _probe_matched_files(
         matched_parts.add(
             _part_key_tuple([r[n] for n in pv_names], pcols)
         )
-    return matched_rels, matched_parts, len(all_live), len(cand)
+    return matched_rels, matched_parts, len(all_live), len(cand), True
 
 
 def _split_rewrite_carry(
@@ -2215,13 +2247,13 @@ def manifest_merge(
     # whose key ranges/bitsets can intersect the source, and the exact
     # semi-join tags ``input_file_name`` — a narrow merge rewrites a
     # handful of matched files, never whole partitions.
-    matched_rels, match_parts, n_live_files, n_probe_files = (
+    matched_rels, match_parts, n_live_files, n_probe_files, exact_ran = (
         _probe_matched_files(
             spark, path, content, src_keys, n_src_keys, keys, parts,
             partition_col,
         )
         if parts
-        else (set(), set(), 0, 0)
+        else (set(), set(), 0, 0, False)
     )
     insert_parts = (
         {
@@ -2351,6 +2383,7 @@ def manifest_merge(
         carry_files=carry_files,
         op_metrics_extra={
             "probe_files": n_probe_files,
+            "probe_exact": exact_ran,
             "live_files": n_live_files,
             "files_rewritten": len(rewrite_rels),
             "rows_updated": counts.get("update", 0),

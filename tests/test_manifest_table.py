@@ -2013,3 +2013,61 @@ def test_parquet_checkpoint_anchors_reads_and_stays_o_diff(
     manifest_vacuum(table_path, keep_versions=1)
     got = _content(manifest_read(spark, table_path))
     assert (0, "d0", 5.0) in got and len(got) == 30
+
+
+def test_bulk_upsert_skips_exact_probe_narrow_runs_it(spark, table_path):
+    """Regime boundary of the file-granular match probe: a BULK source
+    (>= _BULK_PROBE_MATCH_FACTOR keys per candidate file) skips the exact
+    per-file key scan — every candidate is conservatively rewritten and
+    op_metrics record probe_exact=False — while a narrow source keeps the
+    exact scan (probe_exact=True) and rewrites only the matched file.
+    Results are identical either way: the bulk path trades minimality,
+    never correctness."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+    )
+
+    # two files in partition d0 (two insert-only upserts), disjoint keys
+    manifest_upsert_partitioned(
+        _batch(spark, [(k, "d0", float(k)) for k in range(0, 5)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    manifest_upsert_partitioned(
+        _batch(spark, [(k, "d0", float(k)) for k in range(100, 105)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    content = _latest_manifest(table_path)[1]
+    n_files = len(content["files"]["d0"])
+    assert n_files >= 2
+
+    # NARROW: one key -> exact scan runs, only the holding file rewrites
+    manifest_upsert_partitioned(
+        _batch(spark, [(3, "d0", 99.0)]), table_path, ["k"], "day"
+    )
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["probe_exact"] is True, m
+    assert m["files_rewritten"] < n_files, m
+
+    # BULK: 16*files keys -> probe skips the exact scan, rewrites all
+    # candidates, and the table content is the exact upsert result
+    n_live = len(_latest_manifest(table_path)[1]["files"]["d0"])
+    bulk = [(k, "d0", -1.0) for k in range(0, 16 * n_live + 1)]
+    manifest_upsert_partitioned(
+        _batch(spark, bulk), table_path, ["k"], "day"
+    )
+    m2 = manifest_history(table_path)[-1]["op_metrics"]
+    assert m2["probe_exact"] is False, m2
+    assert m2["files_rewritten"] == m2["probe_files"], m2
+
+    expect = {k: v for k, _, v in bulk}
+    for k in range(100, 105):
+        expect.setdefault(k, float(k))
+    got = {
+        r["k"]: r["v"]
+        for r in manifest_read(spark, table_path).collect()
+    }
+    assert got == expect
