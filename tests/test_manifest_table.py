@@ -2071,3 +2071,120 @@ def test_bulk_upsert_skips_exact_probe_narrow_runs_it(spark, table_path):
         for r in manifest_read(spark, table_path).collect()
     }
     assert got == expect
+
+
+def test_randomized_r7_ops_model_and_cdf_replay(spark, table_path):
+    """Model-based check over the ROUND-7 protocol surface: a seeded
+    random interleaving of upsert / full MERGE (update+delete+insert) /
+    row-level delete / column RENAME / compact on a MULTI-COLUMN
+    partitioned table must equal a pure-Python model fold at every step
+    (reads cross parquet-checkpoint anchors and id-mapped column
+    generations along the way), and replaying ``manifest_diff`` version
+    by version from 0 must rebuild the exact final content — the CDF
+    consumer's contract across renames, merges, MoR deletes and
+    physical-layout commits (which must diff to NOTHING)."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+        manifest_delete,
+        manifest_diff,
+        manifest_merge,
+        manifest_rename_column,
+        manifest_upsert_partitioned as upsert,
+    )
+
+    rng = random.Random(17)
+    pcols = ["day", "src"]
+
+    def _frame(rows, val):
+        return spark.createDataFrame(
+            rows, f"k LONG, day STRING, src STRING, {val} DOUBLE"
+        )
+
+    def _row(k, x):
+        return (k, f"d{k % 3}", f"s{k % 2}", float(x))
+
+    val = "v"  # current name of the value column (renames toggle it)
+    model: dict[int, tuple] = {}
+
+    upsert(_frame([_row(0, 0), _row(1, 1)], val), table_path, ["k"], pcols)
+    model = {0: _row(0, 0), 1: _row(1, 1)}
+
+    for step in range(14):
+        op = rng.choices(
+            ["upsert", "merge", "delete", "rename", "compact"],
+            weights=[4, 4, 2, 2, 1],
+        )[0]
+        if op == "upsert":
+            batch = {
+                k: _row(k, rng.randint(0, 99))
+                for k in {rng.randint(0, 11) for _ in range(rng.randint(1, 6))}
+            }
+            upsert(_frame(sorted(batch.values()), val), table_path, ["k"], pcols)
+            model.update(batch)
+        elif op == "merge":
+            src = {
+                k: _row(k, rng.randint(-30, 70))
+                for k in {rng.randint(0, 11) for _ in range(rng.randint(1, 5))}
+            }
+            manifest_merge(
+                _frame(sorted(src.values()), val),
+                table_path,
+                ["k"],
+                pcols,
+                matched_update={val: f"t.{val} + s.{val}"},
+                matched_delete=f"s.{val} < 0",
+                insert_not_matched=True,
+            )
+            for k, row in src.items():
+                if k in model:
+                    if row[3] < 0:
+                        del model[k]
+                    else:
+                        old = model[k]
+                        model[k] = old[:3] + (old[3] + row[3],)
+                else:
+                    model[k] = row
+        elif op == "delete":
+            ks = sorted({rng.randint(0, 11) for _ in range(rng.randint(1, 3))})
+            manifest_delete(
+                spark.createDataFrame([(k,) for k in ks], "k long"),
+                table_path,
+                ["k"],
+            )
+            for k in ks:
+                model.pop(k, None)
+        elif op == "rename":
+            new = "w" if val == "v" else "v"
+            manifest_rename_column(table_path, val, new)
+            val = new
+        else:
+            manifest_compact(spark, table_path)
+        got = sorted(
+            map(
+                tuple,
+                manifest_read(spark, table_path)
+                .select("k", "day", "src", val)
+                .collect(),
+            )
+        )
+        assert got == sorted(model.values()), f"step {step} op {op}"
+
+    # CDF replay: fold every version's row-level diff from the empty
+    # table; physical-layout commits contribute nothing, renames arrive
+    # re-labelled by column id, MERGE arrives as its exact delete+insert
+    # pairs — the fold must land precisely on the final table content
+    head, _ = _latest_manifest(table_path)
+    state: dict[int, tuple] = {}
+    for ver in range(1, head + 1):
+        d = manifest_diff(spark, table_path, ver - 1, ver)
+        vcol = "w" if "w" in d.columns else "v"
+        rows = d.select("k", "day", "src", vcol, "change_type").collect()
+        for r in [x for x in rows if x["change_type"] == "delete"]:
+            dropped = state.pop(r["k"])
+            assert dropped == (r["k"], r["day"], r["src"], r[vcol]), ver
+        for r in [x for x in rows if x["change_type"] == "insert"]:
+            assert r["k"] not in state, (ver, r)
+            state[r["k"]] = (r["k"], r["day"], r["src"], r[vcol])
+    assert sorted(state.values()) == sorted(model.values())
