@@ -2203,6 +2203,13 @@ def manifest_merge(
       is deleted or updated, never both).
     - ``insert_not_matched``: source rows with no key match insert.
 
+    Schema evolution (Delta autoMerge-style): source columns the target
+    lacks are ADDED — inserted rows carry them, updated rows take them
+    only where ``matched_update`` assigns them, carried rows fill null;
+    mapped tables give the new columns fresh column ids, and a
+    ``matched_update`` entry naming a column in neither side raises
+    (typos must not silently no-op).
+
     Plan shape at 100 TB — FILE-granular copy-on-write: an index-pruned
     (zone-map/bloom), column-pruned exact probe with ``input_file_name``
     identifies the FILES holding matched keys; pass 2 loads and rewrites
@@ -2325,6 +2332,24 @@ def manifest_merge(
     )
     src_cols = set(src.columns)
     t_types = {f.name: f.dataType for f in target.schema.fields}
+    # schema evolution, Delta autoMerge-style: source columns the target
+    # lacks are ADDED to the table — inserted rows carry them, updated
+    # rows take them only where matched_update assigns them, carried
+    # rows fill null (the same contract as the upsert's unionByName
+    # evolution). The commit tail records the widened schema and, on
+    # mapped tables, assigns the new columns fresh column ids; carried
+    # files stay readable through their per-dir schema groups.
+    evolve_cols = [c for c in src.columns if c not in set(t_cols)]
+    s_types = {f.name: f.dataType for f in src.schema.fields}
+    if matched_update:
+        unknown = sorted(
+            set(matched_update) - set(t_cols) - set(evolve_cols)
+        )
+        if unknown:
+            raise ValueError(
+                f"matched_update sets column(s) {unknown} that exist in "
+                "neither the target table nor the merge source"
+            )
     out_cols = []
     for c in t_cols:
         # every branch pre-cast to the TARGET column type (Delta casts
@@ -2345,6 +2370,21 @@ def manifest_merge(
             F.when(F.col("__action") == "insert", inserted)
             .when(F.col("__action") == "update", updated)
             .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+    for c in evolve_cols:
+        # new column: its type comes from the source (there is no target
+        # type to cast to); carried rows have no value for it by
+        # definition
+        updated = (
+            F.expr(matched_update[c]).cast(s_types[c])
+            if matched_update and c in matched_update
+            else F.lit(None).cast(s_types[c])
+        )
+        out_cols.append(
+            F.when(F.col("__action") == "insert", F.col(f"s.{c}"))
+            .when(F.col("__action") == "update", updated)
+            .otherwise(F.lit(None).cast(s_types[c]))
             .alias(c)
         )
     # delete/drop rows ride the checkpoint so ONE evaluation serves the

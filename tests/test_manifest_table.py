@@ -2188,3 +2188,90 @@ def test_randomized_r7_ops_model_and_cdf_replay(spark, table_path):
             assert r["k"] not in state, (ver, r)
             state[r["k"]] = (r["k"], r["day"], r["src"], r[vcol])
     assert sorted(state.values()) == sorted(model.values())
+
+
+def test_merge_schema_evolution_adds_source_columns(spark, table_path):
+    """MERGE schema evolution: a source carrying a column the target
+    lacks widens the table — inserts carry it, updates take it only
+    where matched_update assigns it, carried rows read null, old files
+    stay readable through their schema group, and on a MAPPED table the
+    new column gets a fresh column id. A matched_update entry naming a
+    column in neither side raises instead of silently no-oping."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
+        manifest_rename_column,
+    )
+
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    # map the table first so evolution must assign a fresh id
+    manifest_rename_column(table_path, "v", "amount")
+
+    src = spark.createDataFrame(
+        [(2, "d1", 20.0, "eur"), (9, "d2", 90.0, "usd")],
+        "k LONG, day STRING, amount DOUBLE, ccy STRING",
+    )
+    r = manifest_merge(
+        src,
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"amount": "s.amount", "ccy": "s.ccy"},
+        insert_not_matched=True,
+    )
+    assert r == {"updated": 1, "deleted": 0, "inserted": 1}
+
+    got = sorted(
+        map(
+            tuple,
+            manifest_read(spark, table_path)
+            .select("k", "day", "amount", "ccy")
+            .collect(),
+        )
+    )
+    assert got == [
+        (1, "d1", 1.0, None),   # carried row in rewritten file: null
+        (2, "d1", 20.0, "eur"),  # updated, matched_update set the new col
+        (3, "d2", 3.0, None),    # untouched partition, old schema group
+        (9, "d2", 90.0, "usd"),  # inserted with the new column
+    ], got
+
+    content = _latest_manifest(table_path)[1]
+    ids = content["col_ids"]
+    assert "ccy" in ids and ids["ccy"] not in (
+        ids["k"], ids["day"], ids["amount"],
+    )
+
+    # update without assigning the new column: existing value survives
+    # on the updated row? No — Delta semantics: UPDATE SET only the
+    # assigned columns; unassigned EXISTING columns keep t values, the
+    # new column was already part of the table by now, so it keeps t.ccy
+    r2 = manifest_merge(
+        spark.createDataFrame(
+            [(2, "d1", 21.0, "gbp")],
+            "k LONG, day STRING, amount DOUBLE, ccy STRING",
+        ),
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"amount": "s.amount"},
+        insert_not_matched=False,
+    )
+    assert r2 == {"updated": 1, "deleted": 0, "inserted": 0}
+    row2 = (
+        manifest_read(spark, table_path).filter("k = 2").collect()[0]
+    )
+    assert (row2["amount"], row2["ccy"]) == (21.0, "eur")
+
+    with pytest.raises(ValueError, match="neither"):
+        manifest_merge(
+            src,
+            table_path,
+            ["k"],
+            "day",
+            matched_update={"amonut": "s.amount"},  # typo'd column
+        )
