@@ -269,3 +269,47 @@ def test_multicol_incremental_aggregate_refresh(spark, table_path):
     finally:
         shutil.rmtree(fact, ignore_errors=True)
         shutil.rmtree(agg, ignore_errors=True)
+
+
+def test_multicol_zorder_whole_table_and_scoped(spark, table_path):
+    """OPTIMIZE ZORDER on a (day, src)-partitioned table: whole-table
+    clustering rewrites every composite partition into z-range files
+    with identical logical content, and ``partition_values`` scoping
+    with a composite key re-clusters exactly one partition. Zone-map
+    skipping must engage on the clustered column afterwards."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_cluster_zorder,
+        manifest_skipping_plan,
+    )
+
+    rows = [
+        (i, f"d{i % 2}", f"s{i % 3}", float(i * 7 % 101)) for i in range(4000)
+    ]
+    manifest_upsert_partitioned(
+        _batch(spark, rows), table_path, ["k"], ["day", "src"]
+    )
+    r = manifest_cluster_zorder(
+        spark, table_path, ["k", "v"], files_per_partition=4
+    )
+    assert r["partitions"] == 6
+    assert _content(manifest_read(spark, table_path)) == sorted(rows)
+    _, content = _latest_manifest(table_path)
+    assert all(len(fs) >= 4 for fs in content["files"].values())
+
+    # scoped: one composite partition, content unchanged
+    r2 = manifest_cluster_zorder(
+        spark,
+        table_path,
+        ["k"],
+        files_per_partition=2,
+        partition_values=[["d0", "s1"]],
+    )
+    assert r2["partitions"] == 1
+    assert _content(manifest_read(spark, table_path)) == sorted(rows)
+
+    # the z-order pass collected per-file stats: a narrow k-range scan
+    # plan must drop most files
+    kept, n_kept, n_total, _ = manifest_skipping_plan(
+        table_path, {"k": (100, 139)}
+    )
+    assert n_kept < n_total, (n_kept, n_total)
