@@ -2445,6 +2445,7 @@ def manifest_compact(
     partition_values: list | None = None,
     fmt: str = "parquet",
     min_files: int | None = None,
+    target_file_mb: int | None = None,
 ) -> dict[str, int]:
     """File compaction for a manifest table: rewrite the (selected)
     partitions' data into one-file-per-partition and publish the result
@@ -2465,6 +2466,16 @@ def manifest_compact(
     exactly the partitions that drifted, not a full rewrite. Partitions
     with pending merge-on-read deletes are always eligible (compaction
     is their eager purge).
+
+    ``target_file_mb`` bounds OUTPUT file size: each partition fans out
+    into ``ceil(recorded_bytes / target)`` output files instead of one
+    (fan-out computed from the manifest's per-file sizes — no data
+    read), rows spread across the fan by a hash of the full row. This
+    is the 100 TB setting: one-file-per-partition would funnel a 1 TB
+    partition through a SINGLE task and emit a single unsplittable-open
+    blob, while a bounded fan keeps the rewrite parallel and the
+    outputs row-group-friendly. Default None keeps the
+    one-file-per-partition behavior for small tables.
 
     Returns {"partitions": n, "files_before": n, "files_after": n}.
     """
@@ -2523,12 +2534,56 @@ def manifest_compact(
         content,
     )
     stage = f"data/{uuid.uuid4().hex[:12]}"
-    # one output file per partition: repartition BY the partition value,
-    # so every partition's rows land in exactly one task's output
     copies = _part_copy_cols(pcols)
-    staged = _with_part_copies(df, pcols).repartition(
-        *[F.col(c) for c in copies]
-    )
+    data_cols = list(df.columns)
+    with_copies = _with_part_copies(df, pcols)
+    if target_file_mb is None:
+        # one output file per partition: repartition BY the partition
+        # value, so every partition's rows land in exactly one task
+        staged = with_copies.repartition(*[F.col(c) for c in copies])
+    else:
+        # bounded-size fan-out: per-partition output file count from the
+        # manifest's recorded byte sizes (zero data read), joined in as
+        # a broadcast and turned into a row-hash salt — the rewrite of a
+        # large partition runs across fan tasks and emits fan files
+        import json as _fan_json
+        import math as _math
+
+        tgt = max(1, int(target_file_mb)) << 20
+
+        def _comps(k: str) -> list:
+            raw = [k] if len(pcols) == 1 else _fan_json.loads(k)
+            return [None if c == NULL_PARTITION_KEY else c for c in raw]
+
+        fan_rows = []
+        for k in selected:
+            sz = sum(e[1] for e in files.get(k, []))
+            fan_rows.append((*_comps(k), _math.ceil(sz / tgt) or 1))
+        f_names = [f"__f{i}" for i in range(len(pcols))]
+        fan_df = spark.createDataFrame(
+            fan_rows,
+            ", ".join(f"{n} STRING" for n in f_names) + ", __fan INT",
+        )
+        cond = None
+        for c, fn in zip(copies, f_names):
+            e = with_copies[c].eqNullSafe(fan_df[fn])
+            cond = e if cond is None else cond & e
+        total_fan = sum(r[-1] for r in fan_rows)
+        staged = (
+            with_copies.join(F.broadcast(fan_df), cond, "left")
+            .withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(*data_cols), F.coalesce("__fan", F.lit(1))
+                ),
+            )
+            .repartition(
+                max(total_fan, spark.sparkContext.defaultParallelism),
+                *[F.col(c) for c in copies],
+                F.col("__salt"),
+            )
+            .drop("__salt", "__fan", *f_names)
+        )
     staged.write.mode("overwrite").partitionBy(*copies).format(fmt).save(
         f"{path}/{stage}"
     )

@@ -2275,3 +2275,64 @@ def test_merge_schema_evolution_adds_source_columns(spark, table_path):
             "day",
             matched_update={"amonut": "s.amount"},  # typo'd column
         )
+
+
+def test_compact_target_file_mb_bounds_output_files(spark, table_path):
+    """target_file_mb fans a large partition into multiple bounded
+    output files (fan computed from manifest-recorded sizes, rewrite
+    parallel across the fan) with identical logical content; default
+    compaction still emits one file per partition."""
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_compact,
+    )
+
+    # ~3-4 MB of poorly-compressible data in ONE partition, two stages
+    df = (
+        spark.range(30000)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("d0").alias("day"),
+            F.sha2(F.concat(F.lit("a"), F.col("id").cast("string")), 512)
+            .alias("payload"),
+        )
+    )
+    for half in (0, 1):
+        manifest_upsert_partitioned(
+            df.filter(F.col("k") % 2 == half),
+            table_path,
+            ["k"],
+            "day",
+        )
+    before = _latest_manifest(table_path)[1]
+    part_bytes = sum(e[1] for e in before["files"]["d0"])
+    assert part_bytes > 2 * (1 << 20), part_bytes
+
+    r = manifest_compact(spark, table_path, target_file_mb=1)
+    content = _latest_manifest(table_path)[1]
+    n_files = len(content["files"]["d0"])
+    import math
+
+    want = math.ceil(part_bytes / (1 << 20))
+    assert r["files_after"] == n_files
+    assert n_files > 1, n_files
+    # fan is the manifest-size estimate; allow the hash spread slack of
+    # one empty bucket but never MORE files than the fan
+    assert n_files <= want, (n_files, want)
+    assert (
+        manifest_read(spark, table_path).count() == 30000
+    )
+    agg = (
+        manifest_read(spark, table_path)
+        .agg(F.sum(F.crc32(F.col("payload"))).alias("h"))
+        .collect()[0]["h"]
+    )
+    agg0 = df.agg(F.sum(F.crc32(F.col("payload"))).alias("h")).collect()[0][
+        "h"
+    ]
+    assert agg == agg0
+
+    # default re-compaction collapses back to one file
+    manifest_compact(spark, table_path)
+    assert len(_latest_manifest(table_path)[1]["files"]["d0"]) == 1
