@@ -725,6 +725,7 @@ def manifest_cluster_zorder(
     files_per_partition: int = 8,
     bits_per_col: int = 8,
     partition_values: list | None = None,
+    target_file_mb: int | None = None,
 ) -> dict[str, int]:
     """OPTIMIZE ZORDER BY for a manifest table: rewrite the (selected)
     partitions in Morton order of ``zorder_cols``' quantile ranks, split
@@ -733,6 +734,12 @@ def manifest_cluster_zorder(
     the pre- or post-clustering snapshot — identical content — never a
     mix). One range shuffle; stats collection re-scans only the rewritten
     partitions (surviving files' sidecar entries merge through).
+
+    ``target_file_mb`` switches the z-range count from fixed-per-
+    partition to SIZE-BOUNDED: total ranges = ceil(selected partitions'
+    manifest-recorded bytes / target), the 100 TB setting (the range
+    partitioner's sampling spreads ranges across partitions in
+    proportion to their density, so big partitions get more slices).
     Returns {"partitions": n, "files": n}."""
     version, content = _latest_manifest(path)
     if version == 0:
@@ -771,12 +778,23 @@ def manifest_cluster_zorder(
     )
     dfz = with_zorder(df, zorder_cols, bits_per_col=bits_per_col)
     copies = _part_copy_cols(pcols)
+    if target_file_mb is not None:
+        import math
+
+        sel_bytes = sum(
+            e[1] for k in selected for e in files.get(k, [])
+        )
+        n_ranges = max(
+            1, math.ceil(sel_bytes / (max(1, int(target_file_mb)) << 20))
+        )
+    else:
+        n_ranges = max(1, files_per_partition * len(selected))
     staged = (
         _with_part_copies(dfz, pcols)
         # contiguous (partition, z) ranges per task: each output file holds
         # one narrow z-slice of (almost always) one partition
         .repartitionByRange(
-            max(1, files_per_partition * len(selected)), *copies, "__z"
+            n_ranges, *copies, "__z"
         )
         .sortWithinPartitions(*copies, "__z")
         .drop("__z")

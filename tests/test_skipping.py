@@ -787,3 +787,39 @@ def test_footer_source_refuses_decimals_and_minmax_refuses_approx(
         manifest_read_skipping(spark, path, {"s": ("v05", "v07")}).count()
         == 3
     )
+
+
+def test_zorder_target_file_mb_sizes_the_range_count(spark, tmp_path):
+    """Size-bounded z-ordering: target_file_mb derives the z-range count
+    from the manifest's recorded bytes instead of a fixed per-partition
+    count — content identical, file count tracks data volume."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_cluster_zorder,
+    )
+
+    df = spark.range(30000).select(
+        F.col("id").alias("k"),
+        F.lit("d0").alias("day"),
+        F.sha2(F.col("id").cast("string"), 512).alias("payload"),
+    )
+    table_path = str(tmp_path / "ztgt")
+    manifest_upsert_partitioned(df, table_path, ["k"], "day")
+    content = _latest_manifest(table_path)[1]
+    nbytes = sum(e[1] for e in content["files"]["d0"])
+    assert nbytes > 2 * (1 << 20)
+
+    r = manifest_cluster_zorder(
+        spark, table_path, ["k"], target_file_mb=1
+    )
+    want = math.ceil(nbytes / (1 << 20))
+    assert 1 < r["files"] <= want, (r, want)
+    assert manifest_read(spark, table_path).count() == 30000
