@@ -308,3 +308,69 @@ def test_cdf_mode_skips_content_identical_maintenance(spark, table_path):
         (3, 3.0, "insert", 2),
         (3, 30.0, "update_post", 4),
     ], got
+
+
+def test_cdf_across_merge_schema_evolution(spark, table_path):
+    """The CDF stream across a schema-evolving MERGE: pre-evolution
+    insert rows surface with null for the later-added column, the
+    evolving merge emits its exact paired update + insert, and the
+    carried row (rewritten with identical content) emits nothing."""
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.manifest_stream import (
+        ManifestFeedDataSource,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
+        manifest_upsert_partitioned,
+    )
+
+    manifest_upsert_partitioned(
+        spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d1", 2.0)], "k LONG, day STRING, v DOUBLE"
+        ),
+        table_path,
+        ["k"],
+        "day",
+    )
+    manifest_merge(
+        spark.createDataFrame(
+            [(2, "d1", 20.0, "eur"), (9, "d1", 90.0, "usd")],
+            "k LONG, day STRING, v DOUBLE, ccy STRING",
+        ),
+        table_path,
+        ["k"],
+        "day",
+        matched_update={"v": "s.v", "ccy": "s.ccy"},
+        insert_not_matched=True,
+    )
+    spark.dataSource.register(ManifestFeedDataSource)
+    name = f"cme_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("manifest_feed")
+        .option("path", table_path)
+        .option("mode", "cdf")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    f"select k, v, ccy, _change_type, _commit_version "
+                    f"from {name}"
+                ).collect(),
+            )
+        )
+    finally:
+        q.stop()
+    assert got == [
+        (1, 1.0, None, "insert", 1),
+        (2, 2.0, None, "insert", 1),
+        (2, 20.0, "eur", "update_post", 2),
+        (9, 90.0, "usd", "insert", 2),
+    ], got
