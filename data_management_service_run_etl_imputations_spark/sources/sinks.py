@@ -2446,6 +2446,7 @@ def manifest_compact(
     fmt: str = "parquet",
     min_files: int | None = None,
     target_file_mb: int | None = None,
+    refresh_indexes: bool = True,
 ) -> dict[str, int]:
     """File compaction for a manifest table: rewrite the (selected)
     partitions' data into one-file-per-partition and publish the result
@@ -2476,6 +2477,13 @@ def manifest_compact(
     blob, while a bounded fan keeps the rewrite parallel and the
     outputs row-group-friendly. Default None keeps the
     one-file-per-partition behavior for small tables.
+
+    ``refresh_indexes`` (default True) keeps the table's index sidecars
+    WARM across the rewrite: zone-map stats for the output files come
+    from parquet footers (metadata cost only) and bloom bitsets rebuild
+    under each column's existing geometry, all in the SAME commit — a
+    nightly compaction no longer degrades skipping until the next
+    ANALYZE. No-op on tables without sidecars.
 
     Returns {"partitions": n, "files_before": n, "files_after": n}.
     """
@@ -2599,6 +2607,9 @@ def manifest_compact(
             f"compact at {path} staged unexpected partition dirs "
             f"{sorted(stray)[:3]} — partition-key mapping bug"
         )
+    # every old live file of the selected partitions is being replaced —
+    # capture the set BEFORE repointing so their index entries drop
+    old_rels = {e[0] for k in selected for e in files.get(k, [])}
     for k in selected:
         if k in written:
             rel, staged_list = written[k]
@@ -2611,6 +2622,7 @@ def manifest_compact(
             parts.pop(k, None)
             files.pop(k, None)
     live_dirs = _live_dirs({"partitions": parts, "files": files})
+    pre_compact = content  # index sidecars load against the OLD live set
     content = dict(content)
     content["partitions"] = parts
     content["files"] = files
@@ -2629,6 +2641,64 @@ def manifest_compact(
                     content, written[k][0], _struct_field_names(new_schema)
                 )
     content["deletes"] = _purge_dead_deletes(content)
+    new_rels = [
+        e[0] for k in selected if k in written for e in written[k][1]
+    ]
+    if refresh_indexes and new_rels:
+        # keep the index sidecars WARM across the rewrite, committed
+        # atomically with the data they index (zorder's pattern): stats
+        # from parquet footers (metadata-only on the auto path), bloom
+        # bitsets rebuilt under each column's existing geometry
+        from data_management_service_run_etl_imputations_spark.sources.skipping import (
+            _bloom_file_entries,
+            _collect_stats,
+            _load_bloom_sidecar,
+            _load_stats_sidecar,
+            _write_bloom_sidecar,
+            _write_stats_sidecar,
+        )
+
+        live_names = set(_struct_field_names(new_schema))
+        stats_cols = [
+            c for c in content.get("stats_cols", []) if c in live_names
+        ]
+        if content.get("stats_ref") and stats_cols:
+            # load against the PRE-compact content: the loaders intersect
+            # with the live file list, and the surviving entries we must
+            # carry (non-selected partitions) are live in the OLD set
+            stats = _load_stats_sidecar(path, pre_compact)
+            for frel in old_rels:
+                stats.pop(frel, None)
+            stats.update(
+                _collect_stats(spark, path, new_rels, stats_cols, content)
+            )
+            content["stats_ref"] = _write_stats_sidecar(path, stats)
+        if content.get("bloom_ref"):
+            bloom = _load_bloom_sidecar(path, pre_compact)
+            refreshed = False
+            for bcol in sorted(bloom):
+                if bcol not in live_names:
+                    continue
+                entry = dict(bloom[bcol])
+                bfiles = dict(entry["files"])
+                for frel in old_rels:
+                    bfiles.pop(frel, None)
+                bfiles.update(
+                    _bloom_file_entries(
+                        spark,
+                        path,
+                        content,
+                        new_rels,
+                        bcol,
+                        entry["bits"],
+                        entry["k"],
+                    )
+                )
+                entry["files"] = bfiles
+                bloom[bcol] = entry
+                refreshed = True
+            if refreshed:
+                content["bloom_ref"] = _write_bloom_sidecar(path, bloom)
     files_after = sum(len(files.get(k, [])) for k in selected)
     _publish_manifest(
         path,

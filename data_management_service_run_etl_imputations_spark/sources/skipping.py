@@ -966,6 +966,53 @@ def _bloom_positions(col: Column, bits: int, k: int) -> Column:
     )
 
 
+def _bloom_file_entries(
+    spark,
+    table_root: str,
+    content: dict,
+    file_rels: list[str],
+    col: str,
+    bits: int,
+    k: int,
+) -> dict[str, dict]:
+    """Build-side bitsets for a file list: one grouped aggregate over the
+    files, per-file position SETS (bounded by min(bits, k·rows) distinct
+    values) packed into words driver-side. The dtype the files were read
+    under rides each entry — xxhash64 is TYPE-sensitive, and the probe
+    hashes its literal per recorded build dtype. Files that produce no
+    aggregate row (zero qualifying rows) stay unindexed — the probe
+    keeps unindexed files, so absence is sound."""
+    if not file_rels:
+        return {}
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _load_table_files,
+    )
+
+    df = _load_table_files(spark, table_root, content, sorted(file_rels))
+    dtype = df.schema[col].dataType.simpleString()
+    rows = (
+        df.select(
+            F.input_file_name().alias("__file"),
+            F.explode(_bloom_positions(F.col(col), bits, k)).alias("__pos"),
+        )
+        .groupBy("__file")
+        .agg(F.collect_set("__pos").alias("__set"))
+        .collect()
+    )
+    root_abs = os.path.abspath(table_root)
+    n_words = (bits + 63) // 64
+    out: dict[str, dict] = {}
+    for r in rows:
+        uri = r["__file"]
+        idx = uri.find(root_abs)
+        frel = uri[idx + len(root_abs) + 1 :] if idx >= 0 else uri
+        words = [0] * n_words
+        for pos in r["__set"]:
+            words[pos >> 6] |= 1 << (pos & 63)
+        out[frel] = {"words": words, "dtype": dtype}
+    return out
+
+
 def manifest_collect_bloom(
     spark,
     path: str,
@@ -1015,39 +1062,14 @@ def manifest_collect_bloom(
                 continue
             todo_files.append(frel)
             todo_dirs.add(rel)
-    n_files = 0
-    if todo_files:
-        # the backlog may span a type evolution of the indexed column; the
-        # schema-group loader reads every generation aligned to the table
-        # schema, so THAT is the dtype recorded for these files' bitsets
-        df = _load_table_files(spark, path, content, sorted(todo_files))
-        # xxhash64 is TYPE-sensitive (int 17 and bigint 17 hash apart):
-        # record the dtype PER FILE so the probe side hashes its literal
-        # under each file's exact build type — build and probe cannot
-        # drift even across schema evolution of the indexed column.
-        dtype = df.schema[col].dataType.simpleString()
-        rows = (
-            df.select(
-                F.input_file_name().alias("__file"),
-                F.explode(_bloom_positions(F.col(col), bits, k)).alias("__pos"),
-            )
-            .groupBy("__file")
-            # bounded: <= min(bits, k * rows_in_file) distinct positions
-            # per file — the same information content as the bitset itself
-            .agg(F.collect_set("__pos").alias("__set"))
-            .collect()
-        )
-        root_abs = os.path.abspath(path)
-        n_words = (bits + 63) // 64
-        for r in rows:
-            uri = r["__file"]
-            idx = uri.find(root_abs)
-            frel = uri[idx + len(root_abs) + 1 :] if idx >= 0 else uri
-            words = [0] * n_words
-            for pos in r["__set"]:
-                words[pos >> 6] |= 1 << (pos & 63)
-            files[frel] = {"words": words, "dtype": dtype}
-            n_files += 1
+    # the backlog may span a type evolution of the indexed column; the
+    # schema-group loader reads every generation aligned to the table
+    # schema, so THAT is the dtype recorded for these files' bitsets
+    fresh = _bloom_file_entries(
+        spark, path, content, todo_files, col, bits, k
+    )
+    files.update(fresh)
+    n_files = len(fresh)
     if not todo_files and col in bloom and bloom[col] is entry:
         return {"files": 0, "directories": 0}  # true no-op: no new version
     entry["files"] = files

@@ -823,3 +823,67 @@ def test_zorder_target_file_mb_sizes_the_range_count(spark, tmp_path):
     want = math.ceil(nbytes / (1 << 20))
     assert 1 < r["files"] <= want, (r, want)
     assert manifest_read(spark, table_path).count() == 30000
+
+
+def test_compact_keeps_index_sidecars_warm(spark, tmp_path):
+    """Compaction refreshes zone-map stats (footer path) and bloom
+    bitsets for its output files in the SAME commit: skipping and point
+    probes keep pruning right after a maintenance pass, no interim
+    ANALYZE required."""
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+        manifest_compact,
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _load_bloom_sidecar,
+        _load_stats_sidecar,
+        manifest_collect_bloom,
+        manifest_collect_stats,
+        manifest_point_plan,
+        manifest_skipping_plan,
+    )
+
+    path = str(tmp_path / "warm")
+    # 4 partitions, 2 fragments each, disjoint k ranges per partition
+    for lo in (0, 1):
+        df = spark.range(lo * 1000, 8000, 2).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), (F.col("id") / 2000).cast("int").cast("string")).alias("day"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        manifest_upsert_partitioned(df, path, ["k"], "day")
+    manifest_collect_stats(spark, path, ["k"])
+    manifest_collect_bloom(spark, path, "k", bits=65536, k=4)
+
+    r = manifest_compact(spark, path, target_file_mb=None)
+    assert r["partitions"] == 4 and r["files_after"] == 4
+
+    content = _latest_manifest(path)[1]
+    new_rels = {e[0] for fs in content["files"].values() for e in fs}
+    stats = _load_stats_sidecar(path, content)
+    assert new_rels <= set(stats), "stats must cover every compacted file"
+    bloom = _load_bloom_sidecar(path, content)["k"]
+    assert new_rels <= set(bloom["files"]), "bloom must cover every file"
+    # stale entries for the replaced fragments are gone
+    assert len(stats) == len(new_rels)
+    assert len(bloom["files"]) == len(new_rels)
+
+    # and pruning ENGAGES: a one-partition k range opens 1 of 4 files,
+    # a point probe blooms down to its single holding file
+    kept, n_kept, n_total, _ = manifest_skipping_plan(path, {"k": (100, 200)})
+    assert n_total == 4 and n_kept == 1, (n_kept, n_total)
+    kept_b, _, _, _ = manifest_point_plan(spark, path, "k", 3000)
+    # k=3000 lives in d1; the rebuilt bloom must keep its holding file
+    # and prune (false positives allowed, misses never)
+    assert any("__p=d1" in rel for rel in kept_b), kept_b
+    assert len(kept_b) < 4, kept_b
+    assert manifest_read(spark, path).count() == 4000
+
+    # refresh_indexes=False keeps the old (now-stale-harmless) sidecar
+    manifest_compact(spark, path, refresh_indexes=False)
+    content2 = _latest_manifest(path)[1]
+    assert content2["stats_ref"] == content["stats_ref"]
