@@ -1683,6 +1683,26 @@ def _stage_and_commit(
     staged_rel = {k: written[k][0] for k in written}
     carry = carry_files or {}
 
+    # write-path index maintenance: once a table maintains zone-map
+    # stats (stats_ref exists), every data commit covers its own output
+    # files — footer reads only, computed ONCE per stage (the staged
+    # files don't change across fast-forward rebuilds) and merged into
+    # the sidecar per build. Bloom stays ANALYZE/compact-refreshed (a
+    # bitset build is a real column scan, not metadata).
+    new_rels_flat = [e[0] for k in touched_keys for e in staged_files[k]]
+    _fresh_stats_cache: dict = {}
+
+    def _fresh_stats(cols_key: tuple, nc: dict) -> dict:
+        if cols_key not in _fresh_stats_cache:
+            from data_management_service_run_etl_imputations_spark.sources.skipping import (
+                _collect_stats,
+            )
+
+            _fresh_stats_cache[cols_key] = _collect_stats(
+                merged.sparkSession, path, new_rels_flat, list(cols_key), nc
+            )
+        return _fresh_stats_cache[cols_key]
+
     def _build(base: dict) -> dict:
         b_parts = dict(base.get("partitions", {}))
         b_files = dict(base.get("files", {}))
@@ -1745,6 +1765,25 @@ def _stage_and_commit(
                 if staged_files[k]:
                     _record_dir_mapping(nc, staged_rel[k], staged_names)
         nc["deletes"] = _purge_dead_deletes(nc)
+        if nc.get("stats_ref") and nc.get("stats_cols") and new_rels_flat:
+            from data_management_service_run_etl_imputations_spark.sources.skipping import (
+                _load_stats_sidecar,
+                _write_stats_sidecar,
+            )
+
+            staged_names = set(_struct_field_names(out_schema))
+            cols_key = tuple(
+                c for c in nc["stats_cols"] if c in staged_names
+            )
+            if cols_key:
+                # entries live under BASE (they predate this commit);
+                # prune to the new manifest's live files so the sidecar
+                # never accretes dead rels
+                stats = _load_stats_sidecar(path, base)
+                live = {e[0] for fs in nc["files"].values() for e in fs}
+                stats = {r: v for r, v in stats.items() if r in live}
+                stats.update(_fresh_stats(cols_key, nc))
+                nc["stats_ref"] = _write_stats_sidecar(path, stats)
         return nc
 
     # Commit loop with LOGICAL conflict detection (the Delta/Iceberg

@@ -123,13 +123,23 @@ def test_collect_stats_incremental_skips_covered_dirs(spark, table):
     assert first["directories"] == 4 and first["files"] > 0
     again = manifest_collect_stats(spark, table, ["a", "b"])
     assert again == {"files": 0, "directories": 0}  # immutable dirs covered
-    # upsert touching ONE partition: only its new directory is re-scanned
+    # upsert touching ONE partition: the WRITE PATH already covered the
+    # new directory's files (footer stats merged into the commit), so
+    # the incremental ANALYZE has nothing to scan
     batch = spark.createDataFrame(
         [(90001, "2", 5, 5)], "row_id long, p string, a long, b long"
     )
     manifest_upsert_partitioned(batch, table, ["row_id"], "p")
     after = manifest_collect_stats(spark, table, ["a", "b"])
-    assert after["directories"] == 1
+    assert after == {"files": 0, "directories": 0}
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        _load_stats_sidecar,
+    )
+
+    _, content = _latest_manifest(table)
+    stats = _load_stats_sidecar(table, content)
+    live = {e[0] for fs in content["files"].values() for e in fs}
+    assert live <= set(stats), "every live file covered post-upsert"
 
 
 def test_stats_match_actual_minmax(spark, table):
@@ -580,16 +590,21 @@ def test_manifest_minmax_metadata_only(spark, table):
     assert got["a"] == (float(actual[0]), float(actual[1]))
     assert got["b"] == (float(actual[2]), float(actual[3]))
 
-    # a new un-analyzed file breaks coverage -> loud, never stale
+    # write-path maintenance: an upsert into a stats-maintained table
+    # covers its own output files in the same commit (footer stats), so
+    # metadata MIN/MAX stays answerable with the fresh extremum — no
+    # interim ANALYZE, no stale window
     batch = spark.createDataFrame(
         [(90002, "1", -5, 20002)], "row_id long, p string, a long, b long"
     )
     manifest_upsert_partitioned(batch, table, ["row_id"], "p")
-    with pytest.raises(ValueError, match="no stats"):
-        manifest_minmax(table, ["a"])
-    manifest_collect_stats(spark, table, ["a", "b"])
     got2 = manifest_minmax(table, ["a", "b"])
     assert got2["a"][0] == -5.0 and got2["b"][1] == 20002.0
+    # and the incremental ANALYZE agrees there is nothing left to cover
+    assert manifest_collect_stats(spark, table, ["a", "b"]) == {
+        "files": 0,
+        "directories": 0,
+    }
 
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
         manifest_delete,
