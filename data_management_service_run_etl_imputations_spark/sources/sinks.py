@@ -3057,6 +3057,31 @@ def manifest_replace_partitions(
                     staged_dirs[k][0],
                     _struct_field_names(out_schema),
                 )
+    new_rels = [
+        e[0] for k in wanted if k in staged_dirs for e in staged_dirs[k][1]
+    ]
+    if new_content.get("stats_ref") and new_rels:
+        # same write-path maintenance as _stage_and_commit: a stats-
+        # maintained table's replace covers its own output files from
+        # parquet footers, in the same commit
+        from data_management_service_run_etl_imputations_spark.sources.skipping import (
+            _collect_stats,
+            _load_stats_sidecar,
+            _write_stats_sidecar,
+        )
+
+        staged_names = set(_struct_field_names(out_schema))
+        cols = [
+            c for c in new_content.get("stats_cols", []) if c in staged_names
+        ]
+        if cols:
+            stats = _load_stats_sidecar(path, content)
+            live_rels = {e[0] for fs in files.values() for e in fs}
+            stats = {r: v for r, v in stats.items() if r in live_rels}
+            stats.update(
+                _collect_stats(spark, path, new_rels, cols, new_content)
+            )
+            new_content["stats_ref"] = _write_stats_sidecar(path, stats)
     _publish_manifest(
         path,
         version + 1,

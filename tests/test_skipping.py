@@ -902,3 +902,45 @@ def test_compact_keeps_index_sidecars_warm(spark, tmp_path):
     manifest_compact(spark, path, refresh_indexes=False)
     content2 = _latest_manifest(path)[1]
     assert content2["stats_ref"] == content["stats_ref"]
+
+
+def test_replace_partitions_covers_files_on_stats_table(spark, tmp_path):
+    """replace-partitions on a stats-maintained table covers its staged
+    files in the same commit — metadata MIN/MAX stays answerable with
+    the replaced extremum, no interim ANALYZE."""
+    from pyspark.sql import functions as F
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_replace_partitions,
+        manifest_upsert_partitioned,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_stats,
+        manifest_minmax,
+    )
+
+    path = str(tmp_path / "repl")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 50, "d0").otherwise("d1").alias("day"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    manifest_upsert_partitioned(df, path, ["k"], "day")
+    manifest_collect_stats(spark, path, ["k", "v"])
+    assert manifest_minmax(path, ["v"])["v"] == (0.0, 99.0)
+
+    manifest_replace_partitions(
+        spark.createDataFrame(
+            [(1000, "d1", -7.0)], "k LONG, day STRING, v DOUBLE"
+        ),
+        path,
+        "day",
+        ["d1"],
+    )
+    got = manifest_minmax(path, ["v", "k"])
+    assert got["v"] == (-7.0, 49.0)
+    assert got["k"] == (0.0, 1000.0)
+    assert manifest_collect_stats(spark, path, ["k", "v"]) == {
+        "files": 0,
+        "directories": 0,
+    }
