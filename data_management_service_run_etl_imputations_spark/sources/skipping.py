@@ -569,6 +569,12 @@ def _footer_stats_one(abs_path: str, cols: list[str]) -> dict | None:
     return {"rows": md.num_rows, "cols": col_stats}
 
 
+# at or below this many files, footer stats are read on the driver (a
+# Spark job's fixed latency dwarfs a handful of footer reads); above it,
+# the list distributes — ANALYZE backlogs at 100 TB stay parallel
+_DRIVER_FOOTER_BATCH = 64
+
+
 def _footer_stats_for_files(
     spark, table_root: str, file_rels: list[str], cols: list[str]
 ) -> tuple[dict[str, dict], list[str]]:
@@ -581,6 +587,23 @@ def _footer_stats_for_files(
     if not file_rels:
         return {}, []
     root_abs = os.path.abspath(table_root)
+    if len(file_rels) <= _DRIVER_FOOTER_BATCH:
+        # small lists (a single commit's staged files): a Spark job's
+        # fixed scheduling latency dwarfs reading a handful of footers,
+        # so read them driver-side — the distributed path remains for
+        # ANALYZE-scale backlogs
+        out_d: dict[str, dict] = {}
+        left_d: list[str] = []
+        for rel in sorted(file_rels):
+            res = _footer_stats_one(os.path.join(root_abs, rel), cols)
+            if res is None:
+                left_d.append(rel)
+            else:
+                # normalize through the same JSON round-trip the
+                # distributed path applies (tuples → lists etc.) so both
+                # paths produce byte-identical sidecar entries
+                out_d[rel] = json.loads(json.dumps(res))
+        return out_d, left_d
     n_slices = min(len(file_rels), spark.sparkContext.defaultParallelism)
     rels_df = spark.createDataFrame(
         [(r,) for r in sorted(file_rels)], "rel string"
