@@ -998,3 +998,67 @@ def manifest_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
+    "manifest_hidden_partitioning",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+          AND ts <  TIMESTAMP '2024-01-14 18:00:00'
+        GROUP BY event_type
+    """,
+)
+def manifest_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING end-to-end (Delta generated columns /
+    Iceberg partition transforms): events land in a manifest table
+    declared with ``generated_cols={"day": "to_date(ts)"}`` — the day
+    column is computed by the WRITER from the recorded expression, never
+    by the caller — and a raw timestamp window is answered by mapping it
+    to day partition values (``generated_partition_filter``) plus the
+    residual ts filter on the pruned read. The oracle is the plain
+    filtered aggregate: transform-aware pruning must be invisible to
+    results. At 100 TB the window's scan cost tracks its days, not the
+    table (sources/sinks.py generated_partition_filter;
+    tests/test_generated_cols.py pins overwrite-on-drift, merge-source
+    computation, and the unit mappings)."""
+    import datetime as _dt
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        generated_partition_filter,
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("hidden_part")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    lo = _dt.datetime(2024, 1, 10, 6)
+    hi = _dt.datetime(2024, 1, 14, 18)
+    try:
+        manifest_upsert_partitioned(
+            events,
+            target,
+            ["event_id"],
+            "day",
+            generated_cols={"day": "to_date(ts)"},
+        )
+        filt = generated_partition_filter(target, {"ts": (lo, hi)})
+        pruned = manifest_read(spark, target, partition_filter=filt)
+        return (
+            pruned.filter(
+                (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)

@@ -1462,6 +1462,7 @@ def manifest_upsert_partitioned(
     fmt: str = "parquet",
     extra_meta: dict | None = None,
     sort_cols: list[str] | None = None,
+    generated_cols: "dict[str, str] | None" = None,
 ) -> dict[str, int]:
     """ATOMIC partition-level upsert: the scale-safe successor of
     :func:`merge_upsert_partitioned` (reference semantic
@@ -1491,13 +1492,24 @@ def manifest_upsert_partitioned(
     zone-map skipping on it works from the first ANALYZE — the standing
     alternative to periodic Z-ORDER when one ordering dimension
     dominates the query mix (e.g. a timestamp). Costs one extra range
-    shuffle of the TOUCHED partitions only. Returns {"updated": n,
-    "inserted": n}.
+    shuffle of the TOUCHED partitions only.
+
+    ``generated_cols`` declares HIDDEN PARTITIONING at table creation
+    (``{"day": "date_trunc('day', ts)"}`` with ``partition_col="day"``):
+    the spec is recorded in the manifest, every subsequent write
+    computes the column from the expression (caller-supplied values are
+    overwritten — the transform cannot drift from the data), and
+    ``generated_partition_filter`` maps raw-column ranges to partition
+    pruning. Returns {"updated": n, "inserted": n}.
     """
     import uuid
 
     spark = incoming.sparkSession
     version, content = _latest_manifest(path)
+    gen = _resolve_generated(content, generated_cols, _pcols(partition_col))
+    if gen:
+        incoming = _apply_generated(incoming, gen)
+        extra_meta = {**(extra_meta or {}), "generated_cols": gen}
     parts: dict = dict(content.get("partitions", {}))
     files: dict = dict(content.get("files", {}))
 
@@ -2273,6 +2285,13 @@ def manifest_merge(
     version, content = _latest_manifest(path)
     parts: dict = dict(content.get("partitions", {}))
 
+    gen = content.get("generated_cols") or {}
+    if gen:
+        # hidden partitioning: the merge source gets its generated
+        # partition columns computed from the recorded spec (a generated
+        # column is always a partition column, so matched_update can
+        # never touch it — rejected above)
+        source = _apply_generated(source, gen)
     src = source.localCheckpoint()  # evaluated once, reused three times
     src_keys = src.select(*keys).dropDuplicates()
     n_src_keys = src_keys.count()
@@ -2987,6 +3006,9 @@ def manifest_replace_partitions(
     files: dict = dict(content.get("files", {}))
     pcols = _pcols(partition_col)
     wanted = [_normalize_partition_value(v, pcols) for v in partition_values]
+    gen = content.get("generated_cols") or {}
+    if gen:
+        df = _apply_generated(df, gen)
 
     stage = f"data/{uuid.uuid4().hex[:12]}"
     out_schema = df.schema.simpleString()
@@ -3467,6 +3489,12 @@ def _refuse_if_referenced(content: dict, name: str, op: str) -> None:
                 f"cannot {op} column {name!r}: constraint {cname!r} "
                 f"references it ({expr!r}) — drop the constraint first"
             )
+    for gname, gexpr in (content.get("generated_cols") or {}).items():
+        if re.search(rf"\b{re.escape(name)}\b", gexpr):
+            raise ValueError(
+                f"cannot {op} column {name!r}: generated column "
+                f"{gname!r} is computed from it ({gexpr!r})"
+            )
 
 
 def _rekey_index_sidecars(path: str, content: dict, old: str, new: str | None) -> None:
@@ -3509,6 +3537,139 @@ def _rekey_index_sidecars(path: str, content: dict, old: str, new: str | None) -
             content["bloom_ref"] = (
                 _write_bloom_sidecar(path, bloom) if bloom else None
             )
+
+
+# --- generated partition columns (hidden partitioning) ----------------------
+#
+# Delta's generated-columns / Iceberg's hidden-partitioning story: a table
+# declares `generated_cols={"day": "date_trunc('day', ts)"}` and partitions
+# on the GENERATED name. Writers never hand-materialize the column — every
+# write path (upsert, merge source, replace-partitions) computes it from
+# the recorded expression, so the transform can never drift from the data;
+# a caller-supplied value is OVERWRITTEN by the spec, the strongest
+# consistency guarantee and exactly Delta's behavior for generated
+# partition columns. Readers prune on raw-column ranges through
+# `generated_partition_filter`, which maps a range on the BASE column to
+# the enumerable set of generated partition values for the common
+# monotone transforms (date_trunc day/hour/month/year/week, to_date).
+
+
+def _resolve_generated(
+    content: dict, param: "dict[str, str] | None", pcols: list[str]
+) -> dict[str, str]:
+    """The table's generated-column spec for this write: the recorded
+    spec when the param is absent; the param at table creation; a LOUD
+    error on any mismatch (a transform silently changing between writes
+    would scatter one logical partition across physical keys). Generated
+    names must be partition columns — the transform exists to drive
+    layout, and partition columns are immutable under merge updates, so
+    the materialized value can never go stale."""
+    recorded = content.get("generated_cols")
+    if param is None:
+        return dict(recorded or {})
+    bad = sorted(set(param) - set(pcols))
+    if bad:
+        raise ValueError(
+            f"generated column(s) {bad} must be partition columns — "
+            "generated columns exist to drive partition layout"
+        )
+    if recorded is not None and dict(recorded) != dict(param):
+        raise ValueError(
+            f"generated_cols mismatch: table records {recorded!r}, "
+            f"write supplied {param!r} — the transform is part of the "
+            "table's identity (drop and recreate to change it)"
+        )
+    return dict(param)
+
+
+def _apply_generated(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """Materialize every generated column from its recorded expression,
+    OVERWRITING any caller-supplied value (consistency by construction)."""
+    for name in sorted(gen):
+        df = df.withColumn(name, F.expr(gen[name]))
+    return df
+
+
+def generated_partition_filter(
+    path: str,
+    ranges: "dict[str, tuple]",
+    version: int | None = None,
+) -> dict[str, list]:
+    """Partition-filter values for raw-column ranges on a hidden-
+    partitioned table: ``{"ts": (lo, hi)}`` → ``{"day": [date0, ...]}``
+    ready for ``manifest_read(partition_filter=...)``. Supports the
+    monotone calendar transforms ``date_trunc('<unit>', col)`` (hour /
+    day / week / month / year) and ``to_date(col)``; raises for a base
+    column no generated transform covers (never silently returns an
+    unpruned read). Enumeration is bounded (100k values) — a range that
+    enumerates wider than that should read unfiltered anyway."""
+    import datetime as _dt
+    import re
+
+    version, content = _resolve_manifest(path, version)
+    gen = content.get("generated_cols") or {}
+    pat = re.compile(
+        r"^\s*(?:date_trunc\s*\(\s*'(hour|day|week|month|year)'\s*,"
+        r"\s*(\w+)\s*\)|to_date\s*\(\s*(\w+)\s*\))\s*$",
+        re.IGNORECASE,
+    )
+    out: dict[str, list] = {}
+    for base, (lo, hi) in ranges.items():
+        hit = None
+        for name, expr in gen.items():
+            m = pat.match(expr)
+            if not m:
+                continue
+            unit = (m.group(1) or "day").lower()
+            col = m.group(2) or m.group(3)
+            as_date = m.group(3) is not None
+            if col == base:
+                hit = (name, unit, as_date)
+                break
+        if hit is None:
+            raise ValueError(
+                f"no enumerable generated transform over {base!r} "
+                f"(generated_cols: {gen!r})"
+            )
+        name, unit, as_date = hit
+
+        def _trunc(v: _dt.datetime) -> _dt.datetime:
+            if unit == "hour":
+                return v.replace(minute=0, second=0, microsecond=0)
+            v = v.replace(hour=0, minute=0, second=0, microsecond=0)
+            if unit == "week":
+                return v - _dt.timedelta(days=v.weekday())
+            if unit == "month":
+                return v.replace(day=1)
+            if unit == "year":
+                return v.replace(month=1, day=1)
+            return v
+        if isinstance(lo, _dt.date) and not isinstance(lo, _dt.datetime):
+            lo = _dt.datetime(lo.year, lo.month, lo.day)
+        if isinstance(hi, _dt.date) and not isinstance(hi, _dt.datetime):
+            hi = _dt.datetime(hi.year, hi.month, hi.day)
+        cur, stop = _trunc(lo), _trunc(hi)
+        vals: list = []
+        while cur <= stop:
+            if len(vals) > 100_000:
+                raise ValueError(
+                    f"range over {base!r} enumerates more than 100k "
+                    f"{unit} partitions — read unfiltered instead"
+                )
+            vals.append(cur.date() if as_date else cur)
+            if unit == "hour":
+                cur += _dt.timedelta(hours=1)
+            elif unit == "week":
+                cur += _dt.timedelta(days=7)
+            elif unit == "month":
+                y, mo = divmod(cur.month, 12)
+                cur = cur.replace(year=cur.year + y, month=mo + 1)
+            elif unit == "year":
+                cur = cur.replace(year=cur.year + 1)
+            else:
+                cur += _dt.timedelta(days=1)
+        out[name] = vals
+    return out
 
 
 def manifest_rename_column(path: str, old: str, new: str) -> None:
