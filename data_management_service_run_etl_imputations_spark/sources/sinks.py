@@ -1454,6 +1454,50 @@ def _purge_dead_deletes(content: dict) -> list[dict]:
     ]
 
 
+def _txn_applied(content: dict, txn: "tuple[str, int]") -> bool:
+    """True when this ``(app_id, txn_version)`` batch token is already
+    committed — the skip test for IDEMPOTENT batch writes (Delta's
+    txnAppId/txnVersion). Markers are monotone per app: a replayed or
+    older token is a no-op."""
+    app, ver = txn
+    applied = (content.get("txns") or {}).get(app)
+    return applied is not None and ver <= applied
+
+
+def _txn_meta(content: dict, txn: "tuple[str, int]") -> dict:
+    """The ``txns`` manifest entry recording this token, merged over the
+    base snapshot's markers — rides the data commit via ``extra_meta``
+    so token and data can never diverge (and extra_meta carriers never
+    fast-forward, so a lost race re-reads and re-checks the token)."""
+    app, ver = txn
+    txns = dict(content.get("txns") or {})
+    txns[app] = ver
+    return {"txns": txns}
+
+
+def _auto_compact(
+    spark, path: str, touched_keys: list[str], pcols: list[str],
+    fmt: str, min_files: int,
+) -> None:
+    """Best-effort post-write compaction of the partitions THIS write
+    touched (Delta autoOptimize.autoCompact): only partitions whose
+    manifest-recorded file count reached ``min_files`` rewrite — the
+    selection reads zero data — so steady small-batch ingestion keeps
+    its own file counts bounded without a separate maintenance job. A
+    lost maintenance commit race is dropped silently: the data commit
+    already won, and the next write (or nightly OPTIMIZE) retries."""
+    import json
+
+    vals = [json.loads(k) if len(pcols) > 1 else k for k in touched_keys]
+    try:
+        manifest_compact(
+            spark, path, partition_values=vals, fmt=fmt,
+            min_files=min_files,
+        )
+    except CommitConflict:
+        pass
+
+
 def manifest_upsert_partitioned(
     incoming: DataFrame,
     path: str,
@@ -1463,6 +1507,8 @@ def manifest_upsert_partitioned(
     extra_meta: dict | None = None,
     sort_cols: list[str] | None = None,
     generated_cols: "dict[str, str] | None" = None,
+    txn: "tuple[str, int] | None" = None,
+    auto_compact_min_files: int | None = None,
 ) -> dict[str, int]:
     """ATOMIC partition-level upsert: the scale-safe successor of
     :func:`merge_upsert_partitioned` (reference semantic
@@ -1500,12 +1546,29 @@ def manifest_upsert_partitioned(
     computes the column from the expression (caller-supplied values are
     overwritten — the transform cannot drift from the data), and
     ``generated_partition_filter`` maps raw-column ranges to partition
-    pruning. Returns {"updated": n, "inserted": n}.
+    pruning.
+
+    ``txn=(app_id, version)`` makes the write IDEMPOTENT (Delta's
+    txnAppId/txnVersion): a token at or below the app's committed marker
+    skips the whole write and returns ``{"updated": 0, "inserted": 0,
+    "skipped": True}``; otherwise the marker commits ATOMICALLY with the
+    data, so a retried batch job (orchestrator re-run, driver crash
+    after commit) can never double-apply. Distinct app_ids track
+    independent sequences.
+
+    ``auto_compact_min_files=N`` runs a best-effort post-commit
+    compaction of the touched partitions whose file count reached N —
+    steady small-batch ingestion bounds its own fragmentation without a
+    separate maintenance job. Returns {"updated": n, "inserted": n}.
     """
     import uuid
 
     spark = incoming.sparkSession
     version, content = _latest_manifest(path)
+    if txn is not None and _txn_applied(content, txn):
+        return {"updated": 0, "inserted": 0, "skipped": True}
+    if txn is not None:
+        extra_meta = {**(extra_meta or {}), **_txn_meta(content, txn)}
     gen = _resolve_generated(content, generated_cols, _pcols(partition_col))
     if gen:
         incoming = _apply_generated(incoming, gen)
@@ -1596,6 +1659,10 @@ def manifest_upsert_partitioned(
             "keys": list(keys),
         },
     )
+    if auto_compact_min_files is not None and touched_keys:
+        _auto_compact(
+            spark, path, touched_keys, pcols, fmt, auto_compact_min_files
+        )
     n_batch = n_merged - n_survivors
     n_updated = n_existing_touched - n_survivors
     return {"updated": n_updated, "inserted": n_batch - n_updated}
@@ -2239,6 +2306,8 @@ def manifest_merge(
     matched_delete: str | None = None,
     insert_not_matched: bool = True,
     fmt: str = "parquet",
+    txn: "tuple[str, int] | None" = None,
+    auto_compact_min_files: int | None = None,
 ) -> dict[str, int]:
     """MERGE INTO for the manifest table — the full Delta/ANSI merge
     surface the plain upsert (whole-row replace) cannot express:
@@ -2273,6 +2342,11 @@ def manifest_merge(
     OUTSIDE the touched partitions, so a lost commit race always
     escalates as :class:`CommitConflict` for a full re-merge. A
     partition emptied entirely by deletes drops out of the manifest.
+
+    ``txn`` / ``auto_compact_min_files`` as on
+    :func:`manifest_upsert_partitioned`: idempotent batch tokens (a
+    replayed token returns all-zero counts with ``"skipped": True``)
+    and best-effort post-commit compaction of the touched partitions.
     Returns {"updated": n, "deleted": n, "inserted": n}.
     """
     spark = source.sparkSession
@@ -2283,6 +2357,8 @@ def manifest_merge(
             f"matched_update must not set partition column(s) {bad_set}"
         )
     version, content = _latest_manifest(path)
+    if txn is not None and _txn_applied(content, txn):
+        return {"updated": 0, "deleted": 0, "inserted": 0, "skipped": True}
     parts: dict = dict(content.get("partitions", {}))
 
     gen = content.get("generated_cols") or {}
@@ -2475,7 +2551,7 @@ def manifest_merge(
         fmt,
         version,
         content,
-        None,
+        _txn_meta(content, txn) if txn is not None else None,
         op="merge",
         allow_fast_forward=False,
         carry_files=carry_files,
@@ -2490,6 +2566,10 @@ def manifest_merge(
             "keys": list(keys),  # lets the CDF reader classify updates
         },
     )
+    if auto_compact_min_files is not None and touched_keys:
+        _auto_compact(
+            spark, path, touched_keys, pcols, fmt, auto_compact_min_files
+        )
     return {
         "updated": counts.get("update", 0),
         "deleted": counts.get("delete", 0),
@@ -2989,19 +3069,28 @@ def manifest_replace_partitions(
     partition_col,
     partition_values: list,
     fmt: str = "parquet",
+    txn: "tuple[str, int] | None" = None,
 ) -> dict[str, int]:
     """Publish ``df`` as the COMPLETE new content of the listed
     partitions — the delete-capable primitive under the refresh above
     (an anti-join upsert can only add/replace keys; replacing a whole
     partition can also REMOVE rows, and a listed partition with no rows
     in ``df`` is dropped from the manifest entirely). Same atomic
-    staging + manifest-rename contract as the upsert.
+    staging + manifest-rename contract as the upsert. ``txn`` as on
+    :func:`manifest_upsert_partitioned`: a replayed token skips and
+    returns zero counts with ``"skipped": True``.
     Returns {"partitions_written": n, "partitions_dropped": n}.
     """
     import uuid
 
     spark = df.sparkSession
     version, content = _latest_manifest(path)
+    if txn is not None and _txn_applied(content, txn):
+        return {
+            "partitions_written": 0,
+            "partitions_dropped": 0,
+            "skipped": True,
+        }
     parts: dict = dict(content.get("partitions", {}))
     files: dict = dict(content.get("files", {}))
     pcols = _pcols(partition_col)
@@ -3104,6 +3193,8 @@ def manifest_replace_partitions(
                 _collect_stats(spark, path, new_rels, cols, new_content)
             )
             new_content["stats_ref"] = _write_stats_sidecar(path, stats)
+    if txn is not None:
+        new_content.update(_txn_meta(content, txn))
     _publish_manifest(
         path,
         version + 1,
@@ -3377,6 +3468,14 @@ def manifest_restore(
         markers[app] = max(bid, markers.get(app, bid))
     if markers:
         content["stream_batches"] = markers
+    # batch txn tokens are monotone across RESTORE for the same reason
+    # as streaming markers: a restore must never re-open an already-
+    # applied idempotent batch for replay
+    txns = dict(target.get("txns") or {})
+    for app, ver in (head.get("txns") or {}).items():
+        txns[app] = max(ver, txns.get(app, ver))
+    if txns:
+        content["txns"] = txns
     _publish_manifest(path, head_v + 1, content, op=f"restore(v{target_v})")
     return {"restored_version": target_v, "new_version": head_v + 1}
 
@@ -3799,6 +3898,7 @@ def foreach_batch_manifest_upsert(
     partition_col: "str | list[str]",
     fmt: str = "parquet",
     app_id: str = "default",
+    auto_compact_min_files: int | None = None,
 ):
     """EXACTLY-ONCE streaming sink into a manifest table: returns a
     ``foreachBatch`` function that upserts each micro-batch and records
@@ -3836,6 +3936,9 @@ def foreach_batch_manifest_upsert(
             partition_col,
             fmt=fmt,
             extra_meta={"stream_batches": markers},
+            # micro-batch ingestion is the canonical small-file
+            # generator; let the sink bound its own fragmentation
+            auto_compact_min_files=auto_compact_min_files,
         )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
