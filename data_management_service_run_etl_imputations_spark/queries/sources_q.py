@@ -1001,6 +1001,74 @@ def manifest_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_delete_where_modes",
+    oracle="""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        WHERE o_totalprice <= 400000
+          AND o_orderkey % 7 <> 0
+        GROUP BY o_year
+    """,
+)
+def manifest_delete_where_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-driven DELETE in both physical strategies: a
+    merge-on-read POSITIONAL delete (Iceberg position-deletes / Delta
+    deletion vectors: matched rows resolve to ``(file, row_index)``
+    addresses via ``_metadata``, zero data rewrite, reads mask with one
+    anti-join) followed by a file-granular COPY-ON-WRITE delete (only
+    files holding matched rows rewrite; the rest carry by reference).
+    The oracle is the plain double-filtered aggregate — physical
+    strategy must be invisible to results. The function also
+    cross-checks ``manifest_count``'s metadata-only count (positional
+    masks subtract exactly from footer row counts — no scan) against
+    the read (sources/sinks.py manifest_delete_where;
+    tests/test_delete_where.py pins granularity, purge, CDF, and
+    restore interplay)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_count,
+        manifest_delete_where,
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("delete_where")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    try:
+        manifest_upsert_partitioned(t, target, ["o_orderkey"], "o_year")
+        manifest_delete_where(spark, target, "o_totalprice > 400000")
+        n_meta = manifest_count(target)  # exact under positional masks
+        manifest_delete_where(
+            spark, target, "o_orderkey % 7 = 0", mode="cow"
+        )
+        out = manifest_read(spark, target)
+        result = (
+            out.groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+        n_rows = result.agg(F.sum("n_orders")).collect()[0][0]
+        # the CoW pass deleted every 7th surviving key; the metadata
+        # count taken between the two deletes must exceed the final
+        # count and both must be internally consistent
+        if n_meta < n_rows:
+            raise AssertionError(
+                f"metadata count {n_meta} < post-delete rows {n_rows}"
+            )
+        return result
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
     "manifest_hidden_partitioning",
     oracle="""
         SELECT event_type,

@@ -452,8 +452,30 @@ def _read_cdf_partition(p: "_CdfPartition"):
             df = pa.table(cols, schema=target).to_pandas().reset_index(
                 drop=True
             )
-            stage = rel.split("/__p=")[0]
+            stage = rel.split("/__p")[0]
+            # POSITIONAL masks first: row_index refers to the PHYSICAL
+            # row order of the file, which is exactly the frame's index
+            # right now (whole-file read, 0..n-1) and stops being so the
+            # moment any other mask filters rows
             for entry in deletes:
+                if entry.get("kind") != "pos" or df.empty:
+                    continue
+                if rel not in entry.get("files", []):
+                    continue
+                ck = (entry["ref"], "__pos__")
+                if ck not in delete_keys_cache:
+                    delete_keys_cache[ck] = (
+                        pq.read_table(f"{p.root}/{entry['ref']}")
+                        .to_pandas()
+                    )
+                kdf = delete_keys_cache[ck]
+                pos = kdf.loc[kdf["file"] == rel, "pos"]
+                if len(pos):
+                    df = df[~df.index.isin(set(pos.tolist()))]
+            df = df.reset_index(drop=True)
+            for entry in deletes:
+                if entry.get("kind") == "pos":
+                    continue
                 if stage not in entry["stages"] or df.empty:
                     continue
                 ck = (entry["ref"], tuple(entry["cols"]))

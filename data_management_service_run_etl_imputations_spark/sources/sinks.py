@@ -905,7 +905,7 @@ def _rename_exprs_for_dir(
 
 
 def _load_table_files(
-    spark, path: str, content: dict, rels: list[str]
+    spark, path: str, content: dict, rels: list[str], with_pos: bool = False
 ) -> "DataFrame":
     """Load an explicit file list honoring SCHEMA EVOLUTION including
     TYPE WIDENING and COLUMN MAPPING: each staged directory's write
@@ -917,7 +917,15 @@ def _load_table_files(
     columns — an int→bigint widening makes it fail with
     CANNOT_MERGE_SCHEMAS, so homogeneous groups are the only safe unit.
     One group (the overwhelmingly common case) short-circuits to a plain
-    load."""
+    load.
+
+    ``with_pos=True`` threads the file source's hidden ``_metadata``
+    columns through as ``__mf_file`` (file path URI) / ``__mf_pos``
+    (row index within the file) — the physical row address POSITIONAL
+    delete entries mask on. ``_metadata`` must be captured at the scan
+    (it does not survive projections), which is why this is a load
+    option rather than something :func:`_apply_deletes` could recover
+    after the fact."""
     fmt = content.get("fmt", "parquet")
     dir_schemas: dict = content.get("dir_schemas", {})
     dir_col_ids: dict = content.get("dir_col_ids", {})
@@ -934,6 +942,15 @@ def _load_table_files(
     for rel in rels:
         groups.setdefault(group_key(rel), []).append(rel)
 
+    pos_cols = (
+        [
+            F.col("_metadata.file_path").alias(_POS_FILE),
+            F.col("_metadata.row_index").alias(_POS_IDX),
+        ]
+        if with_pos
+        else []
+    )
+
     def load(group_rels: list[str]):
         reader = spark.read.format(fmt)
         if fmt == "parquet":
@@ -942,7 +959,9 @@ def _load_table_files(
         exprs = _rename_exprs_for_dir(
             content, group_rels[0].rsplit("/", 1)[0], df.columns
         )
-        return df.select(*exprs) if exprs is not None else df
+        if exprs is not None:
+            return df.select(*exprs, *pos_cols)
+        return df.select("*", *pos_cols) if pos_cols else df
 
     if len(groups) <= 1:
         return load(rels)
@@ -959,7 +978,8 @@ def _load_table_files(
                         else F.lit(None).cast(f.dataType)
                     ).alias(f.name)
                     for f in target.fields
-                ]
+                ],
+                *([_POS_FILE, _POS_IDX] if with_pos else []),
             )
         )
     out = aligned[0]
@@ -1179,7 +1199,9 @@ def manifest_read(
             return spark.createDataFrame([], schema)
         raise ValueError(f"manifest table at {path} is empty (v{version})")
     rels = _live_file_rels(content, parts, path=path)
-    df = _load_table_files(spark, path, content, rels)
+    df = _load_table_files(
+        spark, path, content, rels, with_pos=_has_pos_deletes(content)
+    )
     return _apply_deletes(spark, path, df, content)
 
 
@@ -1365,24 +1387,73 @@ def _live_stages(content: dict) -> set[str]:
     return {_stage_of(d) for d in _live_dirs(content)}
 
 
-def _apply_deletes(spark, path: str, df: DataFrame, content: dict) -> DataFrame:
-    """Merge-on-read equality deletes: mask rows matching a delete entry's
-    keys IF the row comes from a stage that was live when the delete
-    committed (``entry["stages"]``). Rows re-inserted later land in new
-    stages and are NOT masked — upserts apply pending deletes while
-    merging, so delete-then-reinsert behaves exactly like a rewrite.
+# Hidden columns carrying each row's physical address (file URI + row
+# index within the file) through a with_pos load — the join keys of
+# POSITIONAL delete masks.
+_POS_FILE = "__mf_file"
+_POS_IDX = "__mf_pos"
 
-    Scale: one left anti-join per pending delete entry against its key
-    file (delete key sets are small relative to the table; AQE broadcasts
-    them), with a per-row stage-membership check on ``input_file_name`` —
-    no data rewrite at delete time; compaction/upsert purge entries whose
-    stages die. Entries are expected to be few (purged continuously)."""
+
+def _has_pos_deletes(content: dict) -> bool:
+    """True when any pending delete entry is positional — the caller's
+    :func:`_load_table_files` must then thread ``with_pos=True`` so the
+    rows carry their physical addresses for the mask."""
+    return any(
+        e.get("kind") == "pos" for e in content.get("deletes") or []
+    )
+
+
+def _apply_deletes(
+    spark, path: str, df: DataFrame, content: dict, keep_pos: bool = False
+) -> DataFrame:
+    """Merge-on-read delete masks, two kinds per entry:
+
+    - EQUALITY (``kind`` absent): mask rows matching the entry's key
+      values IF the row comes from a stage that was live when the delete
+      committed (``entry["stages"]``). Rows re-inserted later land in
+      new stages and are NOT masked — upserts apply pending deletes
+      while merging, so delete-then-reinsert behaves exactly like a
+      rewrite.
+    - POSITIONAL (``kind: "pos"``, the Iceberg position-delete /
+      Delta deletion-vector shape): mask exact physical rows by
+      ``(file, row_index)``. No key columns involved, duplicates of the
+      "same" row elsewhere stay, and re-inserts can never be masked by
+      construction (a new file is a new address). Requires the df to
+      carry ``__mf_file``/``__mf_pos`` (``_load_table_files
+      with_pos=True``) — gate on :func:`_has_pos_deletes`.
+
+    Scale: one left anti-join per pending delete entry against its
+    sidecar (delete sets are small relative to the table; AQE broadcasts
+    them). The positional join's equi keys are (file NAME, row index) —
+    Spark's task-UUID file names make the name effectively unique, and
+    the full-path suffix check rides as a residual predicate on the
+    hash join, so no URI-prefix format is ever assumed. No data rewrite
+    at delete time; compaction/upsert purge entries whose files die.
+    Entries are expected to be few (purged continuously)."""
     deletes = content.get("deletes") or []
     if not deletes:
         return df
     out = df.withColumn("__src", F.input_file_name())
     for i, entry in enumerate(deletes):
         keys = spark.read.parquet(f"{path}/{entry['ref']}")
+        if entry.get("kind") == "pos":
+            pk = keys.select(
+                F.substring_index(F.col("file"), "/", -1).alias(
+                    f"__pk_{i}_name"
+                ),
+                F.concat(F.lit("/"), F.col("file")).alias(f"__pk_{i}_rel"),
+                F.col("pos").alias(f"__pk_{i}_pos"),
+            ).dropDuplicates()
+            cond = (
+                (
+                    F.substring_index(F.col(_POS_FILE), "/", -1)
+                    == F.col(f"__pk_{i}_name")
+                )
+                & (F.col(_POS_IDX) == F.col(f"__pk_{i}_pos"))
+                & F.col(_POS_FILE).endswith(F.col(f"__pk_{i}_rel"))
+            )
+            out = out.join(pk, cond, "left_anti")
+            continue
         # key FILES are immutable: a column rename re-labels the entry's
         # logical match columns ("cols") but the file keeps its original
         # names ("key_cols", defaulted for pre-rename entries)
@@ -1398,7 +1469,10 @@ def _apply_deletes(spark, path: str, df: DataFrame, content: dict) -> DataFrame:
         for j, c in enumerate(entry["cols"]):
             cond = cond & out[c].eqNullSafe(F.col(f"__dk_{i}_{j}"))
         out = out.join(renamed, cond, "left_anti")
-    return out.drop("__src")
+    out = out.drop("__src")
+    if not keep_pos and _POS_FILE in df.columns:
+        out = out.drop(_POS_FILE, _POS_IDX)
+    return out
 
 
 def manifest_delete(
@@ -1440,18 +1514,238 @@ def manifest_delete(
     return {"keys": n}
 
 
+def manifest_delete_where(
+    spark,
+    path: str,
+    condition: str,
+    mode: str = "mor",
+) -> dict[str, int]:
+    """``DELETE FROM <table> WHERE <condition>`` with a choice of
+    physical strategy — the predicate-driven row-level delete the
+    key-set :func:`manifest_delete` cannot express (reference parity:
+    the reference's only delete is implicit idempotent-append filtering,
+    `function_app.py:296-312`; this is the lakehouse generalization):
+
+    - ``mode="mor"`` (merge-on-read, POSITIONAL): resolve the matched
+      rows to their physical addresses ``(file, row_index)`` via the
+      file source's hidden ``_metadata`` columns and commit them as a
+      positional delete sidecar — Iceberg's position-delete files /
+      Delta's deletion vectors. ZERO data rewrite at delete time; reads
+      mask with one anti-join. Unlike equality entries, a positional
+      mask never consults key columns (works on key-less tables,
+      deletes exact duplicates row-by-row) and can never touch a
+      re-inserted row (a new file is a new address).
+    - ``mode="cow"`` (copy-on-write): rewrite ONLY the files that hold
+      matching rows, minus those rows, carrying every other file by
+      reference — the same file-granular rewrite discipline as MERGE.
+      The delete is fully materialized at commit time (no read-side
+      mask, metadata counts stay exact).
+
+    Plan shape at 100 TB: the match scan is one predicate-pushed,
+    column-pruned pass over the live files (Catalyst pushes
+    ``condition``'s conjuncts to the parquet scan); matched-file
+    identification collects ONE row per matched file, never data. MoR
+    then writes only the matched addresses; CoW reloads only the
+    matched files. A predicate matching most of the table belongs in
+    ``cow`` mode (a positional sidecar proportional to the table is the
+    pathological case — Delta's DV sizing guidance makes the same
+    point). SQL NULL semantics: rows where ``condition`` is NULL are
+    NOT deleted.
+
+    Returns ``{"deleted_rows": n, "files_matched": m}`` (plus
+    ``"files_rewritten"/"files_carried"`` in cow mode). Concurrency: a
+    lost commit race raises :class:`CommitConflict`; wrap in
+    :func:`with_commit_retry` to re-run against the new head."""
+    import uuid
+
+    if mode not in ("mor", "cow"):
+        raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"manifest table at {path} does not exist")
+    parts = content.get("partitions", {})
+    if not parts:
+        return {"deleted_rows": 0, "files_matched": 0}
+    rels = _live_file_rels(content, parts, path=path)
+    df = _load_table_files(spark, path, content, rels, with_pos=True)
+    # pending masks apply FIRST: an already-deleted row must not be
+    # re-counted (mor) or resurrected by its file's rewrite (cow)
+    df = _apply_deletes(spark, path, df, content, keep_pos=True)
+    matched = df.filter(condition).select(
+        F.col(_POS_FILE).alias("uri"), F.col(_POS_IDX).alias("pos")
+    )
+    if mode == "cow":
+        # cow reloads the matched files below; here only their identity
+        # is needed — one row per file, never data
+        uris = [
+            r["uri"] for r in matched.select("uri").distinct().collect()
+        ]
+        matched_rels = _uris_to_rels(uris, rels, path)
+        if not matched_rels:
+            return {"deleted_rows": 0, "files_matched": 0}
+        return _delete_where_cow(
+            spark, path, version, content, condition, matched_rels
+        )
+
+    # --- merge-on-read: commit the matched addresses as a sidecar ---
+    matched = matched.localCheckpoint()  # one scan: count + mapping + write
+    n = matched.count()
+    if n == 0:
+        return {"deleted_rows": 0, "files_matched": 0}
+    uris = [r["uri"] for r in matched.select("uri").distinct().collect()]
+    rel_of = _uris_to_rels_map(uris, rels, path)
+    mapping = spark.createDataFrame(
+        [(u, rel_of[u]) for u in uris], "uri string, file string"
+    )
+    keys = matched.join(F.broadcast(mapping), "uri").select("file", "pos")
+    ref = f"_deletes/{uuid.uuid4().hex[:12]}.parquet"
+    keys.coalesce(1).write.mode("errorifexists").parquet(f"{path}/{ref}")
+    files_matched = sorted(rel_of.values())
+    content = dict(content)
+    content["deletes"] = [
+        *(content.get("deletes") or []),
+        {
+            "ref": ref,
+            "kind": "pos",
+            "cols": [],  # no key columns: rename/drop checks no-op safely
+            "files": files_matched,
+            "stages": sorted({_stage_of(r) for r in files_matched}),
+        },
+    ]
+    _publish_manifest(
+        path,
+        version + 1,
+        content,
+        op="delete",
+        op_metrics={
+            "deleted_rows": n,
+            "files_matched": len(files_matched),
+            "mode": "merge-on-read",
+        },
+    )
+    _maybe_auto_checkpoint(spark, path, version + 1)
+    return {"deleted_rows": n, "files_matched": len(files_matched)}
+
+
+def _uris_to_rels(uris: list[str], rels: list[str], path: str) -> list[str]:
+    return sorted(_uris_to_rels_map(uris, rels, path).values())
+
+
+def _uris_to_rels_map(
+    uris: list[str], rels: list[str], path: str
+) -> dict[str, str]:
+    """Map scan URIs (``_metadata.file_path``, scheme-qualified) back to
+    manifest-relative paths by exact suffix match against the live file
+    list — no URI-scheme or prefix format is ever assumed, and an
+    unmapped URI is a loud error (it would mean the scan read a file the
+    manifest does not list)."""
+    by_suffix = {f"/{r}": r for r in rels}
+    out: dict[str, str] = {}
+    for u in uris:
+        hit = next(
+            (rel for suf, rel in by_suffix.items() if u.endswith(suf)), None
+        )
+        if hit is None:
+            raise RuntimeError(
+                f"scanned file {u} is not in the manifest's live list at "
+                f"{path} — manifest/scan drift"
+            )
+        out[u] = hit
+    return out
+
+
+def _delete_where_cow(
+    spark,
+    path: str,
+    version: int,
+    content: dict,
+    condition: str,
+    matched_rels: list[str],
+) -> dict[str, int]:
+    """Copy-on-write tail of :func:`manifest_delete_where`: rewrite only
+    the matched files minus the matching rows; every other file of the
+    touched partitions carries by reference (``_stage_and_commit``'s
+    carry hook — the MERGE rewrite discipline). A file emptied entirely
+    drops from the manifest; a partition emptied entirely drops out.
+    Fast-forward is disabled: the match scan read the WHOLE table, so
+    any interleaved commit must re-run the delete."""
+    files: dict = content.get("files", {})
+    matched_set = set(matched_rels)
+    touched_keys = sorted(
+        k for k, es in files.items() if any(e[0] in matched_set for e in es)
+    )
+    rewrite_rels, carry_files = _split_rewrite_carry(
+        content, touched_keys, matched_set
+    )
+    tdf = _apply_deletes(
+        spark,
+        path,
+        _load_table_files(
+            spark, path, content, rewrite_rels,
+            with_pos=_has_pos_deletes(content),
+        ),
+        content,
+    )
+    if content.get("schema"):
+        tdf = spark.createDataFrame([], content["schema"]).unionByName(
+            tdf, allowMissingColumns=True
+        )
+    # one evaluation serves the deleted count and the staged write
+    flagged = tdf.withColumn(
+        "__del",
+        F.coalesce(F.expr(condition).cast("boolean"), F.lit(False)),
+    ).localCheckpoint()
+    n_deleted = flagged.filter(F.col("__del")).count()
+    survivors = flagged.filter(~F.col("__del")).drop("__del")
+    pcols = _partition_cols(content)
+    _stage_and_commit(
+        path,
+        survivors,
+        touched_keys,
+        pcols if len(pcols) > 1 else pcols[0],
+        content.get("fmt", "parquet"),
+        version,
+        content,
+        None,
+        op="delete",
+        allow_fast_forward=False,
+        carry_files=carry_files,
+        op_metrics_extra={
+            "deleted_rows": n_deleted,
+            "files_matched": len(matched_rels),
+            "files_rewritten": len(rewrite_rels),
+            "files_carried": sum(len(v) for v in carry_files.values()),
+            "mode": "copy-on-write",
+        },
+    )
+    return {
+        "deleted_rows": n_deleted,
+        "files_matched": len(matched_rels),
+        "files_rewritten": len(rewrite_rels),
+        "files_carried": sum(len(v) for v in carry_files.values()),
+    }
+
+
 def _purge_dead_deletes(content: dict) -> list[dict]:
-    """Delete entries none of whose stages still hold a LIVE FILE are
-    fully materialized in the data — drop them. Liveness comes from the
+    """Delete entries that no longer scope any LIVE FILE are fully
+    materialized in the data — drop them. Liveness comes from the
     per-partition file lists (a file-granular merge leaves carried files
     in old stages even after ``partitions[k]`` repoints), so an entry
-    stays pending exactly as long as any file it scopes can be read."""
+    stays pending exactly as long as any file it scopes can be read.
+    Equality entries scope whole STAGES; positional entries name exact
+    FILES, so they purge with file precision (a rewrite of just the
+    masked files retires the entry even while their stage lives on)."""
     live_stages = _live_stages(content)
-    return [
-        e
-        for e in (content.get("deletes") or [])
-        if any(s in live_stages for s in e["stages"])
-    ]
+    live_files = {
+        e[0] for fs in content.get("files", {}).values() for e in fs
+    }
+
+    def alive(e: dict) -> bool:
+        if e.get("kind") == "pos":
+            return any(f in live_files for f in e.get("files", []))
+        return any(s in live_stages for s in e["stages"])
+
+    return [e for e in (content.get("deletes") or []) if alive(e)]
 
 
 def _txn_applied(content: dict, txn: "tuple[str, int]") -> bool:
@@ -1614,7 +1908,10 @@ def manifest_upsert_partitioned(
         existing_touched = _apply_deletes(
             spark,
             path,
-            _load_table_files(spark, path, content, rewrite_rels),
+            _load_table_files(
+                spark, path, content, rewrite_rels,
+                with_pos=_has_pos_deletes(content),
+            ),
             content,
         )
         survivors = incremental_new_rows(existing_touched, incoming, keys)
@@ -2419,7 +2716,10 @@ def manifest_merge(
         tdf = _apply_deletes(
             spark,
             path,
-            _load_table_files(spark, path, content, rewrite_rels),
+            _load_table_files(
+                spark, path, content, rewrite_rels,
+                with_pos=_has_pos_deletes(content),
+            ),
             content,
         )
         if content.get("schema"):
@@ -2675,7 +2975,8 @@ def manifest_compact(
         spark,
         path,
         _load_table_files(
-            spark, path, content, _live_file_rels(content, selected)
+            spark, path, content, _live_file_rels(content, selected),
+            with_pos=_has_pos_deletes(content),
         ),
         content,
     )
@@ -2933,7 +3234,9 @@ def manifest_diff(
         rels = _live_file_rels(content, parts)
         if not rels:
             return spark.createDataFrame([], content["schema"])
-        df = _load_table_files(spark, path, content, rels)
+        df = _load_table_files(
+            spark, path, content, rels, with_pos=_has_pos_deletes(content)
+        )
         # MoR deletes are part of a version's logical content: applying
         # each side's pending deletes makes a delete-commit surface as
         # 'delete' change rows in the feed
@@ -3866,12 +4169,20 @@ def manifest_count(
     filesystem listing. The classic lakehouse fast path for the most
     common query in every dashboard. Raises if any listed file lacks a
     recorded count (non-parquet formats) — fall back to
-    ``manifest_read(...).count()`` there."""
+    ``manifest_read(...).count()`` there.
+
+    Pending POSITIONAL deletes stay metadata-countable: each sidecar
+    names exact ``(file, row_index)`` addresses, so the deduplicated
+    addresses of the selected LIVE files subtract exactly (one pyarrow
+    sidecar read, still no scan of table data). Pending EQUALITY deletes
+    cannot be counted without evaluating their key match — those raise
+    (compact first, or scan)."""
     version, content = _resolve_manifest(path, version)
-    if content.get("deletes"):
+    deletes = content.get("deletes") or []
+    if any(e.get("kind") != "pos" for e in deletes):
         raise ValueError(
-            "pending merge-on-read deletes: metadata counts would "
-            "overcount — compact first or scan via manifest_read"
+            "pending merge-on-read equality deletes: metadata counts "
+            "would overcount — compact first or scan via manifest_read"
         )
     parts = content.get("partitions", {})
     if partition_values is not None:
@@ -3881,6 +4192,7 @@ def manifest_count(
         }
         parts = {k: v for k, v in parts.items() if k in wanted}
     total = 0
+    selected_files: set[str] = set()
     for k in parts:
         for entry in content.get("files", {}).get(k, []):
             rows = entry[2] if len(entry) > 2 else None
@@ -3889,6 +4201,21 @@ def manifest_count(
                     f"no recorded row count for {entry[0]} — scan instead"
                 )
             total += rows
+            selected_files.add(entry[0])
+    if deletes:
+        import pyarrow.parquet as pq
+
+        masked: set[tuple[str, int]] = set()
+        for e in deletes:
+            if not any(f in selected_files for f in e.get("files", [])):
+                continue
+            t = pq.read_table(f"{path}/{e['ref']}", columns=["file", "pos"])
+            for f, p in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            ):
+                if f in selected_files:
+                    masked.add((f, p))
+        total -= len(masked)
     return total
 
 

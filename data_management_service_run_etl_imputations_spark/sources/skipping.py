@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 
 from data_management_service_run_etl_imputations_spark.sources.sinks import (
     _apply_deletes,
+    _has_pos_deletes,
     _latest_manifest,
     _live_dirs,
     _live_file_rels,
@@ -795,7 +796,8 @@ def manifest_cluster_zorder(
         spark,
         path,
         _load_table_files(
-            spark, path, content, _live_file_rels(content, selected)
+            spark, path, content, _live_file_rels(content, selected),
+            with_pos=_has_pos_deletes(content),
         ),
         content,
     )
@@ -1168,7 +1170,13 @@ def manifest_read_point(
         df = spark.createDataFrame([], schema)
     else:
         df = _apply_deletes(
-            spark, path, _load_table_files(spark, path, content, kept), content
+            spark,
+            path,
+            _load_table_files(
+                spark, path, content, kept,
+                with_pos=_has_pos_deletes(content),
+            ),
+            content,
         )
     return df.filter(F.col(col) == F.lit(value))
 
@@ -1194,7 +1202,13 @@ def manifest_read_skipping(
         df = spark.createDataFrame([], schema)
     else:
         df = _apply_deletes(
-            spark, path, _load_table_files(spark, path, content, kept), content
+            spark,
+            path,
+            _load_table_files(
+                spark, path, content, kept,
+                with_pos=_has_pos_deletes(content),
+            ),
+            content,
         )
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
