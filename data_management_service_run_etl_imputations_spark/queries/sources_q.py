@@ -1069,6 +1069,78 @@ def manifest_delete_where_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_update_where_modes",
+    oracle="""
+        WITH u1 AS (
+            SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS p
+            FROM orders
+        ),
+        u2 AS (
+            SELECT o_orderkey, o_year,
+                   CASE WHEN p > 300000 THEN p + 5000 ELSE p END AS p
+            FROM u1
+        )
+        SELECT o_year, COUNT(*) AS n_orders,
+               ROUND(SUM(p), 4) AS total_price
+        FROM u2 GROUP BY o_year
+    """,
+)
+def manifest_update_where_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-driven UPDATE in both physical strategies: a
+    merge-on-read update (Iceberg v2 row-level update: positional mask
+    of the matched addresses + append of the updated rows, ONE atomic
+    commit, zero existing bytes move) followed by a file-granular
+    copy-on-write update (only matched files rewrite with the
+    assignment applied; the second predicate sees the first update's
+    values — sequential UPDATE semantics). The oracle replays both as
+    nested CASE projections — physical strategy must be invisible to
+    results (sources/sinks.py manifest_update_where;
+    tests/test_update_where.py pins simultaneous assignment, row
+    migration, and generated-partition recompute)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read,
+        manifest_update_where,
+        manifest_upsert_partitioned,
+    )
+
+    target = _tmp("update_where")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    try:
+        manifest_upsert_partitioned(t, target, ["o_orderkey"], "o_year")
+        manifest_update_where(
+            spark,
+            target,
+            {"o_totalprice": "o_totalprice * 2"},
+            "o_orderkey % 11 = 0",
+            mode="mor",
+        )
+        manifest_update_where(
+            spark,
+            target,
+            {"o_totalprice": "o_totalprice + 5000"},
+            "o_totalprice > 300000",
+            mode="cow",
+        )
+        return (
+            manifest_read(spark, target)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
     "manifest_hidden_partitioning",
     oracle="""
         SELECT event_type,

@@ -1726,6 +1726,226 @@ def _delete_where_cow(
     }
 
 
+def manifest_update_where(
+    spark,
+    path: str,
+    assignments: dict[str, str],
+    condition: str,
+    mode: str = "cow",
+) -> dict[str, int]:
+    """``UPDATE <table> SET col = expr, ... WHERE <condition>`` — the
+    remaining DML verb next to :func:`manifest_delete_where` and
+    :func:`manifest_merge` (which needs a source; UPDATE is
+    predicate-driven). ``assignments`` maps target columns to SQL
+    expressions over the CURRENT row (simultaneous-assignment UPDATE
+    semantics: every expression sees pre-update values; results cast to
+    the column's existing type — an UPDATE can never mutate the
+    schema). Two physical strategies:
+
+    - ``mode="cow"``: rewrite ONLY the files holding matched rows, with
+      the assignments applied to matching rows — the file-granular MERGE
+      discipline; every other file carries by reference.
+    - ``mode="mor"``: Iceberg-v2 row-level update — mask the matched
+      rows' physical addresses with a POSITIONAL delete entry and stage
+      the updated rows as NEW files, both in ONE atomic commit. Zero
+      existing bytes move; write cost tracks the UPDATED rows, not the
+      matched files (the right regime for narrow updates into huge
+      files; compaction materializes later).
+
+    Partition-column assignments are allowed — ROW MIGRATION: updated
+    rows land in their new partitions (mor masks the old address; cow's
+    rewrite drops them from the old file). Generated partition columns
+    cannot be assigned directly; they are recomputed from the recorded
+    expression after the assignments, so a base-column update migrates
+    its generated partition automatically. NULL-condition rows are not
+    updated. Returns ``{"updated_rows": n, "files_matched": m, ...}``;
+    a lost commit race raises :class:`CommitConflict` (wrap in
+    :func:`with_commit_retry`)."""
+    import uuid
+
+    if mode not in ("mor", "cow"):
+        raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
+    if not assignments:
+        raise ValueError("assignments must set at least one column")
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"manifest table at {path} does not exist")
+    parts = content.get("partitions", {})
+    if not parts:
+        return {"updated_rows": 0, "files_matched": 0}
+    tschema = spark.createDataFrame([], content["schema"]).schema
+    tcols = [f.name for f in tschema.fields]
+    t_types = {f.name: f.dataType for f in tschema.fields}
+    unknown = sorted(set(assignments) - set(tcols))
+    if unknown:
+        raise ValueError(
+            f"assignments set column(s) {unknown} that do not exist in "
+            f"the table (have {tcols})"
+        )
+    gen = content.get("generated_cols") or {}
+    gen_set = sorted(set(assignments) & set(gen))
+    if gen_set:
+        raise ValueError(
+            f"column(s) {gen_set} are generated — update their base "
+            "columns instead; the recorded expression recomputes them"
+        )
+    set_exprs = {
+        c: F.expr(e).cast(t_types[c]) for c, e in assignments.items()
+    }
+    pcols = _partition_cols(content)
+    fmt = content.get("fmt", "parquet")
+    files: dict = content.get("files", {})
+
+    rels = _live_file_rels(content, parts, path=path)
+    df = _load_table_files(spark, path, content, rels, with_pos=True)
+    df = _apply_deletes(spark, path, df, content, keep_pos=True)
+    matched = df.filter(condition).localCheckpoint()
+    n = matched.count()
+    if n == 0:
+        return {"updated_rows": 0, "files_matched": 0}
+    uris = [r["uri"] for r in matched.select(
+        F.col(_POS_FILE).alias("uri")
+    ).distinct().collect()]
+    rel_of = _uris_to_rels_map(uris, rels, path)
+    matched_rels = sorted(rel_of.values())
+
+    def transformed(src: DataFrame) -> DataFrame:
+        out = src.select(
+            *[set_exprs.get(c, F.col(c)).alias(c) for c in tcols]
+        )
+        return _apply_generated(out, gen) if gen else out
+
+    if mode == "cow":
+        updated_preview = transformed(matched)
+        post_keys = {
+            _part_key_tuple(tuple(r), pcols)
+            for r in updated_preview.select(*pcols).distinct().collect()
+        }
+        matched_set = set(matched_rels)
+        file_keys = {
+            k
+            for k, es in files.items()
+            if any(e[0] in matched_set for e in es)
+        }
+        touched_keys = sorted(file_keys | post_keys)
+        rewrite_rels, carry_files = _split_rewrite_carry(
+            content, touched_keys, set(matched_rels)
+        )
+        tdf = _apply_deletes(
+            spark,
+            path,
+            _load_table_files(
+                spark, path, content, rewrite_rels,
+                with_pos=_has_pos_deletes(content),
+            ),
+            content,
+        )
+        if content.get("schema"):
+            tdf = spark.createDataFrame([], content["schema"]).unionByName(
+                tdf, allowMissingColumns=True
+            )
+        flagged = tdf.withColumn(
+            "__upd",
+            F.coalesce(F.expr(condition).cast("boolean"), F.lit(False)),
+        )
+        out = flagged.select(
+            *[
+                (
+                    F.when(F.col("__upd"), set_exprs[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in tcols
+            ],
+            "__upd",
+        )
+        if gen:
+            out = _apply_generated(out, gen)
+        out = out.localCheckpoint()
+        n_updated = out.filter(F.col("__upd")).count()
+        staged = out.drop("__upd")
+        _stage_and_commit(
+            path,
+            staged,
+            touched_keys,
+            pcols if len(pcols) > 1 else pcols[0],
+            fmt,
+            version,
+            content,
+            None,
+            op="update",
+            allow_fast_forward=False,
+            carry_files=carry_files,
+            op_metrics_extra={
+                "rows_updated": n_updated,
+                "files_matched": len(matched_rels),
+                "files_rewritten": len(rewrite_rels),
+                "files_carried": sum(len(v) for v in carry_files.values()),
+                "mode": "copy-on-write",
+            },
+        )
+        return {
+            "updated_rows": n_updated,
+            "files_matched": len(matched_rels),
+            "files_rewritten": len(rewrite_rels),
+        }
+
+    # --- merge-on-read: positional mask + append, one atomic commit ---
+    mapping = spark.createDataFrame(
+        [(u, rel_of[u]) for u in uris], "uri string, file string"
+    )
+    addr = (
+        matched.select(
+            F.col(_POS_FILE).alias("uri"), F.col(_POS_IDX).alias("pos")
+        )
+        .join(F.broadcast(mapping), "uri")
+        .select("file", "pos")
+    )
+    ref = f"_deletes/{uuid.uuid4().hex[:12]}.parquet"
+    addr.coalesce(1).write.mode("errorifexists").parquet(f"{path}/{ref}")
+    entry = {
+        "ref": ref,
+        "kind": "pos",
+        "cols": [],
+        "files": matched_rels,
+        "stages": sorted({_stage_of(r) for r in matched_rels}),
+    }
+    updated = transformed(matched)
+    touched_keys = sorted(
+        _part_key_tuple(tuple(r), pcols)
+        for r in updated.select(*pcols).distinct().collect()
+    )
+    # nothing is rewritten: every live file of the touched partitions
+    # carries by reference next to the freshly staged updated rows
+    carry_files = {k: list(files.get(k, [])) for k in touched_keys}
+    _stage_and_commit(
+        path,
+        updated,
+        touched_keys,
+        pcols if len(pcols) > 1 else pcols[0],
+        fmt,
+        version,
+        content,
+        {"deletes": [*(content.get("deletes") or []), entry]},
+        op="update",
+        allow_fast_forward=False,
+        carry_files=carry_files,
+        op_metrics_extra={
+            "rows_updated": n,
+            "files_matched": len(matched_rels),
+            "files_rewritten": 0,
+            "mode": "merge-on-read",
+        },
+    )
+    return {
+        "updated_rows": n,
+        "files_matched": len(matched_rels),
+        "files_rewritten": 0,
+    }
+
+
 def _purge_dead_deletes(content: dict) -> list[dict]:
     """Delete entries that no longer scope any LIVE FILE are fully
     materialized in the data — drop them. Liveness comes from the

@@ -2076,21 +2076,25 @@ def test_bulk_upsert_skips_exact_probe_narrow_runs_it(spark, table_path):
 def test_randomized_r7_ops_model_and_cdf_replay(spark, table_path):
     """Model-based check over the ROUND-7 protocol surface: a seeded
     random interleaving of upsert / full MERGE (update+delete+insert) /
-    row-level delete / column RENAME / compact on a MULTI-COLUMN
-    partitioned table must equal a pure-Python model fold at every step
-    (reads cross parquet-checkpoint anchors and id-mapped column
-    generations along the way), and replaying ``manifest_diff`` version
-    by version from 0 must rebuild the exact final content — the CDF
-    consumer's contract across renames, merges, MoR deletes and
-    physical-layout commits (which must diff to NOTHING)."""
+    row-level delete / predicate DELETE WHERE (random mor/cow) /
+    predicate UPDATE WHERE (random mor/cow) / column RENAME / compact on
+    a MULTI-COLUMN partitioned table must equal a pure-Python model fold
+    at every step (reads cross parquet-checkpoint anchors, id-mapped
+    column generations, and positional delete masks along the way), and
+    replaying ``manifest_diff`` version by version from 0 must rebuild
+    the exact final content — the CDF consumer's contract across
+    renames, merges, MoR deletes/updates and physical-layout commits
+    (which must diff to NOTHING)."""
     import random
 
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
         manifest_compact,
         manifest_delete,
+        manifest_delete_where,
         manifest_diff,
         manifest_merge,
         manifest_rename_column,
+        manifest_update_where,
         manifest_upsert_partitioned as upsert,
     )
 
@@ -2111,10 +2115,13 @@ def test_randomized_r7_ops_model_and_cdf_replay(spark, table_path):
     upsert(_frame([_row(0, 0), _row(1, 1)], val), table_path, ["k"], pcols)
     model = {0: _row(0, 0), 1: _row(1, 1)}
 
-    for step in range(14):
+    for step in range(18):
         op = rng.choices(
-            ["upsert", "merge", "delete", "rename", "compact"],
-            weights=[4, 4, 2, 2, 1],
+            [
+                "upsert", "merge", "delete", "rename", "compact",
+                "delete_where", "update_where",
+            ],
+            weights=[4, 4, 2, 2, 1, 2, 2],
         )[0]
         if op == "upsert":
             batch = {
@@ -2155,6 +2162,28 @@ def test_randomized_r7_ops_model_and_cdf_replay(spark, table_path):
             )
             for k in ks:
                 model.pop(k, None)
+        elif op == "delete_where":
+            thr = float(rng.randint(20, 99))
+            manifest_delete_where(
+                spark,
+                table_path,
+                f"{val} >= {thr}",
+                mode=rng.choice(["mor", "cow"]),
+            )
+            model = {k: r for k, r in model.items() if r[3] < thr}
+        elif op == "update_where":
+            m3 = rng.randint(0, 2)
+            manifest_update_where(
+                spark,
+                table_path,
+                {val: f"{val} + 7"},
+                f"k % 3 = {m3}",
+                mode=rng.choice(["mor", "cow"]),
+            )
+            model = {
+                k: (r[:3] + (r[3] + 7.0,)) if k % 3 == m3 else r
+                for k, r in model.items()
+            }
         elif op == "rename":
             new = "w" if val == "v" else "v"
             manifest_rename_column(table_path, val, new)
@@ -2170,6 +2199,19 @@ def test_randomized_r7_ops_model_and_cdf_replay(spark, table_path):
             )
         )
         assert got == sorted(model.values()), f"step {step} op {op}"
+
+    # deterministic tail (the seed may skip compact): materialize every
+    # pending mask, then verify content and replay
+    manifest_compact(spark, table_path)
+    got = sorted(
+        map(
+            tuple,
+            manifest_read(spark, table_path)
+            .select("k", "day", "src", val)
+            .collect(),
+        )
+    )
+    assert got == sorted(model.values()), "post-compact"
 
     # CDF replay: fold every version's row-level diff from the empty
     # table; physical-layout commits contribute nothing, renames arrive
