@@ -1602,16 +1602,21 @@ def manifest_delete_where(
     keys.coalesce(1).write.mode("errorifexists").parquet(f"{path}/{ref}")
     files_matched = sorted(rel_of.values())
     content = dict(content)
-    content["deletes"] = [
-        *(content.get("deletes") or []),
-        {
-            "ref": ref,
-            "kind": "pos",
-            "cols": [],  # no key columns: rename/drop checks no-op safely
-            "files": files_matched,
-            "stages": sorted({_stage_of(r) for r in files_matched}),
-        },
-    ]
+    content["deletes"] = _maybe_consolidate_pos(
+        spark,
+        path,
+        content,
+        [
+            *(content.get("deletes") or []),
+            {
+                "ref": ref,
+                "kind": "pos",
+                "cols": [],  # no key columns: rename/drop checks no-op
+                "files": files_matched,
+                "stages": sorted({_stage_of(r) for r in files_matched}),
+            },
+        ],
+    )
     _publish_manifest(
         path,
         version + 1,
@@ -1627,6 +1632,57 @@ def manifest_delete_where(
     return {"deleted_rows": n, "files_matched": len(files_matched)}
 
 
+# Pending positional entries beyond this many consolidate into ONE
+# sidecar at the next MoR delete/update commit — read-side masking cost
+# stays one bounded anti-join instead of growing linearly with delete
+# commits (Delta keeps one deletion vector per file for the same reason).
+POS_CONSOLIDATE_THRESHOLD = 8
+
+
+def _maybe_consolidate_pos(
+    spark, path: str, content: dict, deletes: list[dict]
+) -> list[dict]:
+    """When the pending POSITIONAL entries exceed the threshold, union
+    their address sidecars into one fresh sidecar (addresses for files
+    no longer live are dropped — they can never match) and replace the
+    entries with a single merged one. Old sidecars stay on disk for the
+    versions that reference them; vacuum ages them out. Equality entries
+    are never merged (their stage scopes differ). Runs inside the data
+    commit that tipped the threshold, so consolidation never needs its
+    own maintenance job."""
+    import uuid
+
+    pos = [e for e in deletes if e.get("kind") == "pos"]
+    if len(pos) <= POS_CONSOLIDATE_THRESHOLD:
+        return deletes
+    live = {e[0] for fs in content.get("files", {}).values() for e in fs}
+    keep_files = sorted(
+        {f for e in pos for f in e.get("files", []) if f in live}
+    )
+    merged = None
+    for e in pos:
+        part = spark.read.parquet(f"{path}/{e['ref']}")
+        merged = part if merged is None else merged.unionByName(part)
+    keep_df = spark.createDataFrame(
+        [(f,) for f in keep_files], "file string"
+    )
+    addr = (
+        merged.join(F.broadcast(keep_df), "file")
+        .select("file", "pos")
+        .dropDuplicates()
+    )
+    ref = f"_deletes/{uuid.uuid4().hex[:12]}.parquet"
+    addr.coalesce(1).write.mode("errorifexists").parquet(f"{path}/{ref}")
+    entry = {
+        "ref": ref,
+        "kind": "pos",
+        "cols": [],
+        "files": keep_files,
+        "stages": sorted({_stage_of(r) for r in keep_files}),
+    }
+    return [*[e for e in deletes if e.get("kind") != "pos"], entry]
+
+
 def _uris_to_rels(uris: list[str], rels: list[str], path: str) -> list[str]:
     return sorted(_uris_to_rels_map(uris, rels, path).values())
 
@@ -1638,12 +1694,19 @@ def _uris_to_rels_map(
     manifest-relative paths by exact suffix match against the live file
     list — no URI-scheme or prefix format is ever assumed, and an
     unmapped URI is a loud error (it would mean the scan read a file the
-    manifest does not list)."""
-    by_suffix = {f"/{r}": r for r in rels}
+    manifest does not list). O(|uris| + |rels|): candidates are indexed
+    by file NAME (unique in practice — Spark task UUIDs), the full-path
+    suffix check confirms; a wide delete over a 100k-file table must not
+    pay a quadratic driver loop here."""
+    by_name: dict[str, list[str]] = {}
+    for r in rels:
+        by_name.setdefault(r.rsplit("/", 1)[-1], []).append(r)
     out: dict[str, str] = {}
     for u in uris:
+        name = u.rsplit("/", 1)[-1]
         hit = next(
-            (rel for suf, rel in by_suffix.items() if u.endswith(suf)), None
+            (rel for rel in by_name.get(name, []) if u.endswith(f"/{rel}")),
+            None,
         )
         if hit is None:
             raise RuntimeError(
@@ -1928,7 +1991,14 @@ def manifest_update_where(
         fmt,
         version,
         content,
-        {"deletes": [*(content.get("deletes") or []), entry]},
+        {
+            "deletes": _maybe_consolidate_pos(
+                spark,
+                path,
+                content,
+                [*(content.get("deletes") or []), entry],
+            )
+        },
         op="update",
         allow_fast_forward=False,
         carry_files=carry_files,
@@ -4394,9 +4464,11 @@ def manifest_count(
     Pending POSITIONAL deletes stay metadata-countable: each sidecar
     names exact ``(file, row_index)`` addresses, so the deduplicated
     addresses of the selected LIVE files subtract exactly (one pyarrow
-    sidecar read, still no scan of table data). Pending EQUALITY deletes
-    cannot be counted without evaluating their key match — those raise
-    (compact first, or scan)."""
+    sidecar read, still no scan of table data; driver memory tracks the
+    PENDING masked addresses, which entry consolidation plus compaction
+    keep bounded — not the table). Pending EQUALITY deletes cannot be
+    counted without evaluating their key match — those raise (compact
+    first, or scan)."""
     version, content = _resolve_manifest(path, version)
     deletes = content.get("deletes") or []
     if any(e.get("kind") != "pos" for e in deletes):

@@ -340,6 +340,33 @@ def test_zorder_and_skipping_read_respect_positional_masks(
     assert _keys(spark, table_path) == [1, 3, 4, 5, 6, 8, 9, 10, 99]
 
 
+def test_positional_entries_consolidate_past_threshold(spark, table_path):
+    """Read-side masking cost must not grow linearly with MoR delete
+    commits: past the threshold, pending positional entries union into
+    ONE sidecar inside the data commit that tipped it — content, exact
+    metadata counts, and time travel are unaffected."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        POS_CONSOLIDATE_THRESHOLD,
+    )
+
+    rows = [(k, "d1", float(k)) for k in range(0, 40)]
+    manifest_upsert_partitioned(
+        _batch(spark, rows).coalesce(4), table_path, ["k"], "day"
+    )
+    deleted = []
+    for k in range(0, 12):
+        manifest_delete_where(spark, table_path, f"k = {k}")
+        deleted.append(k)
+    _, content = _latest_manifest(table_path)
+    pending = content.get("deletes") or []
+    assert len(pending) <= POS_CONSOLIDATE_THRESHOLD + 1
+    assert all(e.get("kind") == "pos" for e in pending)
+    assert _keys(spark, table_path) == list(range(12, 40))
+    assert manifest_count(table_path) == 28
+    # an old version still resolves through ITS entry list
+    assert len(_keys(spark, table_path, version=4)) == 37
+
+
 def test_rejects_unknown_mode_and_missing_table(spark, table_path):
     with pytest.raises(ValueError, match="mode"):
         manifest_delete_where(spark, table_path, "1=1", mode="nope")

@@ -265,6 +265,83 @@ def test_cdf_surfaces_mor_update_as_delete_insert(spark, table_path):
     ], got
 
 
+def test_threaded_dml_vs_upsert_serializes(spark, table_path):
+    """REAL concurrency between the predicate DML verbs and an upserter
+    through one shared SparkSession: DELETE WHERE / UPDATE WHERE never
+    fast-forward (their match scan reads the whole table), so every
+    lost race must re-run via with_commit_retry and the final state must
+    be SOME serial order of the committed operations. With commutative
+    per-key effects (the upserter owns keys the DML predicates never
+    touch, the DML verbs touch keys the upserter never writes), the
+    serial fold is unique and checkable."""
+    import threading
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_delete_where,
+        with_commit_retry,
+    )
+
+    # keys 1..6 belong to the DML thread's predicates; 100+ to the upserter
+    manifest_upsert_partitioned(
+        _batch(spark, [(k, "d1", float(k)) for k in range(1, 7)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    errors: list[Exception] = []
+
+    def upserter() -> None:
+        try:
+            for r in range(3):
+                b = _batch(spark, [(100 + r, "d2", float(r))])
+                with_commit_retry(
+                    lambda b=b: manifest_upsert_partitioned(
+                        b, table_path, ["k"], "day"
+                    ),
+                    max_attempts=12,
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def dml() -> None:
+        try:
+            with_commit_retry(
+                lambda: manifest_update_where(
+                    spark, table_path, {"v": "v + 100"}, "k <= 3 AND k < 50",
+                    mode="mor",
+                ),
+                max_attempts=12,
+            )
+            with_commit_retry(
+                lambda: manifest_delete_where(
+                    spark, table_path, "k IN (5, 6)", mode="cow"
+                ),
+                max_attempts=12,
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=upserter),
+        threading.Thread(target=dml),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert errors == []
+    got = _rows(spark, table_path)
+    assert got == [
+        (1, "d1", 101.0),
+        (2, "d1", 102.0),
+        (3, "d1", 103.0),
+        (4, "d1", 4.0),
+        (100, "d2", 0.0),
+        (101, "d2", 1.0),
+        (102, "d2", 2.0),
+    ], got
+
+
 def test_cow_update_rewrites_only_matched_files(spark, table_path):
     _seed(spark, table_path)
     res = manifest_update_where(
