@@ -31,6 +31,18 @@ Semantics (the same contract Delta's streaming source ships with):
   not yet processed fails the query loudly (missing file), never
   silently skips — retain at least the streaming lag
   (``manifest_vacuum(retain_seconds=...)``).
+- **Admission control.** ``.option("max_files_per_trigger", N)``
+  (Delta's maxFilesPerTrigger) bounds how many data files one
+  micro-batch may read: latestOffset advances whole versions from the
+  rate-limit floor until the file budget is spent (always ≥1 version,
+  so the stream cannot stall). A fresh backfill of a huge table arrives
+  as many bounded batches instead of one giant one; catch-up after
+  downtime is chunked the same way. Restart-safe: Spark re-plans the
+  last logged batch through ``partitions()`` before the first
+  ``latestOffset``, so the floor is the checkpointed offset and capped
+  offsets never regress the log (pinned by test). Not meaningful with
+  ``availableNow`` (Spark captures the target offset once, before the
+  floor exists); use the default or processing-time triggers.
 
 **CDF mode** (``.option("mode", "cdf")``) is the DELETE-AWARE change
 feed (Delta's Change Data Feed): each micro-batch emits the exact CHANGE
@@ -185,6 +197,25 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self.mode = options.get("mode", "append")
         if self.mode not in ("append", "cdf"):
             raise ValueError(f"manifest_feed mode must be append|cdf, got {self.mode!r}")
+        # ADMISSION CONTROL (Delta's maxFilesPerTrigger): bound how many
+        # data files one micro-batch may read by capping how far
+        # latestOffset advances past the last planned/committed version
+        # (the rate-limit floor). Without it a backfill of a huge table
+        # is ONE batch reading everything. The Python DataSource API has
+        # no ReadLimit hook, so the floor is tracked reader-side: seeded
+        # by initialOffset (fresh query — capping is safe immediately),
+        # then advanced by every partitions()/commit() call. On a
+        # RESTART Spark skips initialOffset, so the first trigger runs
+        # uncapped (the floor is unknown and returning less than the
+        # checkpointed offset would regress the offset log); rate
+        # limiting resumes from the second trigger.
+        mft = options.get("max_files_per_trigger")
+        self.max_files_per_trigger = int(mft) if mft is not None else None
+        if self.max_files_per_trigger is not None and (
+            self.max_files_per_trigger < 1
+        ):
+            raise ValueError("max_files_per_trigger must be >= 1")
+        self._rate_floor: "int | None" = None
         # arrow schema for executor-side alignment, shipped per partition
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_type
@@ -213,18 +244,53 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self._head_dir_ids = head.get("dir_col_ids", {})
 
     def initialOffset(self) -> dict:
-        return {"version": max(0, self.start_version - 1)}
+        v = max(0, self.start_version - 1)
+        self._note_floor(v)
+        return {"version": v}
+
+    def _note_floor(self, v: int) -> None:
+        if self._rate_floor is None or v > self._rate_floor:
+            self._rate_floor = v
 
     def latestOffset(self) -> dict:
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
             _latest_manifest,
         )
 
-        v, _ = _latest_manifest(self.path)
-        return {"version": max(v, self.initialOffset()["version"])}
+        head, _ = _latest_manifest(self.path)
+        if self.max_files_per_trigger is None:
+            return {"version": max(head, self.start_version - 1, 0)}
+        # Observed runner lifecycle (pinned by test): on a FRESH query
+        # the first latestOffset precedes initialOffset — the safe floor
+        # is start_version-1 (== what initialOffset will return). On a
+        # RESTART Spark re-plans the last logged batch through
+        # partitions() BEFORE any latestOffset, so the floor is already
+        # the checkpointed offset and capping can never regress the log.
+        floor = (
+            self._rate_floor
+            if self._rate_floor is not None
+            else max(0, self.start_version - 1)
+        )
+        # admit whole versions until the file budget is spent; always at
+        # least one version so the stream can never stall
+        v, budget = floor, self.max_files_per_trigger
+        while v < head and budget > 0:
+            n = len(_added_files(self.path, v + 1))
+            if v > floor and n > budget:
+                break
+            v += 1
+            budget -= n
+        return {"version": max(v, floor)}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        if hi < lo:
+            # impossible under the offset-log contract; failing loudly
+            # beats silently re-emitting versions as duplicates
+            raise ValueError(
+                f"manifest_feed planned a regressed batch ({lo} -> {hi})"
+            )
+        self._note_floor(hi)
         if self.mode == "cdf":
             parts = self._cdf_partitions(lo, hi)
         else:
@@ -384,7 +450,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         return iter(out.to_batches())
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in Spark's checkpoint; manifests are immutable
+        # progress lives in Spark's checkpoint; manifests are immutable.
+        # The committed version still feeds the rate-limit floor.
+        self._note_floor(int(end["version"]))
 
     def stop(self) -> None:
         pass

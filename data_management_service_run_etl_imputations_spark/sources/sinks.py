@@ -1566,6 +1566,13 @@ def manifest_delete_where(
     parts = content.get("partitions", {})
     if not parts:
         return {"deleted_rows": 0, "files_matched": 0}
+    if content.get("fmt", "parquet") != "parquet":
+        # physical addresses come from parquet's _metadata.row_index;
+        # other formats have no stable row index to mask on
+        raise ValueError(
+            "manifest_delete_where requires a parquet table "
+            f"(this table is {content.get('fmt')!r})"
+        )
     rels = _live_file_rels(content, parts, path=path)
     df = _load_table_files(spark, path, content, rels, with_pos=True)
     # pending masks apply FIRST: an already-deleted row must not be
@@ -1844,6 +1851,11 @@ def manifest_update_where(
         raise ValueError(
             f"assignments set column(s) {unknown} that do not exist in "
             f"the table (have {tcols})"
+        )
+    if content.get("fmt", "parquet") != "parquet":
+        raise ValueError(
+            "manifest_update_where requires a parquet table "
+            f"(this table is {content.get('fmt')!r})"
         )
     gen = content.get("generated_cols") or {}
     gen_set = sorted(set(assignments) & set(gen))

@@ -196,6 +196,97 @@ def test_feed_schema_evolution_null_fills_old_files(spark, table_path):
     assert rows == [(1, None, 1), (2, "x", 2)]
 
 
+def test_max_files_per_trigger_chunks_backfill(spark, table_path):
+    """Admission control (Delta's maxFilesPerTrigger): a fresh query
+    over a many-version table must split its backfill into several
+    bounded micro-batches instead of one batch reading everything — and
+    still deliver exactly the full content."""
+    for r in range(6):
+        manifest_upsert_partitioned(
+            _batch(spark, [(10 * r + i, f"d{i}", float(r)) for i in range(2)]),
+            table_path,
+            ["k"],
+            "day",
+        )
+    spark.dataSource.register(ManifestFeedDataSource)
+    name = f"mft_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("manifest_feed")
+        .option("path", table_path)
+        .option("max_files_per_trigger", 2)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{table_path}_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+        got = sorted(
+            (r["k"], r["v"]) for r in spark.sql(f"select * from {name}").collect()
+        )
+    finally:
+        q.stop()
+    assert got == sorted(
+        (10 * r + i, float(r)) for r in range(6) for i in range(2)
+    )
+    # 6 versions x 2 files with a 2-file budget: several batches, not one
+    assert n_batches >= 3, n_batches
+
+
+def test_max_files_per_trigger_restart_no_duplicates(spark, table_path):
+    """Rate limiting across a RESTART: Spark re-plans the last logged
+    batch through partitions() before calling latestOffset, so the
+    rate-limit floor is the checkpointed offset and the capped offsets
+    can never regress the log — catch-up after downtime arrives chunked
+    and exactly once."""
+    import os
+
+    out = f"{table_path}_out"
+    spark.dataSource.register(ManifestFeedDataSource)
+
+    def run():
+        q = (
+            spark.readStream.format("manifest_feed")
+            .option("path", table_path)
+            .option("max_files_per_trigger", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{table_path}_ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    def commit(r):
+        manifest_upsert_partitioned(
+            _batch(spark, [(10 * r + i, f"d{i}", float(r)) for i in range(2)]),
+            table_path,
+            ["k"],
+            "day",
+        )
+
+    for r in range(3):
+        commit(r)
+    run()
+    for r in range(3, 5):
+        commit(r)
+    run()
+    got = sorted(
+        (r["k"], r["v"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == sorted(
+        (10 * r + i, float(r), r + 1) for r in range(5) for i in range(2)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    assert os.path.isdir(table_path)  # sanity: fixture owns cleanup
+
+
 def test_cdf_mode_emits_insert_update_delete(spark, table_path):
     """DELETE-AWARE change feed (VERDICT r06 #2): mode='cdf' emits exact
     change rows — inserts, key-paired update_post events (pre-images
