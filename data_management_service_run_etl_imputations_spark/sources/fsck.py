@@ -178,6 +178,11 @@ def manifest_fsck(path: str, check_sizes: bool = True) -> dict:
             return None
 
     live_files = {e[0] for es in files.values() for e in es}
+    rows_by_rel = {
+        e[0]: (e[2] if len(e) > 2 else None)
+        for es in files.values()
+        for e in es
+    }
     try:
         schema_fields = {
             f["name"]
@@ -204,11 +209,31 @@ def manifest_fsck(path: str, check_sizes: bool = True) -> dict:
                     f"positional sidecar {ref} lacks file/pos columns "
                     f"(has {sorted(names)})"
                 )
+                continue
             if not any(f in live_files for f in entry.get("files", [])):
                 errors.append(
                     f"positional entry {ref} scopes no live file — "
                     "purge missed it"
                 )
+            # every address must fall inside its file's recorded row
+            # count — an out-of-range position masks nothing today but
+            # would silently mask the WRONG row after any tool that
+            # renumbers (none exists; the check pins that)
+            t = pq.read_table(fp, columns=["file", "pos"])
+            by_file: dict[str, int] = {}
+            for f_, p_ in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            ):
+                if p_ is not None and p_ >= by_file.get(f_, -1):
+                    by_file[f_] = p_
+            for f_, max_pos in sorted(by_file.items()):
+                n_rows = rows_by_rel.get(f_)
+                if n_rows is not None and max_pos >= n_rows:
+                    errors.append(
+                        f"positional sidecar {ref} addresses row "
+                        f"{max_pos} of {f_}, which records only "
+                        f"{n_rows} rows"
+                    )
         else:
             file_cols = entry.get("key_cols", entry["cols"])
             missing = sorted(set(file_cols) - names)

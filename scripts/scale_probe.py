@@ -94,6 +94,10 @@ DEFAULT_QUERIES = [
     "impute_group_mean",
     "impute_group_median",
     "dq_quarantine_orders",
+    # r07 additions: the predicate DML verbs (MoR positional + CoW
+    # file-granular end-to-end on the replicated store)
+    "manifest_delete_where_modes",
+    "manifest_update_where_modes",
 ]
 
 

@@ -133,6 +133,32 @@ def test_fsck_catches_missing_delete_sidecar(spark, table_path):
     assert any("sidecar missing" in e for e in report["errors"])
 
 
+def test_fsck_catches_out_of_range_positional_address(spark, table_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _busy_table(spark, table_path)
+    _, content = _latest_manifest(table_path)
+    pos_entries = [
+        e for e in content.get("deletes") or [] if e.get("kind") == "pos"
+    ]
+    assert pos_entries
+    sp = os.path.join(table_path, *pos_entries[0]["ref"].split("/"))
+    t = pq.read_table(sp)
+    bad = pa.table(
+        {
+            "file": t.column("file"),
+            "pos": pa.array([10**7] * len(t), pa.int64()),
+        }
+    )
+    part = next(
+        n for n in os.listdir(sp) if n.endswith(".parquet")
+    )
+    pq.write_table(bad, os.path.join(sp, part))
+    report = manifest_fsck(table_path)
+    assert any("addresses row" in e for e in report["errors"])
+
+
 def test_fsck_warns_on_orphaned_stage(spark, table_path):
     _busy_table(spark, table_path)
     # a crashed writer's stage: data on disk, never committed
