@@ -1514,6 +1514,178 @@ def manifest_delete(
     return {"keys": n}
 
 
+def _predicate_boxes(spark, condition: str) -> dict:
+    """Best-effort extraction of column range boxes ``{col: (lo, hi)}``
+    implied by a SQL predicate, for INDEX-PRUNING the DML match scan.
+    Soundness: a row satisfying the whole predicate satisfies every
+    top-level AND conjunct, so pruning by any SUBSET of recognized
+    conjuncts can only over-approximate the match set — unrecognized
+    shapes (OR, NOT, LIKE, expressions over the column, unsupported
+    literal types) simply contribute nothing. The predicate is parsed
+    by Spark's own SQL parser (no second grammar to drift); strict
+    bounds widen to closed ones (the skipping layer prunes only on
+    PROOF of emptiness). Returns {} whenever in doubt."""
+    import datetime
+    from decimal import Decimal
+
+    _CMP = {
+        "EqualTo": "eq",
+        "GreaterThan": "gt",
+        "GreaterThanOrEqual": "ge",
+        "LessThan": "lt",
+        "LessThanOrEqual": "le",
+    }
+    _FLIP = {"gt": "lt", "ge": "le", "lt": "gt", "le": "ge", "eq": "eq"}
+
+    def lit_value(lit):
+        dt = lit.dataType().simpleString()
+        v = lit.value()
+        if v is None:
+            return None
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return int(v)
+        if dt in ("float", "double"):
+            return float(v)
+        if dt.startswith("decimal"):
+            return Decimal(str(v))
+        if dt == "string":
+            return str(v)
+        if dt == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=int(v)
+            )
+        if dt == "timestamp":
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=int(v)
+            )
+        return None
+
+    def side(x):
+        cls = x.getClass().getSimpleName()
+        if cls == "UnresolvedAttribute" and x.nameParts().size() == 1:
+            return ("attr", str(x.name()))
+        if cls == "Literal":
+            return ("lit", lit_value(x))
+        return (None, None)
+
+    boxes: dict[str, list] = {}
+
+    def add(col, lo, hi):
+        cur = boxes.setdefault(col, [None, None])
+        try:
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+        except TypeError:
+            boxes.pop(col, None)  # incomparable conjuncts: drop the col
+
+    def conj(x):
+        cls = x.getClass().getSimpleName()
+        if cls == "And":
+            conj(x.left())
+            conj(x.right())
+            return
+        if cls in _CMP:
+            lk, lv = side(x.left())
+            rk, rv = side(x.right())
+            op = _CMP[cls]
+            if lk == "attr" and rk == "lit":
+                col, val = lv, rv
+            elif lk == "lit" and rk == "attr":
+                col, val, op = rv, lv, _FLIP[op]
+            else:
+                return
+            if val is None:
+                return
+            if op == "eq":
+                add(col, val, val)
+            elif op in ("gt", "ge"):
+                add(col, val, None)
+            else:
+                add(col, None, val)
+            return
+        if cls == "In":
+            n = x.children().size()
+            kk, col = side(x.children().apply(0))
+            if kk != "attr":
+                return
+            vals = []
+            for i in range(1, n):
+                vk, vv = side(x.children().apply(i))
+                if vk != "lit" or vv is None:
+                    return
+                vals.append(vv)
+            try:
+                add(col, min(vals), max(vals))
+            except TypeError:
+                pass
+
+    try:
+        expr = spark._jsparkSession.sessionState().sqlParser().parseExpression(
+            condition
+        )
+        conj(expr)
+    except Exception:  # noqa: BLE001 — pruning is best-effort, never load-bearing
+        return {}
+    return {c: (lo, hi) for c, (lo, hi) in boxes.items()}
+
+
+def _prune_dml_probe(
+    spark, path: str, version: int, content: dict, condition: str,
+    parts: dict,
+) -> tuple[dict, list, dict]:
+    """Index-prune the DML match scan the way MERGE prunes its key
+    probe: partition-equality conjuncts drop whole partitions, zone-map
+    sidecar stats drop files whose recorded ranges PROVE no row can
+    match (bloom stays equality-probe-specific). Every failure path
+    falls back to the unpruned set — pruning is an optimization, never
+    a correctness dependency. Returns
+    ``(pruned_parts, kept_rels, metrics)``."""
+    all_rels = _live_file_rels(content, parts, path=path)
+    boxes = _predicate_boxes(spark, condition)
+    pcols = _partition_cols(content)
+    pruned_parts = parts
+    eqs = {
+        c: lo
+        for c, (lo, hi) in boxes.items()
+        if c in pcols and lo is not None and lo == hi
+    }
+    if eqs:
+        import json as _json
+
+        def comps(k: str) -> list[str]:
+            return [k] if len(pcols) == 1 else _json.loads(k)
+
+        pruned_parts = {
+            k: v
+            for k, v in parts.items()
+            if all(
+                comps(k)[pcols.index(c)] == _part_key(val)
+                for c, val in eqs.items()
+            )
+        }
+    rels = _live_file_rels(content, pruned_parts, path=path)
+    data_boxes = {c: b for c, b in boxes.items() if c not in pcols}
+    if data_boxes and content.get("stats_ref"):
+        try:
+            from data_management_service_run_etl_imputations_spark.sources.skipping import (
+                manifest_skipping_plan,
+            )
+
+            kept, _, _, _ = manifest_skipping_plan(
+                path, data_boxes, version=version
+            )
+            kept_set = set(kept)
+            rels = [r for r in rels if r in kept_set]
+        except Exception:  # noqa: BLE001 — cross-domain probe etc.: keep all
+            pass
+    return pruned_parts, rels, {
+        "probe_files_total": len(all_rels),
+        "probe_files_kept": len(rels),
+    }
+
+
 def manifest_delete_where(
     spark,
     path: str,
@@ -1573,7 +1745,14 @@ def manifest_delete_where(
             "manifest_delete_where requires a parquet table "
             f"(this table is {content.get('fmt')!r})"
         )
-    rels = _live_file_rels(content, parts, path=path)
+    # index-pruned probe, the MERGE discipline: partition-equality
+    # conjuncts and zone-map stats bound the match scan to files that
+    # CAN hold matching rows
+    _, rels, probe_metrics = _prune_dml_probe(
+        spark, path, version, content, condition, parts
+    )
+    if not rels:
+        return {"deleted_rows": 0, "files_matched": 0, **probe_metrics}
     df = _load_table_files(spark, path, content, rels, with_pos=True)
     # pending masks apply FIRST: an already-deleted row must not be
     # re-counted (mor) or resurrected by its file's rewrite (cow)
@@ -1591,7 +1770,8 @@ def manifest_delete_where(
         if not matched_rels:
             return {"deleted_rows": 0, "files_matched": 0}
         return _delete_where_cow(
-            spark, path, version, content, condition, matched_rels
+            spark, path, version, content, condition, matched_rels,
+            probe_metrics,
         )
 
     # --- merge-on-read: commit the matched addresses as a sidecar ---
@@ -1633,6 +1813,7 @@ def manifest_delete_where(
             "deleted_rows": n,
             "files_matched": len(files_matched),
             "mode": "merge-on-read",
+            **probe_metrics,
         },
     )
     _maybe_auto_checkpoint(spark, path, version + 1)
@@ -1731,6 +1912,7 @@ def _delete_where_cow(
     content: dict,
     condition: str,
     matched_rels: list[str],
+    probe_metrics: dict | None = None,
 ) -> dict[str, int]:
     """Copy-on-write tail of :func:`manifest_delete_where`: rewrite only
     the matched files minus the matching rows; every other file of the
@@ -1786,6 +1968,7 @@ def _delete_where_cow(
             "files_rewritten": len(rewrite_rels),
             "files_carried": sum(len(v) for v in carry_files.values()),
             "mode": "copy-on-write",
+            **(probe_metrics or {}),
         },
     )
     return {
@@ -1871,7 +2054,11 @@ def manifest_update_where(
     fmt = content.get("fmt", "parquet")
     files: dict = content.get("files", {})
 
-    rels = _live_file_rels(content, parts, path=path)
+    _, rels, probe_metrics = _prune_dml_probe(
+        spark, path, version, content, condition, parts
+    )
+    if not rels:
+        return {"updated_rows": 0, "files_matched": 0, **probe_metrics}
     df = _load_table_files(spark, path, content, rels, with_pos=True)
     df = _apply_deletes(spark, path, df, content, keep_pos=True)
     matched = df.filter(condition).localCheckpoint()
@@ -1959,6 +2146,7 @@ def manifest_update_where(
                 "files_rewritten": len(rewrite_rels),
                 "files_carried": sum(len(v) for v in carry_files.values()),
                 "mode": "copy-on-write",
+                **probe_metrics,
             },
         )
         return {
@@ -2019,6 +2207,7 @@ def manifest_update_where(
             "files_matched": len(matched_rels),
             "files_rewritten": 0,
             "mode": "merge-on-read",
+            **probe_metrics,
         },
     )
     return {

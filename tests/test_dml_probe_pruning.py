@@ -1,0 +1,144 @@
+"""Index-pruned DML match scans: DELETE WHERE / UPDATE WHERE bound
+their probe to files that CAN hold matching rows — partition-equality
+conjuncts drop whole partitions, zone-map stats drop files by range —
+with every unrecognized predicate shape falling back to the full scan.
+Soundness battery: pruned results must equal the semantic filter on
+every seed, because pruning by a subset of conjuncts may only
+over-approximate the match set.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    _predicate_boxes,
+    manifest_delete_where,
+    manifest_history,
+    manifest_read,
+    manifest_update_where,
+    manifest_upsert_partitioned,
+)
+from data_management_service_run_etl_imputations_spark.sources.skipping import (
+    manifest_collect_stats,
+)
+
+
+@pytest.fixture()
+def table_path():
+    path = f"{tempfile.gettempdir()}/dmlp_{uuid.uuid4().hex[:12]}"
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_predicate_boxes_extraction(spark):
+    bx = _predicate_boxes
+    assert bx(spark, "k = 3") == {"k": (3, 3)}
+    assert bx(spark, "v >= 4 AND v <= 7") == {"v": (4, 7)}
+    assert bx(spark, "5 < k") == {"k": (5, None)}
+    assert bx(spark, "day = 'd1' AND v > 2") == {
+        "day": ("d1", "d1"),
+        "v": (2, None),
+    }
+    assert bx(spark, "k IN (3, 9, 5)") == {"k": (3, 9)}
+    # intersecting conjuncts tighten
+    assert bx(spark, "k > 2 AND k > 5 AND k <= 9") == {"k": (5, 9)}
+    # unrecognized shapes contribute nothing (but other conjuncts do)
+    assert bx(spark, "k % 7 = 0 AND v < 3") == {"v": (None, 3)}
+    assert bx(spark, "k = 1 OR k = 2") == {}
+    assert bx(spark, "NOT (k = 1)") == {}
+    assert bx(spark, "name LIKE 'x%'") == {}
+    assert bx(spark, "k = NULL") == {}
+    assert bx(spark, "this is not sql") == {}
+
+
+def _seed_partitioned(spark, table_path, with_stats=True):
+    """3 partitions x 2 files each, k ranges disjoint per file."""
+    for lo in (0, 30):
+        rows = [
+            (k, f"d{p}", float(k))
+            for p in range(3)
+            for k in range(lo + 10 * p, lo + 10 * p + 10)
+        ]
+        manifest_upsert_partitioned(
+            spark.createDataFrame(
+                rows, "k LONG, day STRING, v DOUBLE"
+            ).coalesce(1),
+            table_path,
+            ["k"],
+            "day",
+        )
+    if with_stats:
+        manifest_collect_stats(spark, table_path, ["k", "v"])
+
+
+def test_partition_equality_prunes_probe(spark, table_path):
+    _seed_partitioned(spark, table_path, with_stats=False)
+    res = manifest_delete_where(spark, table_path, "day = 'd1' AND k >= 40")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    # 6 live files total; only d1's 2 files probed (no stats needed)
+    assert m["probe_files_total"] == 6
+    assert m["probe_files_kept"] == 2
+    assert res["deleted_rows"] == 10  # d1's second file: k 40..49
+    got = sorted(
+        r["k"]
+        for r in manifest_read(spark, table_path)
+        .filter("day = 'd1'")
+        .collect()
+    )
+    assert got == [10, 11, 12, 13, 14, 15, 16, 17, 18, 19]
+
+
+def test_zone_map_stats_prune_probe(spark, table_path):
+    _seed_partitioned(spark, table_path, with_stats=True)
+    res = manifest_update_where(
+        spark, table_path, {"v": "v + 1000"}, "k >= 50", mode="cow"
+    )
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["probe_files_total"] == 6
+    # only the second-round files (k >= 30 per partition) can match
+    assert m["probe_files_kept"] < 6
+    assert res["updated_rows"] == 10  # d2's second file: k 50..59
+    assert (
+        manifest_read(spark, table_path).filter("v >= 1000").count() == 10
+    )
+
+
+def test_unparseable_predicate_full_scan_still_correct(spark, table_path):
+    _seed_partitioned(spark, table_path, with_stats=True)
+    res = manifest_delete_where(spark, table_path, "k % 13 = 0 OR v < 1")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["probe_files_kept"] == m["probe_files_total"] == 6
+    expect_deleted = {k for k in range(60) if k % 13 == 0 or k < 1}
+    got = sorted(r["k"] for r in manifest_read(spark, table_path).collect())
+    assert got == sorted(set(range(60)) - expect_deleted)
+    assert res["deleted_rows"] == len(expect_deleted)
+
+
+def test_randomized_pruned_delete_equals_semantic_filter(spark, table_path):
+    """Differential soundness: across random predicates (mixed
+    prunable/unprunable conjuncts) the pruned DELETE must remove
+    exactly the rows the same predicate selects on a plain read."""
+    _seed_partitioned(spark, table_path, with_stats=True)
+    rng = random.Random(7)
+    survivors = set(range(60))
+    for i in range(5):
+        lo = rng.randint(0, 59)
+        hi = lo + rng.randint(0, 20)
+        extra = rng.choice(
+            ["", f" AND k % {rng.randint(2, 5)} = 0", " AND day = 'd1'"]
+        )
+        cond = f"k >= {lo} AND k <= {hi}{extra}"
+        before = manifest_read(spark, table_path)
+        expect = {r["k"] for r in before.filter(cond).collect()}
+        manifest_delete_where(
+            spark, table_path, cond, mode=rng.choice(["mor", "cow"])
+        )
+        survivors -= expect
+        got = {r["k"] for r in manifest_read(spark, table_path).collect()}
+        assert got == survivors, f"round {i}: {cond}"
