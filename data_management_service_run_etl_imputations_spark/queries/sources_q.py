@@ -1141,6 +1141,63 @@ def manifest_update_where_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_predicate_read",
+    oracle="""
+        SELECT COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+          AND o_totalprice >= 150000 AND o_totalprice <= 300000
+    """,
+)
+def manifest_predicate_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pruned SELECT over the manifest table
+    (``manifest_read_where``): one SQL predicate string drives
+    manifest-level planning — the partition-equality conjunct
+    (``o_year = 1995``) drops every other year's partition, the
+    zone-map sidecar (collected by ANALYZE inside the query) drops
+    files whose ``o_totalprice`` range proves no match, and the
+    residual predicate applies as an ordinary pushed filter. The
+    SELECT-side symmetry of the index-pruned DML probes; oracle is the
+    plain filtered aggregate — planning must be invisible to results
+    (sources/sinks.py manifest_read_where;
+    tests/test_dml_probe_pruning.py pins pruning metrics, the bloom
+    coercion gate, and differential soundness)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read_where,
+        manifest_upsert_partitioned,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_stats,
+    )
+
+    target = _tmp("predicate_read")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    try:
+        manifest_upsert_partitioned(t, target, ["o_orderkey"], "o_year")
+        manifest_collect_stats(spark, target, ["o_totalprice"])
+        pruned = manifest_read_where(
+            spark,
+            target,
+            "o_year = 1995 AND o_totalprice >= 150000 "
+            "AND o_totalprice <= 300000",
+        )
+        return pruned.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
     "manifest_hidden_partitioning",
     oracle="""
         SELECT event_type,

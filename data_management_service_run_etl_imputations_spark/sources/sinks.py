@@ -1205,6 +1205,41 @@ def manifest_read(
     return _apply_deletes(spark, path, df, content)
 
 
+def manifest_read_where(
+    spark,
+    path: str,
+    condition: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Predicate-pruned read: semantically identical to
+    ``manifest_read(...).filter(condition)`` but planned through the
+    table's OWN indexes before Spark ever sees a file — partition-
+    equality conjuncts drop whole partitions, zone-map stats drop files
+    by range, bloom sidecars drop files by point key (the same
+    ``_prune_dml_probe`` the DML verbs use; unrecognized predicate
+    shapes fall back to the full scan, and parquet row-group pruning
+    picks up the remainder from the pushed-down filter). This is the
+    SELECT-side symmetry of DELETE/UPDATE WHERE: one predicate string
+    drives manifest-level planning end-to-end."""
+    version, content = _resolve_manifest(path, version, as_of=as_of)
+    parts = content.get("partitions", {})
+    schema = content.get("schema")
+    if not parts:
+        if schema:
+            return spark.createDataFrame([], schema).filter(condition)
+        raise ValueError(f"manifest table at {path} is empty (v{version})")
+    _, rels, _ = _prune_dml_probe(
+        spark, path, version, content, condition, parts
+    )
+    if not rels:
+        return spark.createDataFrame([], schema).filter(condition)
+    df = _load_table_files(
+        spark, path, content, rels, with_pos=_has_pos_deletes(content)
+    )
+    return _apply_deletes(spark, path, df, content).filter(condition)
+
+
 def _stage_of(rel_dir: str) -> str:
     """Stage prefix of a partition directory (``data/<uuid>``) — the unit
     of immutability: every directory in a stage was written by one
@@ -1680,10 +1715,68 @@ def _prune_dml_probe(
             rels = [r for r in rels if r in kept_set]
         except Exception:  # noqa: BLE001 — cross-domain probe etc.: keep all
             pass
+    # EQUALITY conjuncts additionally probe the bloom sidecar — the
+    # complement of zone maps (a point key on a non-clustered column
+    # gets no help from min/max). Gated on a FAITHFUL literal/column
+    # type pairing: Spark's own join/filter coercion makes `s = 1` true
+    # for string '01', but the bloom hash of "1" differs — cross
+    # string/numeric (and fractional literal on integral column) never
+    # prunes, the same rule the MERGE probe enforces.
+    eq_vals = {
+        c: lo
+        for c, (lo, hi) in data_boxes.items()
+        if lo is not None and lo == hi
+    }
+    if eq_vals and content.get("bloom_ref"):
+        try:
+            import json as _json
+
+            from data_management_service_run_etl_imputations_spark.sources.skipping import (
+                manifest_point_plan,
+            )
+
+            col_types = {
+                f["name"]: f["type"]
+                for f in _json.loads(content["schema_json"])["fields"]
+                if isinstance(f["type"], str)
+            }
+            for c, v in sorted(eq_vals.items()):
+                if not _bloom_probe_faithful(col_types.get(c), v):
+                    continue
+                kept_b, _, _, _ = manifest_point_plan(
+                    spark, path, c, v, version=version
+                )
+                kept_set = set(kept_b)
+                rels = [r for r in rels if r in kept_set]
+        except Exception:  # noqa: BLE001 — optimization only
+            pass
     return pruned_parts, rels, {
         "probe_files_total": len(all_rels),
         "probe_files_kept": len(rels),
     }
+
+
+_INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
+
+
+def _bloom_probe_faithful(col_type: "str | None", val) -> bool:
+    """True when hashing ``val`` under the column's type family is
+    faithful to the comparison Spark itself will evaluate: identical
+    string/string, integral literal on integral column, any numeric
+    literal on a fractional column. Cross string/numeric and a
+    fractional literal on an integral column can compare TRUE under
+    coercion while hashing apart — never prune those."""
+    from decimal import Decimal
+
+    if col_type is None or isinstance(val, bool):
+        return False
+    if col_type == "string":
+        return isinstance(val, str)
+    if col_type in _INTEGRAL_TYPES:
+        return isinstance(val, int)
+    if col_type in ("float", "double") or col_type.startswith("decimal"):
+        return isinstance(val, (int, float, Decimal))
+    return False
 
 
 def manifest_delete_where(

@@ -120,6 +120,97 @@ def test_unparseable_predicate_full_scan_still_correct(spark, table_path):
     assert res["deleted_rows"] == len(expect_deleted)
 
 
+def test_bloom_equality_prunes_probe(spark, table_path):
+    """A point delete on a bloom-indexed column prunes to the files
+    that may contain the key — no zone maps involved (none collected):
+    the equality complement the range stats cannot provide."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+    )
+
+    _seed_partitioned(spark, table_path, with_stats=False)
+    manifest_collect_bloom(spark, table_path, "k")
+    res = manifest_delete_where(spark, table_path, "k = 42")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["probe_files_total"] == 6
+    assert m["probe_files_kept"] <= 2  # bloom fp margin; typically 1
+    assert res["deleted_rows"] == 1
+    assert manifest_read(spark, table_path).filter("k = 42").count() == 0
+
+
+def test_bloom_gate_refuses_coercing_literal(spark, table_path):
+    """`s = 1` is TRUE for string '01' under Spark's own coercion, but
+    the bloom hash of "1" differs — the faithful-type gate must refuse
+    to prune, and the delete must remove BOTH coercion-matching rows."""
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_bloom,
+    )
+
+    manifest_upsert_partitioned(
+        spark.createDataFrame(
+            [("1", "d1", 1.0)], "s STRING, day STRING, v DOUBLE"
+        ),
+        table_path,
+        ["s"],
+        "day",
+    )
+    manifest_upsert_partitioned(
+        spark.createDataFrame(
+            [("01", "d1", 2.0), ("7", "d1", 3.0)],
+            "s STRING, day STRING, v DOUBLE",
+        ),
+        table_path,
+        ["s"],
+        "day",
+    )
+    manifest_collect_bloom(spark, table_path, "s")
+    res = manifest_delete_where(spark, table_path, "s = 1")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    # the int literal on a string column must NOT bloom-prune
+    assert m["probe_files_kept"] == m["probe_files_total"]
+    assert res["deleted_rows"] == 2  # both '1' and '01' coerce-match
+    left = sorted(
+        r["s"] for r in manifest_read(spark, table_path).collect()
+    )
+    assert left == ["7"]
+    # a faithful STRING literal does prune and hits exactly one row
+    res2 = manifest_delete_where(spark, table_path, "s = '7'")
+    assert res2["deleted_rows"] == 1
+
+
+def test_read_where_matches_plain_filter_and_time_travel(spark, table_path):
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read_where,
+    )
+
+    _seed_partitioned(spark, table_path, with_stats=True)
+    cond = "day = 'd2' AND k >= 50 AND v < 57"
+    got = sorted(
+        r["k"] for r in manifest_read_where(spark, table_path, cond).collect()
+    )
+    expect = sorted(
+        r["k"]
+        for r in manifest_read(spark, table_path).filter(cond).collect()
+    )
+    assert got == expect == [50, 51, 52, 53, 54, 55, 56]
+    # time travel: version 1 predates the second-round files
+    got_v1 = manifest_read_where(
+        spark, table_path, "k >= 30", version=1
+    ).count()
+    assert got_v1 == 0
+    # unparseable predicate: full scan, same semantics
+    messy = "k % 7 = 3 OR v > 58"
+    got_m = sorted(
+        r["k"]
+        for r in manifest_read_where(spark, table_path, messy).collect()
+    )
+    expect_m = sorted(
+        r["k"]
+        for r in manifest_read(spark, table_path).filter(messy).collect()
+    )
+    assert got_m == expect_m
+
+
 def test_randomized_pruned_delete_equals_semantic_filter(spark, table_path):
     """Differential soundness: across random predicates (mixed
     prunable/unprunable conjuncts) the pruned DELETE must remove
