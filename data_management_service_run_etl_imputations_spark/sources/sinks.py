@@ -1692,14 +1692,29 @@ def _prune_dml_probe(
         def comps(k: str) -> list[str]:
             return [k] if len(pcols) == 1 else _json.loads(k)
 
-        pruned_parts = {
-            k: v
-            for k, v in parts.items()
-            if all(
-                comps(k)[pcols.index(c)] == _part_key(val)
-                for c, val in eqs.items()
-            )
-        }
+        # Typed, coercion-faithful matchers only (ADVICE r7 high): a
+        # str()-form compare prunes every partition on `c = 5.0` vs int
+        # keys and the DML silently matches 0 rows. An unfaithful
+        # pairing skips pruning on THAT column (each equality conjunct
+        # prunes independently, so partial pruning stays sound).
+        try:
+            part_types = {
+                f["name"]: f["type"]
+                for f in _json.loads(content["schema_json"])["fields"]
+                if isinstance(f["type"], str)
+            }
+        except Exception:  # noqa: BLE001 — no schema: no pruning
+            part_types = {}
+        for c, val in sorted(eqs.items()):
+            matcher = _part_eq_matcher(part_types.get(c), val)
+            if matcher is None:
+                continue
+            idx = pcols.index(c)
+            pruned_parts = {
+                k: v
+                for k, v in pruned_parts.items()
+                if matcher(comps(k)[idx])
+            }
     rels = _live_file_rels(content, pruned_parts, path=path)
     data_boxes = {c: b for c, b in boxes.items() if c not in pcols}
     if data_boxes and content.get("stats_ref"):
@@ -1757,6 +1772,87 @@ def _prune_dml_probe(
 
 
 _INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
+
+
+def _part_eq_matcher(col_type: "str | None", val):
+    """Typed matcher for transparent partition-equality pruning:
+    returns a predicate over manifest partition-component keys, or
+    ``None`` when the literal/column pairing is not faithful enough to
+    prune (the caller must keep every partition). The partition key is
+    ``str(python_value)`` stamped at commit time, so a bare string
+    compare against ``str(literal)`` silently drops every partition
+    whenever Spark's own coercion would still match — ``c = 5.0`` on an
+    int column ('5.0' vs '5'), ``c = 5`` on a double column ('5' vs
+    '5.0'), ``c = 5`` on a string column holding '05'. Same doctrine as
+    :func:`_bloom_probe_faithful`: compare TYPED values under the
+    column's type family; on any doubt, don't prune."""
+    import datetime
+    from decimal import Decimal
+
+    if col_type is None or val is None or isinstance(val, bool):
+        return None
+    if col_type == "string":
+        # String column: Spark coerces a numeric literal by casting the
+        # COLUMN to the literal's type ('05' = 5 is true) — numeric
+        # literals never prune; identical-string is the only safe test.
+        if not isinstance(val, str):
+            return None
+        return lambda k: k == val
+    if col_type in _INTEGRAL_TYPES:
+        if isinstance(val, float):
+            if not val.is_integer():
+                # int_col = 5.5 is provably empty under Spark's
+                # int→double widening: pruning ALL partitions is exact.
+                return lambda k: False
+            val = int(val)
+        elif isinstance(val, Decimal):
+            if val != val.to_integral_value():
+                return lambda k: False
+            val = int(val)
+        if not isinstance(val, int):
+            return None
+        iv = val
+
+        def match_int(k: str) -> bool:
+            if k == NULL_PARTITION_KEY:
+                return False
+            try:
+                return int(k) == iv
+            except ValueError:
+                return False
+
+        return match_int
+    if col_type in ("float", "double") or col_type.startswith("decimal"):
+        if not isinstance(val, (int, float, Decimal)):
+            return None
+        fv = float(val)
+
+        def match_num(k: str) -> bool:
+            if k == NULL_PARTITION_KEY:
+                return False
+            try:
+                return float(k) == fv
+            except ValueError:
+                return False
+
+        return match_num
+    if col_type == "date":
+        if isinstance(val, datetime.datetime):
+            return None
+        if isinstance(val, datetime.date):
+            iso = val.isoformat()
+            return lambda k: k == iso
+        if isinstance(val, str):
+            # Spark casts the string literal to date; only prune when
+            # the literal round-trips to the canonical str(date) form
+            # the partition key uses.
+            try:
+                iso = datetime.date.fromisoformat(val).isoformat()
+            except ValueError:
+                return None
+            return lambda k: k == iso
+        return None
+    return None
 
 
 def _bloom_probe_faithful(col_type: "str | None", val) -> bool:
@@ -1936,7 +2032,22 @@ def _maybe_consolidate_pos(
     pos = [e for e in deletes if e.get("kind") == "pos"]
     if len(pos) <= POS_CONSOLIDATE_THRESHOLD:
         return deletes
-    live = {e[0] for fs in content.get("files", {}).values() for e in fs}
+    if "files" in content:
+        live = {e[0] for fs in content["files"].values() for e in fs}
+    else:
+        # Legacy manifest without commit-time file lists (ADVICE r7
+        # medium): deriving liveness from a missing key yields an EMPTY
+        # set, and consolidating against it drops every pending
+        # positional address — resurrecting all deleted rows. Use the
+        # same listing fallback the readers use; if liveness cannot be
+        # established, leave the entries unmerged (correct, just less
+        # compact).
+        try:
+            live = set(_live_file_rels(content, path=path))
+        except Exception:  # noqa: BLE001 — unknown liveness: don't merge
+            return deletes
+        if not live:
+            return deletes
     keep_files = sorted(
         {f for e in pos for f in e.get("files", []) if f in live}
     )
@@ -4121,6 +4232,7 @@ def manifest_clone(
     Scale: O(live files) link(2) calls and ONE v1 manifest write — no
     data read, no Spark job. Returns ``{"files_linked": n,
     "files_copied": n, "bytes_shared": n}``."""
+    import errno
     import os
     import shutil
 
@@ -4153,10 +4265,26 @@ def manifest_clone(
         return linked, copied, nbytes
 
     def _link_one(sf: str, df: str) -> tuple[int, int, int]:
+        # A pre-existing destination file means dst is not the empty
+        # target manifest_clone promised to create — clobbering it via
+        # the copy fallback would silently destroy data (ADVICE r7 low).
+        if os.path.exists(df):
+            raise FileExistsError(
+                f"clone destination already contains {df}; dst must be "
+                "an empty directory"
+            )
         try:
             os.link(sf, df)
             return 1, 0, os.path.getsize(sf)
-        except OSError:
+        except OSError as exc:
+            # Copy only on errnos that mean "hard links not possible
+            # here" (cross-device, filesystem/permission policy); a
+            # genuine I/O failure must surface, not be misreported as
+            # 'copied'.
+            if exc.errno not in (
+                errno.EXDEV, errno.EPERM, errno.ENOTSUP, errno.EMLINK,
+            ):
+                raise
             shutil.copy2(sf, df)
             return 0, 1, os.path.getsize(sf)
 

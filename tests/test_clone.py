@@ -138,3 +138,32 @@ def test_clone_fsck_green_and_counts(spark, roots):
     )
 
     assert manifest_count(dst) == 7
+
+
+def test_clone_refuses_stray_destination_file(spark, roots):
+    """ADVICE r8 (low): the copy fallback in _link_one used to clobber
+    a pre-existing destination file. A dst containing stray data at a
+    colliding rel path must fail loudly, not silently overwrite."""
+    src, dst = roots
+    manifest_upsert_partitioned(
+        spark.createDataFrame(
+            [(1, "d1", 1.0)], "k LONG, day STRING, v DOUBLE"
+        ).coalesce(1),
+        src,
+        ["k"],
+        "day",
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+    )
+
+    _, content = _latest_manifest(src)
+    rel = next(iter(content["files"].values()))[0][0]
+    stray = os.path.join(dst, *rel.split("/"))
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "w") as fh:
+        fh.write("precious")
+    with pytest.raises((FileExistsError, OSError)):
+        manifest_clone(src, dst)
+    with open(stray) as fh:
+        assert fh.read() == "precious"  # never clobbered

@@ -372,3 +372,66 @@ def test_rejects_unknown_mode_and_missing_table(spark, table_path):
         manifest_delete_where(spark, table_path, "1=1", mode="nope")
     with pytest.raises(ValueError, match="does not exist"):
         manifest_delete_where(spark, table_path, "1=1")
+
+
+def test_consolidation_on_legacy_manifest_never_drops_addresses(
+    spark, table_path
+):
+    """ADVICE r8 (medium): on a legacy manifest WITHOUT commit-time file
+    lists, liveness derived from content['files'] is empty — crossing
+    the threshold would merge every pending positional address into an
+    empty sidecar and resurrect all deleted rows. The fix derives
+    liveness via the listing fallback (or skips merging entirely)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        POS_CONSOLIDATE_THRESHOLD,
+        _latest_manifest,
+        _maybe_consolidate_pos,
+    )
+
+    rows = [(k, "d1", float(k)) for k in range(0, 20)]
+    manifest_upsert_partitioned(
+        _batch(spark, rows).coalesce(2), table_path, ["k"], "day"
+    )
+    for k in range(3):
+        manifest_delete_where(spark, table_path, f"k = {k}")
+    _, content = _latest_manifest(table_path)
+    deletes = [e for e in content["deletes"] if e.get("kind") == "pos"]
+    assert deletes
+    while len(deletes) <= POS_CONSOLIDATE_THRESHOLD:
+        deletes.append(dict(deletes[0]))
+    legacy = {k: v for k, v in content.items() if k != "files"}
+    out = _maybe_consolidate_pos(spark, table_path, legacy, deletes)
+    pos = [e for e in out if e.get("kind") == "pos"]
+    assert pos, "positional entries vanished on a legacy manifest"
+    addressed = {f for e in pos for f in e.get("files", [])}
+    assert addressed, (
+        "consolidation against a legacy manifest emptied the address "
+        "set — deleted rows would resurrect"
+    )
+
+
+def test_consolidation_unknown_liveness_leaves_entries_unmerged(
+    spark, table_path
+):
+    """If liveness can't be established at all (legacy manifest AND the
+    data dirs are unlistable), the entries must come back unchanged."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        POS_CONSOLIDATE_THRESHOLD,
+        _latest_manifest,
+        _maybe_consolidate_pos,
+    )
+
+    _two_file_partition(spark, table_path)
+    manifest_delete_where(spark, table_path, "k = 2")
+    _, content = _latest_manifest(table_path)
+    deletes = [e for e in content["deletes"] if e.get("kind") == "pos"]
+    while len(deletes) <= POS_CONSOLIDATE_THRESHOLD:
+        deletes.append(dict(deletes[0]))
+    legacy = {
+        k: v
+        for k, v in content.items()
+        if k not in ("files", "partitions")
+    }
+    legacy["partitions"] = {"d9": "__p=does_not_exist"}
+    out = _maybe_consolidate_pos(spark, table_path, legacy, deletes)
+    assert out == deletes

@@ -233,3 +233,98 @@ def test_randomized_pruned_delete_equals_semantic_filter(spark, table_path):
         survivors -= expect
         got = {r["k"] for r in manifest_read(spark, table_path).collect()}
         assert got == survivors, f"round {i}: {cond}"
+
+
+# --- typed partition-equality pruning (ADVICE r8: coercion faithfulness) ---
+
+
+def test_partition_prune_int_column_float_literal(spark, table_path):
+    """`p = 1.0` on an INT partition column: the str()-form compare
+    ('1.0' vs key '1') used to prune EVERY partition and the DML
+    silently matched 0 rows. Typed matching must keep p=1 and still
+    prune the others."""
+    rows = [(k, k % 3, float(k)) for k in range(30)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, p INT, v DOUBLE").coalesce(1),
+        table_path,
+        ["k"],
+        "p",
+    )
+    got = manifest_read(
+        spark, table_path
+    ).filter("p = 1.0").count()
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read_where,
+    )
+
+    assert manifest_read_where(spark, table_path, "p = 1.0").count() == got
+    res = manifest_delete_where(spark, table_path, "p = 1.0")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert res["deleted_rows"] == got == 10
+    assert m["probe_files_kept"] < m["probe_files_total"]  # still prunes
+    assert manifest_read(spark, table_path).count() == 20
+
+
+def test_partition_prune_double_column_int_literal(spark, table_path):
+    """`p = 1` on a DOUBLE partition column (key '1.0' vs str '1'):
+    typed float compare keeps the matching partition AND prunes."""
+    rows = [(k, float(k % 3), float(k)) for k in range(30)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, p DOUBLE, v DOUBLE").coalesce(1),
+        table_path,
+        ["k"],
+        "p",
+    )
+    res = manifest_update_where(
+        spark, table_path, {"v": "v + 1000"}, "p = 1", mode="cow"
+    )
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert res["updated_rows"] == 10
+    assert m["probe_files_kept"] < m["probe_files_total"]
+    assert manifest_read(spark, table_path).filter("v >= 1000").count() == 10
+
+
+def test_partition_prune_string_column_int_literal_no_prune(spark, table_path):
+    """`p = 5` on a STRING partition column holding '05': Spark's own
+    coercion casts the column to the literal's type, so '05' matches —
+    pruning on the str form would drop it. The gate must refuse to
+    prune and the delete must hit both '5' and '05'."""
+    rows = [(1, "05", 1.0), (2, "5", 2.0), (3, "7", 3.0)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, p STRING, v DOUBLE").coalesce(1),
+        table_path,
+        ["k"],
+        "p",
+    )
+    res = manifest_delete_where(spark, table_path, "p = 5")
+    assert res["deleted_rows"] == 2
+    assert sorted(
+        r["k"] for r in manifest_read(spark, table_path).collect()
+    ) == [3]
+
+
+def test_partition_prune_fractional_literal_on_int_col_empty(
+    spark, table_path
+):
+    """`p = 1.5` on an INT partition column is provably empty — exact
+    to prune everything, and the DML must report 0 rows (not crash)."""
+    rows = [(k, k % 3, float(k)) for k in range(9)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, p INT, v DOUBLE").coalesce(1),
+        table_path,
+        ["k"],
+        "p",
+    )
+    res = manifest_delete_where(spark, table_path, "p = 1.5")
+    assert res["deleted_rows"] == 0
+    assert manifest_read(spark, table_path).count() == 9
+
+
+def test_partition_prune_string_equality_still_prunes(spark, table_path):
+    """The faithful pairing (string col, string literal) must still
+    engage pruning — the fix may not regress the fast path."""
+    _seed_partitioned(spark, table_path, with_stats=False)
+    manifest_delete_where(spark, table_path, "day = 'd1'")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["probe_files_total"] == 6
+    assert m["probe_files_kept"] == 2
