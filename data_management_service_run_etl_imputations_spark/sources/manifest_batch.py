@@ -1,0 +1,469 @@
+"""Batch Python DataSource over the manifest table — the
+``spark.read.format("manifest")`` / SQL half of the table protocol
+(Spark 4 Python DataSource API with filter pushdown), the batch twin of
+:mod:`manifest_stream`'s streaming source.
+
+Until now every batch read went through the Python API
+(``manifest_read`` / ``manifest_read_where``); a user who writes
+``spark.sql("SELECT … FROM my_table")`` could not reach a manifest
+table at all. This source closes that gap::
+
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        manifest_sql_register,
+    )
+    manifest_sql_register(spark, "my_table", table_root)
+    spark.sql("SELECT day, count(*) FROM my_table GROUP BY day")
+
+or raw::
+
+    spark.dataSource.register(ManifestTableDataSource)
+    df = (spark.read.format("manifest")
+          .option("path", table_root)
+          .option("version", 7)          # optional time travel
+          .load())
+
+Semantics — BYTE-IDENTICAL to ``manifest_read`` at the same version:
+
+- **Snapshot isolation.** The manifest version is resolved ONCE when
+  the reader is constructed (head, pinned ``version``, or ``as_of``
+  unix-seconds timestamp); every partition of the scan reads that
+  snapshot's immutable file list — a concurrent commit can never tear
+  a query.
+- **Merge-on-read deletes.** Pending POSITIONAL entries (Iceberg
+  position-deletes / Delta deletion vectors) mask exact
+  ``(file, row_index)`` addresses; EQUALITY entries mask key-matching
+  rows from the stages that were live when the delete committed —
+  both applied executor-side per file, mirroring
+  ``sinks._apply_deletes`` (same null-safe key equality, same stage
+  scoping, same ``key_cols``-vs-``cols`` rename indirection).
+- **Schema evolution + column mapping.** Each file's columns route
+  through its directory's stable column ids (``dir_col_ids``) to
+  current logical names — renamed columns land under their new name,
+  dropped ids are excluded, pre-evolution files null-fill and narrower
+  types cast up (the executor-side mirror of ``_load_table_files``).
+
+Scale design:
+
+- **Filter pushdown is PRUNE-ONLY.** ``pushFilters`` translates
+  supported conjuncts into partition-equality matchers and zone-map
+  range boxes, prunes the file list at plan time, and returns EVERY
+  filter as "still needs evaluation" — Spark re-applies all predicates
+  on top, so correctness NEVER depends on the pruning translation
+  (the same doctrine as the DML probe pruning,
+  ``sinks._prune_dml_probe``). Partition equality goes through the
+  typed coercion-faithfulness gate (``sinks._part_eq_matcher``);
+  zone maps through ``skipping.manifest_skipping_plan``. Bloom point
+  probes need the JVM's xxhash64 and are deliberately out of scope
+  here (the planning worker has no session) — use
+  ``manifest_read_point`` for those.
+- **One InputPartition per data file**; planning is pure manifest
+  metadata (zero filesystem listing on the modern protocol). Delete
+  sidecars are shipped by REFERENCE (rel path), read executor-side by
+  only the partitions whose stage/file they address — a wide delete is
+  never materialized on the driver.
+- **requires the pushdown flag**: Spark calls ``pushFilters`` only
+  when ``spark.sql.python.filterPushdown.enabled`` is true;
+  :func:`manifest_sql_register` sets it. When disabled the scan is
+  unpruned but still correct.
+
+Reference parity: the reference's only query surface is eager pandas
+behind HTTP (`function_app.py:160-260`); SQL access over a
+transactionally-committed table is the lakehouse generalization
+(Delta/Iceberg's SparkSQL integration), built here on public Spark 4
+``pyspark.sql.datasource`` APIs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+# sentinel for SQL NULL (and NaN: Spark's eqNullSafe/`<=>` treats NaN as
+# equal to itself) in executor-side equality-delete key tuples
+_NULL = "\x00__mb_null__"
+
+
+class _ScanPartition(InputPartition):
+    """One data file plus the delete masks that apply to it."""
+
+    def __init__(
+        self,
+        root: str,
+        rel: str,
+        arrow_schema_bytes: bytes,
+        dir_map: dict | None,
+        name_by_id: dict | None,
+        pos_refs: list[str],
+        eq_entries: list[dict],
+    ):
+        self.root = root
+        self.rel = rel
+        self.arrow_schema_bytes = arrow_schema_bytes
+        self.dir_map = dir_map
+        self.name_by_id = name_by_id
+        self.pos_refs = pos_refs
+        self.eq_entries = eq_entries
+
+
+def _norm_key(v):
+    """Hashable, null/NaN-normalized key cell for the executor-side
+    equality-delete anti-join (mirror of ``_apply_deletes``'s
+    ``eqNullSafe``)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_key(x) for x in v)
+    try:
+        if v is None or pd.isna(v):
+            return _NULL
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+class ManifestBatchReader(DataSourceReader):
+    """Plans and reads ONE resolved manifest snapshot."""
+
+    def __init__(self, schema, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest format requires .option('path', …)")
+        version = options.get("version")
+        as_of = options.get("as_of")
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _resolve_manifest,
+        )
+
+        self.version, self.content = _resolve_manifest(
+            self.path,
+            int(version) if version is not None else None,
+            as_of=float(as_of) if as_of is not None else None,
+        )
+        # pruning state fed by pushFilters (empty = unpruned scan)
+        self._part_eqs: list = []  # [(col, [values])]
+        self._boxes: dict[str, tuple] = {}  # {col: (lo, hi)} closed
+        # plan telemetry for tests/debugging (driver-worker side only)
+        self.last_plan: dict = {}
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        fields = [
+            pa.field(f.name, to_arrow_type(f.dataType))
+            for f in schema.fields
+        ]
+        self._arrow_schema_bytes = (
+            pa.schema(fields).serialize().to_pybytes()
+        )
+
+    # -- filter pushdown (prune-only) -----------------------------------
+    def pushFilters(self, filters):
+        def attr(f):
+            return f.attribute[0] if len(f.attribute) == 1 else None
+
+        def box(col, lo, hi):
+            cur = self._boxes.setdefault(col, (None, None))
+            nlo, nhi = cur
+            try:
+                if lo is not None and (nlo is None or lo > nlo):
+                    nlo = lo
+                if hi is not None and (nhi is None or hi < nhi):
+                    nhi = hi
+                self._boxes[col] = (nlo, nhi)
+            except TypeError:
+                self._boxes.pop(col, None)
+
+        for f in filters:
+            c = (
+                attr(f)
+                if isinstance(
+                    f,
+                    (
+                        EqualTo,
+                        In,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                    ),
+                )
+                else None
+            )
+            if c is not None:
+                if isinstance(f, EqualTo) and f.value is not None:
+                    self._part_eqs.append((c, [f.value]))
+                    box(c, f.value, f.value)
+                elif isinstance(f, In) and f.value:
+                    vals = [v for v in f.value if v is not None]
+                    if vals and len(vals) == len(f.value):
+                        self._part_eqs.append((c, vals))
+                        try:
+                            box(c, min(vals), max(vals))
+                        except TypeError:
+                            pass
+                elif isinstance(
+                    f, (GreaterThan, GreaterThanOrEqual)
+                ) and f.value is not None:
+                    box(c, f.value, None)  # strict widens to closed
+                elif isinstance(
+                    f, (LessThan, LessThanOrEqual)
+                ) and f.value is not None:
+                    box(c, None, f.value)
+            # prune-only: EVERYTHING still evaluated by Spark
+            yield f
+
+    # -- planning --------------------------------------------------------
+    def partitions(self):
+        import json
+
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _live_file_rels,
+            _part_eq_matcher,
+            _partition_cols,
+            _stage_of,
+        )
+
+        content = self.content
+        parts = dict(content.get("partitions") or {})
+        pcols = _partition_cols(content)
+        n_parts_total = len(parts)
+        try:
+            col_types = {
+                f["name"]: f["type"]
+                for f in json.loads(content["schema_json"])["fields"]
+                if isinstance(f["type"], str)
+            }
+        except Exception:  # noqa: BLE001 — no schema: no pruning
+            col_types = {}
+
+        def comps(k: str) -> list[str]:
+            return [k] if len(pcols) == 1 else json.loads(k)
+
+        # partition-equality pruning through the typed gate: a filter
+        # whose literal/column pairing is not coercion-faithful prunes
+        # NOTHING (Spark re-applies it anyway)
+        for c, vals in self._part_eqs:
+            if c not in pcols:
+                continue
+            matchers = [_part_eq_matcher(col_types.get(c), v) for v in vals]
+            if any(m is None for m in matchers):
+                continue
+            idx = pcols.index(c)
+            parts = {
+                k: v
+                for k, v in parts.items()
+                if any(m(comps(k)[idx]) for m in matchers)
+            }
+        rels = _live_file_rels(content, parts, path=self.path)
+        n_files_after_parts = len(rels)
+        # zone-map skipping on non-partition range boxes (best-effort:
+        # canonicalization raises on cross-domain probes — keep all)
+        data_boxes = {
+            c: b for c, b in self._boxes.items() if c not in pcols
+        }
+        if data_boxes and content.get("stats_ref"):
+            try:
+                from data_management_service_run_etl_imputations_spark.sources.skipping import (
+                    manifest_skipping_plan,
+                )
+
+                kept, _, _, _ = manifest_skipping_plan(
+                    self.path, data_boxes, version=self.version
+                )
+                kept_set = set(kept)
+                rels = [r for r in rels if r in kept_set]
+            except Exception:  # noqa: BLE001 — optimization only
+                pass
+        self.last_plan = {
+            "partitions_total": n_parts_total,
+            "partitions_kept": len(parts),
+            "files_after_partition_prune": n_files_after_parts,
+            "files_kept": len(rels),
+        }
+        deletes = content.get("deletes") or []
+        dir_col_ids = content.get("dir_col_ids", {})
+        col_ids = content.get("col_ids")
+        name_by_id = (
+            {i: n for n, i in col_ids.items()} if col_ids else None
+        )
+        out = []
+        for rel in sorted(rels):
+            d = rel.rsplit("/", 1)[0]
+            stage = _stage_of(rel)
+            pos_refs = [
+                e["ref"]
+                for e in deletes
+                if e.get("kind") == "pos" and rel in (e.get("files") or ())
+            ]
+            eq_entries = [
+                {
+                    "ref": e["ref"],
+                    "cols": e["cols"],
+                    "key_cols": e.get("key_cols", e["cols"]),
+                }
+                for e in deletes
+                if e.get("kind") != "pos" and stage in e["stages"]
+            ]
+            out.append(
+                _ScanPartition(
+                    self.path,
+                    rel,
+                    self._arrow_schema_bytes,
+                    dir_col_ids.get(d),
+                    name_by_id,
+                    pos_refs,
+                    eq_entries,
+                )
+            )
+        return out
+
+    # -- execution (runs on executors) ------------------------------------
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_management_service_run_etl_imputations_spark.sources.manifest_stream import (
+            _source_columns,
+        )
+
+        p = partition
+        t = pq.read_table(f"{p.root}/{p.rel}")
+        # 1) positional masks address raw row order within THIS file
+        if p.pos_refs:
+            import numpy as np
+
+            drop: set[int] = set()
+            for ref in p.pos_refs:
+                side = pq.read_table(
+                    f"{p.root}/{ref}", columns=["file", "pos"]
+                )
+                files = side.column("file").to_pylist()
+                poss = side.column("pos").to_pylist()
+                drop.update(
+                    int(pos)
+                    for f, pos in zip(files, poss)
+                    if f == p.rel
+                )
+            if drop:
+                keep = np.ones(len(t), dtype=bool)
+                keep[sorted(i for i in drop if i < len(t))] = False
+                t = t.filter(pa.array(keep))
+        # 2) align to the current logical schema through column mapping
+        target = pa.ipc.read_schema(
+            pa.BufferReader(p.arrow_schema_bytes)
+        )
+        src_of = _source_columns(t.column_names, p.dir_map, p.name_by_id)
+        n = len(t)
+        cols = []
+        for field in target:
+            if field.name in src_of:
+                cols.append(t.column(src_of[field.name]).cast(field.type))
+            else:
+                cols.append(pa.nulls(n, field.type))
+        t = pa.table(cols, schema=target)
+        # 3) equality masks: null-safe key anti-join per pending entry
+        for entry in p.eq_entries:
+            side = pq.read_table(
+                f"{p.root}/{entry['ref']}", columns=entry["key_cols"]
+            )
+            del_keys = {
+                tuple(_norm_key(v) for v in row)
+                for row in zip(
+                    *[
+                        side.column(c).to_pylist()
+                        for c in entry["key_cols"]
+                    ]
+                )
+            }
+            if not del_keys:
+                continue
+            data_cols = [
+                t.column(c).to_pylist() for c in entry["cols"]
+            ]
+            keep_mask = [
+                tuple(_norm_key(v) for v in row) not in del_keys
+                for row in zip(*data_cols)
+            ]
+            if not all(keep_mask):
+                t = t.filter(pa.array(keep_mask))
+        return iter(t.to_batches())
+
+
+class ManifestTableDataSource(DataSource):
+    """``manifest`` format: snapshot-isolated batch reads of a manifest
+    table with partition/zone-map pruning pushed through Spark's filter
+    pushdown, merge-on-read delete masks, and column mapping."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def schema(self):
+        import json
+
+        from pyspark.sql.types import StructType
+
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _resolve_manifest,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest format requires .option('path', …)")
+        version = self.options.get("version")
+        as_of = self.options.get("as_of")
+        _, content = _resolve_manifest(
+            path,
+            int(version) if version is not None else None,
+            as_of=float(as_of) if as_of is not None else None,
+        )
+        if not content.get("schema_json"):
+            raise ValueError(
+                f"no manifest table (with schema_json) at {path}"
+            )
+        # fromJson is pure Python — this runs in a session-less worker
+        return StructType.fromJson(json.loads(content["schema_json"]))
+
+    def reader(self, schema):
+        return ManifestBatchReader(schema, self.options)
+
+
+def manifest_sql_register(
+    spark,
+    view_name: str,
+    path: str,
+    version: int | None = None,
+    as_of: float | None = None,
+):
+    """Expose a manifest table to SQL: register the ``manifest`` format,
+    enable Python-DataSource filter pushdown (prune-only — disabled, the
+    scan is merely unpruned), load the table, and publish it as a temp
+    view. Returns the DataFrame. Each SELECT against the view re-plans
+    through ``pushFilters``/``partitions``, so WHERE clauses prune files
+    at plan time; the SNAPSHOT stays pinned to registration time
+    (re-register to see newer commits — the same "view of a version"
+    contract as Delta's ``@v`` syntax)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — older/locked conf: stay unpruned
+        pass
+    spark.dataSource.register(ManifestTableDataSource)
+    reader = spark.read.format("manifest").option("path", path)
+    if version is not None:
+        reader = reader.option("version", str(version))
+    if as_of is not None:
+        reader = reader.option("as_of", str(as_of))
+    df = reader.load()
+    df.createOrReplaceTempView(view_name)
+    return df
