@@ -1259,3 +1259,75 @@ def manifest_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
+    "manifest_sql_read",
+    oracle="""
+        SELECT EXTRACT(MONTH FROM o_orderdate) AS o_month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+          AND o_totalprice >= 100000
+          AND NOT (o_orderpriority = '1-URGENT')
+        GROUP BY o_month
+    """,
+)
+def manifest_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL access to the manifest table through the batch ``manifest``
+    Python DataSource (sources/manifest_batch.py): orders land in a
+    year-partitioned manifest table WITH a merge-on-read DELETE pending
+    (rows never rewritten), the table is published as a temp view, and
+    a plain ``spark.sql`` SELECT answers the query — the partition
+    conjunct (``o_year = 1996``) prunes partitions and the
+    ``o_totalprice`` bound prunes files through the zone-map sidecar at
+    plan time (prune-only pushdown: Spark re-applies every predicate,
+    pinned with plan evidence in tests/test_manifest_batch_source.py).
+    The oracle folds the delete predicate in, so the executor-side MoR
+    masking is oracle-checked end-to-end. The reference has no SQL
+    surface at all (eager pandas behind HTTP, `function_app.py:160`);
+    this is the lakehouse generalization every Spark user expects."""
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        manifest_sql_register,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_delete_where,
+        manifest_upsert_partitioned,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_stats,
+    )
+
+    target = _tmp("sql_read")
+    view = f"mv_{uuid.uuid4().hex[:8]}"
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    try:
+        manifest_upsert_partitioned(t, target, ["o_orderkey"], "o_year")
+        manifest_collect_stats(spark, target, ["o_totalprice"])
+        manifest_delete_where(
+            spark, target, "o_orderpriority = '1-URGENT'", mode="mor"
+        )
+        manifest_sql_register(spark, view, target)
+        return spark.sql(
+            f"""
+            SELECT o_month,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_price
+            FROM {view}
+            WHERE o_year = 1996 AND o_totalprice >= 100000
+            GROUP BY o_month
+            """
+        ).localCheckpoint()
+    finally:
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:  # noqa: BLE001 — view may not have registered
+            pass
+        shutil.rmtree(target, ignore_errors=True)
