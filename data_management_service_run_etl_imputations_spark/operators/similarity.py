@@ -794,3 +794,292 @@ def ivf_pq_topk(
             "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
         )
     )
+
+
+# --- persisted IVF-PQ index (build once, query many) ----------------------
+#
+# ivf_pq_topk refits its quantizers on every invocation — fine for a
+# one-shot dedup pass, wrong for the serving shape real pipelines have:
+# build the index ONCE over the (slowly-changing) corpus, then answer
+# many query batches against it. The persisted layout is two manifest
+# tables under the index root (transactional, versioned, restart-safe,
+# vacuumable — the same table protocol as any other data):
+#
+#   {root}/vectors  (neighbor_id, c_vec, codes)   PARTITIONED BY cell
+#   {root}/meta     (kind, cell, sub, code, centroid)
+#
+# Partitioning the coded vectors BY CELL is the scale move: a query
+# batch probes n_probe cells, so the read plans through manifest
+# partition pruning and touches only those cells' files — at 100 TB the
+# scan cost is n_probe/n_centroids of the corpus by construction, with
+# zero filesystem listing. `meta` holds the coarse centroids, the m×ks
+# PQ codebook centroids, and one params row; the whole sidecar is
+# n_centroids×dims + m×ks×(dims/m) floats — driver-bounded by design
+# (FAISS keeps the same arrays in RAM).
+
+_ANN_PARAMS_KIND = "params"
+
+
+def ann_index_build(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    ks_codes: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Fit the IVF-PQ quantizers and persist the index as manifest
+    tables under ``index_path`` (see module comment for the layout).
+    Returns build metrics. Rebuild = call again with a fresh path (or
+    the same path: the manifest upsert keeps old versions for time
+    travel, so a query pinned to a version is never torn)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_upsert_partitioned,
+    )
+
+    spark = corpus.sparkSession
+
+    def normed(col):
+        n = F.sqrt(
+            F.aggregate(
+                col,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        return F.transform(col, lambda x: x.cast("double") / n)
+
+    corpus_n = corpus.select(
+        F.col(id_col).alias("neighbor_id"), normed(F.col(vec_col)).alias("c_vec")
+    )
+    dims = len(corpus.select(vec_col).first()[0])
+    if dims % m_subspaces:
+        raise ValueError(f"dims {dims} not divisible by m={m_subspaces}")
+    d_sub = dims // m_subspaces
+
+    corpus_f = corpus_n.withColumn("features", array_to_vector(F.col("c_vec")))
+    coarse = KMeans(
+        k=n_centroids, seed=seed, maxIter=10,
+        featuresCol="features", predictionCol="cell",
+    ).fit(corpus_f)
+    assigned = coarse.transform(corpus_f).select("neighbor_id", "c_vec", "cell")
+
+    sub_models = []
+    for j in range(m_subspaces):
+        sub_f = corpus_n.select(
+            array_to_vector(
+                F.slice(F.col("c_vec"), j * d_sub + 1, d_sub)
+            ).alias("features")
+        )
+        sub_models.append(
+            KMeans(
+                k=ks_codes, seed=seed + j, maxIter=10,
+                featuresCol="features", predictionCol=f"code_{j}",
+            ).fit(sub_f)
+        )
+
+    enc = assigned
+    for j, mdl in enumerate(sub_models):
+        enc = mdl.transform(
+            enc.withColumn(
+                "features",
+                array_to_vector(F.slice(F.col("c_vec"), j * d_sub + 1, d_sub)),
+            )
+        ).drop("features")
+    coded = enc.select(
+        "neighbor_id",
+        "c_vec",
+        F.array(*[F.col(f"code_{j}") for j in range(m_subspaces)]).alias(
+            "codes"
+        ),
+        "cell",
+    )
+    manifest_upsert_partitioned(
+        coded, f"{index_path}/vectors", ["neighbor_id"], "cell"
+    )
+
+    meta_rows = [
+        ("coarse", i, -1, -1, [float(x) for x in c])
+        for i, c in enumerate(coarse.clusterCenters())
+    ]
+    meta_rows += [
+        ("pq", -1, j, c, [float(x) for x in mdl.clusterCenters()[c]])
+        for j, mdl in enumerate(sub_models)
+        for c in range(ks_codes)
+    ]
+    meta_rows.append(
+        (
+            _ANN_PARAMS_KIND,
+            -1,
+            -1,
+            -1,
+            [float(dims), float(m_subspaces), float(ks_codes), float(n_centroids)],
+        )
+    )
+    meta = spark.createDataFrame(
+        meta_rows,
+        "kind STRING, cell INT, sub INT, code INT, centroid ARRAY<DOUBLE>",
+    )
+    manifest_upsert_partitioned(
+        meta.coalesce(1), f"{index_path}/meta", ["kind", "cell", "sub", "code"], "kind"
+    )
+    return {
+        "dims": dims,
+        "n_centroids": n_centroids,
+        "m_subspaces": m_subspaces,
+        "ks_codes": ks_codes,
+    }
+
+
+def ann_index_query(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Answer a query batch against a PERSISTED IVF-PQ index — no
+    quantizer refit, no corpus argument: the index tables under
+    ``index_path`` carry everything. Plan shape: broadcast coarse
+    centroids rank each query's ``n_probe`` cells; the coded-vector
+    read PARTITION-PRUNES to exactly those cells (manifest metadata,
+    zero listing); ADC scores candidates through a broadcast per-query
+    lookup table; the shortlist exactly re-ranks on the stored unit
+    vectors. Driver state: the meta table collect —
+    n_centroids + m·ks rows, bounded by build parameters, never by
+    corpus size."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read,
+    )
+
+    spark = queries.sparkSession
+    meta = manifest_read(spark, f"{index_path}/meta").collect()
+    params = next(
+        r for r in meta if r["kind"] == _ANN_PARAMS_KIND
+    )["centroid"]
+    dims, m_subspaces, ks_codes = int(params[0]), int(params[1]), int(params[2])
+    d_sub = dims // m_subspaces
+    coarse_cents = [
+        (r["cell"], r["centroid"]) for r in meta if r["kind"] == "coarse"
+    ]
+    pq_cents = [
+        (r["sub"], r["code"], r["centroid"])
+        for r in meta
+        if r["kind"] == "pq"
+    ]
+
+    def normed(col):
+        n = F.sqrt(
+            F.aggregate(
+                col,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        return F.transform(col, lambda x: x.cast("double") / n)
+
+    queries_n = queries.select(
+        F.col(id_col).alias("query_id"), normed(F.col(vec_col)).alias("q_vec")
+    )
+
+    cent_df = spark.createDataFrame(
+        coarse_cents, "cell INT, centroid ARRAY<DOUBLE>"
+    )
+    q_cells = (
+        queries_n.join(F.broadcast(cent_df))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_vec"), F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell")
+    )
+    # bounded plan-time collect: ≤ n_centroids distinct cells (a build
+    # parameter), independent of corpus and query-batch size
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    vectors = manifest_read(
+        spark, f"{index_path}/vectors", partition_filter={"cell": probed}
+    )
+    codes_long = vectors.select(
+        "neighbor_id",
+        "cell",
+        F.posexplode(F.col("codes")).alias("sub", "code"),
+    )
+
+    cent_pq = spark.createDataFrame(
+        pq_cents, "sub INT, code INT, centroid ARRAY<DOUBLE>"
+    )
+    lut = (
+        queries_n.join(F.broadcast(cent_pq))
+        .select(
+            "query_id", "sub", "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q_vec"), F.col("sub") * d_sub + 1, d_sub),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+
+    adc = (
+        F.broadcast(q_cells)
+        .join(codes_long, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        adc.withColumn("srk", F.row_number().over(w_adc))
+        .filter(F.col("srk") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+
+    rescored = (
+        shortlist.join(queries_n.withColumnRenamed("q_vec", "qv"), "query_id")
+        .join(
+            vectors.select("neighbor_id", F.col("c_vec").alias("cv")),
+            "neighbor_id",
+        )
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

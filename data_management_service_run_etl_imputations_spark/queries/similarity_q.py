@@ -161,3 +161,71 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ann_ivf_pq_persisted",
+    oracle=f"""
+        SELECT vec_id AS query_id, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def ann_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF-PQ index, build and query as SEPARATE jobs
+    (operators/similarity.py ann_index_build/ann_index_query): the
+    build job fits the quantizers once and writes two manifest tables —
+    coded vectors PARTITIONED BY IVF CELL plus a centroid/codebook meta
+    table — and the query job answers from those tables alone (no
+    corpus argument, no refit; restart-safe because the index IS a
+    versioned manifest table on disk). The query's coded-vector read
+    partition-prunes to the probed cells through manifest metadata, so
+    scan cost is n_probe/n_centroids of the corpus by construction.
+    Oracle = the same per-query recall@{TOP_K} ≥ 0.6 invariant as
+    ``ann_ivf_pq_topk`` (same parameters, same measured ≥ 0.8 recall);
+    tests/test_ann_persisted.py additionally pins build/query
+    separation, index reuse across query batches, and pruned reads."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_build,
+        ann_index_query,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    root = f"{tempfile.gettempdir()}/annidx_{uuid.uuid4().hex[:8]}"
+    try:
+        ann_index_build(
+            emb, root, n_centroids=16, m_subspaces=8, ks_codes=32
+        )
+        approx = ann_index_query(
+            queries, root, k=TOP_K, n_probe=12, refine_factor=12
+        )
+        exact = brute_force_topk(emb, queries, k=TOP_K)
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return (
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                (
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    >= int(0.6 * TOP_K)
+                ).alias("recall_ok"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

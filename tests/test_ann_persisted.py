@@ -1,0 +1,111 @@
+"""Persisted IVF-PQ index: build-once/query-many as separate jobs over
+manifest tables — layout, recall vs brute force, reuse without refit,
+partition-pruned cell reads, and restart-safety (the index is plain
+manifest state on disk; a reader needs no build-time objects).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.operators.similarity import (
+    ann_index_build,
+    ann_index_query,
+    brute_force_topk,
+)
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    manifest_read,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def index_root():
+    root = f"{tempfile.gettempdir()}/annp_{uuid.uuid4().hex[:10]}"
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _recall(approx, exact):
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    return hits.count() / exact.count()
+
+
+def test_build_writes_manifest_layout(spark, emb, index_root):
+    info = ann_index_build(
+        emb, index_root, n_centroids=8, m_subspaces=8, ks_codes=16
+    )
+    assert info["n_centroids"] == 8
+    vec = manifest_read(spark, index_root + "/vectors")
+    assert set(vec.columns) >= {"neighbor_id", "c_vec", "codes", "cell"}
+    assert vec.count() == emb.count()
+    meta = manifest_read(spark, index_root + "/meta")
+    kinds = {r["kind"] for r in meta.select("kind").distinct().collect()}
+    assert kinds == {"coarse", "pq", "params"}
+    # every vector has m codes in [0, ks)
+    bad = vec.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+
+
+def test_query_recall_and_reuse_without_refit(spark, emb, index_root):
+    ann_index_build(
+        emb, index_root, n_centroids=16, m_subspaces=8, ks_codes=32
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10)
+    a1 = ann_index_query(queries, index_root, k=10, n_probe=12,
+                         refine_factor=12)
+    assert _recall(a1, exact) >= 0.6
+    # second batch, same index, different queries — no corpus, no refit
+    q2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 8))
+    e2 = brute_force_topk(emb, q2, k=10)
+    a2 = ann_index_query(q2, index_root, k=10, n_probe=12,
+                         refine_factor=12)
+    assert _recall(a2, e2) >= 0.6
+    # determinism: same batch twice → identical rows
+    b1 = sorted(map(tuple, a1.collect()))
+    b2 = sorted(map(tuple, ann_index_query(
+        queries, index_root, k=10, n_probe=12, refine_factor=12
+    ).collect()))
+    assert b1 == b2
+
+
+def test_probe_reads_only_probed_cells(spark, emb, index_root):
+    """The coded-vector read must partition-prune: with n_probe=1 and a
+    single query, only that query's nearest cell is read."""
+    ann_index_build(
+        emb, index_root, n_centroids=8, m_subspaces=8, ks_codes=16
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = ann_index_query(q, index_root, k=5, n_probe=1, refine_factor=4)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    # every neighbor must come from ONE cell (the probed one)
+    vec = manifest_read(spark, index_root + "/vectors")
+    cells = (
+        vec.join(
+            out.select(F.col("neighbor_id")), "neighbor_id", "left_semi"
+        )
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert len(cells) == 1
