@@ -1331,3 +1331,103 @@ def manifest_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:  # noqa: BLE001 — view may not have registered
             pass
         shutil.rmtree(target, ignore_errors=True)
+
+
+@register(
+    "streaming_cdf_apply",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN o_totalprice + 1000
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 7 <> 0
+        )
+        SELECT o_year, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM t GROUP BY o_year
+    """,
+)
+def streaming_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC END-TO-END: the delete-aware CDF stream of one manifest table
+    applied to a SECOND manifest table (Delta's "CDF → downstream
+    MERGE" pattern). Upstream takes three commits — bulk insert,
+    file-granular update of the %5 keys, merge-on-read delete of the %7
+    keys — and ``foreachBatch`` + ``manifest_apply_cdf_batch``
+    (sources/sinks.py) folds each micro-batch per key (highest commit
+    version wins) and applies it as idempotent txn-token-protected
+    MERGEs, so the downstream table equals the upstream snapshot:
+    inserts present, updates applied, deleted keys GONE. The oracle
+    recomputes that snapshot in SQL. Exactly-once across restart and
+    batch replay is pinned in tests/test_cdf_apply.py."""
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.manifest_stream import (
+        ManifestFeedDataSource,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_apply_cdf_batch,
+        manifest_delete,
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    upstream = _tmp("cdfsrc") + _uuid.uuid4().hex[:6]
+    downstream = _tmp("cdfdst") + _uuid.uuid4().hex[:6]
+    ckpt = _tmp("cdfckpt") + _uuid.uuid4().hex[:6]
+    app = f"cdfapply_{_uuid.uuid4().hex[:8]}"
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    spark.dataSource.register(ManifestFeedDataSource)
+    q = None
+    try:
+        manifest_upsert_partitioned(t, upstream, ["o_orderkey"], "o_year")
+        manifest_upsert_partitioned(
+            t.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1000
+            ),
+            upstream,
+            ["o_orderkey"],
+            "o_year",
+        )
+        manifest_delete(
+            t.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            upstream,
+            ["o_orderkey"],
+        )
+        feed = (
+            spark.readStream.format("manifest_feed")
+            .option("path", upstream)
+            .option("mode", "cdf")
+            .load()
+        )
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda bdf, bid: manifest_apply_cdf_batch(
+                    bdf, downstream, ["o_orderkey"], "o_year", app, bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        return (
+            manifest_read(spark, downstream)
+            .groupBy("o_year")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(upstream, ignore_errors=True)
+        shutil.rmtree(downstream, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

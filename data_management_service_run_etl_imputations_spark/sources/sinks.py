@@ -4500,6 +4500,93 @@ def apply_changes(
     )
 
 
+def manifest_apply_cdf_batch(
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: "str | list[str]",
+    app_id: str,
+    batch_id: int,
+    change_col: str = "_change_type",
+    version_col: str = "_commit_version",
+) -> dict[str, int]:
+    """Apply ONE micro-batch of a manifest CDF feed to a DOWNSTREAM
+    manifest table — the ``foreachBatch`` body of the Delta "CDF →
+    downstream MERGE" pattern, with EXACTLY-ONCE end state across
+    restarts:
+
+    - **Fold first** (:func:`apply_changes` shape): a batch may span
+      several upstream commits, so per key only the HIGHEST
+      ``_commit_version`` change wins — an insert-then-delete key in one
+      batch must end deleted, a delete-then-reinsert key must end
+      present. After the fold, the upsert and delete key sets are
+      disjoint by construction.
+    - **Two idempotent commits** under ``(app_id#up/#del, batch_id)``
+      txn tokens: surviving rows MERGE in (whole-row update + insert),
+      then winning deletes MERGE out (``matched_delete``). A replayed
+      batch (Spark retries the same batch_id with byte-identical CDF
+      content — manifests and data files are immutable) finds its
+      tokens recorded and skips; a crash BETWEEN the two commits replays
+      into "first skips, second applies". The end state equals the
+      upstream snapshot either way.
+
+    Scale: the fold is one shuffle over the batch (not the table);
+    both merges are file-granular copy-on-write with index-pruned key
+    probes — a trickle batch into a 10k-file table rewrites only the
+    files holding touched keys. Returns combined op counts."""
+    from pyspark.sql import Window
+
+    data_cols = [
+        c
+        for c in batch_df.columns
+        if c not in (change_col, version_col)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    folded = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ups = folded.filter(F.col(change_col) != "delete").select(*data_cols)
+    dels = folded.filter(F.col(change_col) == "delete").select(*data_cols)
+    out = {"updated": 0, "deleted": 0, "inserted": 0}
+    version, _ = _latest_manifest(path)
+    non_key = [
+        c
+        for c in data_cols
+        if c not in key_cols and c not in _pcols(partition_col)
+    ]
+    if not ups.isEmpty():
+        if version == 0:
+            # bootstrap: the downstream table does not exist yet — the
+            # plain upsert creates it (same txn token, same idempotency)
+            r = manifest_upsert_partitioned(
+                ups, path, key_cols, partition_col,
+                txn=(f"{app_id}#up", int(batch_id)),
+            )
+            out["bootstrap_partitions"] = r.get("partitions_written", 0)
+        else:
+            r = manifest_merge(
+                ups, path, key_cols, partition_col,
+                matched_update={c: f"s.{c}" for c in non_key},
+                insert_not_matched=True,
+                txn=(f"{app_id}#up", int(batch_id)),
+            )
+            out["updated"] += r.get("updated", 0)
+            out["inserted"] += r.get("inserted", 0)
+    if not dels.isEmpty():
+        version, _ = _latest_manifest(path)
+        if version > 0:
+            r = manifest_merge(
+                dels, path, key_cols, partition_col,
+                matched_delete="true",
+                insert_not_matched=False,
+                txn=(f"{app_id}#del", int(batch_id)),
+            )
+            out["deleted"] += r.get("deleted", 0)
+    return out
+
+
 def manifest_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one row per committed version (ascending) with
     provenance — operation, commit timestamp, partition/file/delete
