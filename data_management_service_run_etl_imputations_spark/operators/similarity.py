@@ -199,6 +199,7 @@ def embedding_near_duplicates_blocked(
     stats_out: dict | None = None,
     adaptive: bool = True,
     target_block_rows: int = 4096,
+    single_block_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine-threshold near-dup pairs WITHOUT an all-pairs join:
     metric blocking with a triangle-inequality cell-pair bound.
@@ -299,6 +300,66 @@ def embedding_near_duplicates_blocked(
         [r["__unit"] for r in probe if r["__unit"] is not None],
         dtype=np.float64,
     )
+    if single_block_rows is None:
+        single_block_rows = target_block_rows
+    if n_rows <= single_block_rows:
+        # SMALL-CORPUS SHORT-CIRCUIT: below the per-block size target a
+        # single block holds the whole corpus, so the quantizer, the
+        # radii job, and the cell-pair bound can only ADD jobs (adaptive
+        # coarsening would collapse to ~4 cells with zero pruning
+        # anyway). Score everything as ONE block — same chunked-BLAS
+        # scorer, same exact output, two jobs total instead of five.
+        # The planner choice every index makes: don't build one the
+        # data can't amortize.
+        if stats_out is not None:
+            stats_out.update(
+                {
+                    "n_rows": n_rows,
+                    "n_cells": 1,
+                    "n_cell_pairs_total": 1,
+                    "n_cell_pairs_survived": 1,
+                    "candidate_volume": n_rows * (n_rows - 1) // 2,
+                    "brute_force_volume": n_rows * (n_rows - 1) // 2,
+                    "d_bound": d_bound,
+                    "threshold": threshold,
+                    "coarsened": False,
+                    "short_circuit": True,
+                }
+            )
+        def _score_all(batches):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks)
+            ids = pdf["__id"].to_numpy()
+            A = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            na = np.sqrt((A * A).sum(axis=1))
+            for lo in range(0, len(A), 2048):
+                hi = min(lo + 2048, len(A))
+                cos = (A[lo:hi] @ A.T) / np.outer(na[lo:hi], na)
+                mask = (cos >= threshold) & (
+                    ids[lo:hi, None] < ids[None, :]
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids[lo + ii],
+                            "id_b": ids[jj],
+                            "cosine": cos[ii, jj],
+                        }
+                    )
+
+        scored = (
+            base.select("__id", "__vec")
+            .coalesce(1)  # one task, no shuffle: the corpus fits a block
+            .mapInPandas(
+                _score_all, schema="id_a long, id_b long, cosine double"
+            )
+        )
+        return scored.select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
     if n_cells is None:
         n_cells = min(2048, max(16, int(math.isqrt(n_rows))))
 
@@ -454,15 +515,22 @@ def embedding_near_duplicates_blocked(
                 "n_cell_pairs_survived_initial": n_pairs_initial,
             }
         )
-    pair_df = df.sparkSession.createDataFrame(pairs, "c1 INT, c2 INT")
+    return _score_cell_blocks(df.sparkSession, assigned, pairs, threshold)
 
-    # Scoring: one applyInPandas per surviving CELL PAIR, chunked BLAS
-    # matmul inside. Each vector is shuffled once per surviving pair its
-    # cell belongs to (≤ n_cells+1 copies) — candidate PAIRS are never
-    # materialized as rows, which is what makes the loose-threshold regime
-    # (every cell pair survives) |V|·deg shuffle volume instead of |V|²
-    # rows. Measured at 10× sf0.1 (20k vecs, all-pairs regime): 813 s as a
-    # pair-row join + interpreted-HOF cosine → ~9 s this way.
+
+def _score_cell_blocks(
+    spark, assigned: DataFrame, pairs: list, threshold: float
+) -> DataFrame:
+    """Score the surviving cell pairs: one applyInPandas per CELL PAIR,
+    chunked BLAS matmul inside. Each vector is shuffled once per
+    surviving pair its cell belongs to (≤ n_cells+1 copies) — candidate
+    PAIRS are never materialized as rows, which is what makes the
+    loose-threshold regime (every cell pair survives) |V|·deg shuffle
+    volume instead of |V|² rows. Measured at 10× sf0.1 (20k vecs,
+    all-pairs regime): 813 s as a pair-row join + interpreted-HOF
+    cosine → ~9 s this way. ``assigned`` needs (__id, __vec, cell)."""
+    pair_df = spark.createDataFrame(pairs, "c1 INT, c2 INT")
+
     sides = (
         assigned.join(
             F.broadcast(pair_df), assigned["cell"] == pair_df["c1"]

@@ -77,7 +77,7 @@ def test_blocked_near_duplicates_equals_exact(spark):
             map(tuple, embedding_near_duplicates(df, threshold=t).collect())
         )
         blocked_df = embedding_near_duplicates_blocked(
-            df, threshold=t, n_cells=6
+            df, threshold=t, n_cells=6, single_block_rows=0
         )
         blocked = sorted(map(tuple, blocked_df.collect()))
         assert blocked == exact, f"threshold={t}"
@@ -113,7 +113,8 @@ def test_blocked_near_duplicates_adaptive_coarsening(spark):
         map(
             tuple,
             embedding_near_duplicates_blocked(
-                df, threshold=0.3, n_cells=16, stats_out=st_on
+                df, threshold=0.3, n_cells=16, stats_out=st_on,
+                single_block_rows=0,
             ).collect(),
         )
     )
@@ -135,6 +136,7 @@ def test_blocked_near_duplicates_adaptive_coarsening(spark):
                 n_cells=16,
                 stats_out=st_off,
                 adaptive=False,
+                single_block_rows=0,
             ).collect(),
         )
     )
@@ -205,3 +207,35 @@ def test_ivf_pq_recall_against_brute_force(spark, sf_dir):
     per_query = {r["query_id"]: r["n"] for r in hits.collect()}
     assert len(per_query) == 5
     assert min(per_query.values()) >= 6
+
+
+def test_small_corpus_short_circuit_equals_exact(spark):
+    """Below the single-block size floor the operator skips the
+    quantizer entirely (one scan + one single-task scoring pass) and
+    must still reproduce the all-pairs result exactly, with
+    short_circuit telemetry and no shuffle in the plan."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_blocked,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(8)]) for i in range(120)
+    ]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    for t in (0.4, 0.95):
+        exact = sorted(
+            map(tuple, embedding_near_duplicates(df, threshold=t).collect())
+        )
+        st: dict = {}
+        out_df = embedding_near_duplicates_blocked(
+            df, threshold=t, stats_out=st
+        )
+        assert st["short_circuit"] is True
+        assert sorted(map(tuple, out_df.collect())) == exact, f"t={t}"
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # single task, no shuffle
