@@ -143,14 +143,35 @@ class ManifestBatchReader(DataSourceReader):
         version = options.get("version")
         as_of = options.get("as_of")
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
-            _resolve_manifest,
+            _has_checkpoint,
+            _load_checkpoint_meta,
+            _materialize,
+            _resolve_version,
         )
 
-        self.version, self.content = _resolve_manifest(
+        self.version = _resolve_version(
             self.path,
             int(version) if version is not None else None,
             as_of=float(as_of) if as_of is not None else None,
         )
+        # On a checkpointed version, defer the O(files) half: hold only
+        # the small meta now and fetch file lists for just the
+        # partitions that survive pruning at partitions() time (same
+        # flat-cost contract as manifest_read's pruned path).
+        self._ckpt = self.version > 0 and _has_checkpoint(
+            self.path, self.version
+        )
+        if self._ckpt:
+            self.content = _load_checkpoint_meta(self.path, self.version)
+            self._files_ref = self.content.pop("files_ref")
+        else:
+            self.content = (
+                _materialize(self.path, self.version)
+                if self.version > 0
+                else {"partitions": {}}
+            )
+        if self.version == 0:
+            raise ValueError(f"no manifest table at {self.path}")
         # pruning state fed by pushFilters (empty = unpruned scan)
         self._part_eqs: list = []  # [(col, [values])]
         self._boxes: dict[str, tuple] = {}  # {col: (lo, hi)} closed
@@ -264,6 +285,20 @@ class ManifestBatchReader(DataSourceReader):
                 k: v
                 for k, v in parts.items()
                 if any(m(comps(k)[idx]) for m in matchers)
+            }
+        if self._ckpt:
+            # fetch file lists for ONLY the surviving partitions, fresh
+            # per plan (re-planning with different filters must not see
+            # a stale pruned subset); self.content stays files-free
+            from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                _load_checkpoint_files,
+            )
+
+            content = {
+                **content,
+                "files": _load_checkpoint_files(
+                    self.path, self._files_ref, sorted(parts)
+                ),
             }
         rels = _live_file_rels(content, parts, path=self.path)
         n_files_after_parts = len(rels)
@@ -415,7 +450,10 @@ class ManifestTableDataSource(DataSource):
         from pyspark.sql.types import StructType
 
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
-            _resolve_manifest,
+            _has_checkpoint,
+            _load_checkpoint_meta,
+            _materialize,
+            _resolve_version,
         )
 
         path = self.options.get("path")
@@ -423,10 +461,18 @@ class ManifestTableDataSource(DataSource):
             raise ValueError("manifest format requires .option('path', …)")
         version = self.options.get("version")
         as_of = self.options.get("as_of")
-        _, content = _resolve_manifest(
+        v = _resolve_version(
             path,
             int(version) if version is not None else None,
             as_of=float(as_of) if as_of is not None else None,
+        )
+        if v == 0:
+            raise ValueError(f"no manifest table at {path}")
+        # schema needs only the small meta half on checkpointed versions
+        content = (
+            _load_checkpoint_meta(path, v)
+            if _has_checkpoint(path, v)
+            else _materialize(path, v)
         )
         if not content.get("schema_json"):
             raise ValueError(

@@ -238,6 +238,53 @@ def main() -> None:
         blocking.append(st)
         print(json.dumps({"blocking_probe": st}))
 
+    # Partition-pruned checkpoint reads (VERDICT r07 #4): grow a
+    # checkpointed manifest table 10× in partitions and read ONE fixed
+    # partition each time — the file-list rows the driver deserializes
+    # must stay flat (the filter is pushed into the checkpoint scan),
+    # while the full-materialization baseline grows with the table.
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CKPT_PRUNED_LAST,
+        manifest_checkpoint,
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    ckpt_probe = []
+    root = os.path.join(args.work, f"ckpt_{_uuid.uuid4().hex[:8]}")
+    try:
+        for n_parts in (40, 400):
+            rows = spark.range(n_parts * 20).select(
+                F.col("id").alias("k"),
+                F.format_string("d%04d", (F.col("id") % n_parts)).alias("day"),
+                F.col("id").cast("double").alias("v"),
+            )
+            manifest_upsert_partitioned(
+                rows.repartition(8), root, ["k"], "day"
+            )
+            manifest_checkpoint(spark, root)
+            CKPT_PRUNED_LAST.clear()
+            t0 = time.perf_counter()
+            n = manifest_read(
+                spark, root, partition_values=["d0007"]
+            ).count()
+            entry = {
+                "partitions_total": n_parts,
+                "rows_read": n,
+                "sec": round(time.perf_counter() - t0, 3),
+                **{
+                    k: CKPT_PRUNED_LAST[k]
+                    for k in ("partitions_selected", "file_rows_loaded")
+                },
+            }
+            ckpt_probe.append(entry)
+            print(json.dumps({"ckpt_pruned_read": entry}))
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
     summary = {
         "metric": "scale_probe_total",
         "factor": args.factor,
@@ -245,6 +292,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "dedup_blocking": blocking,
+        "ckpt_pruned_read": ckpt_probe,
     }
     print(json.dumps(summary))
     if args.emit_json:

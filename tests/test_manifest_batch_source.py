@@ -173,3 +173,36 @@ def test_missing_path_or_table_fails_loudly(spark, table_path):
         spark.read.format("manifest").option(
             "path", table_path
         ).load().count()
+
+
+def test_sql_read_on_checkpointed_version_prunes_flat(spark, table_path):
+    """On a checkpointed version the reader holds only the checkpoint's
+    meta half and fetches file lists for just the partitions surviving
+    pushed filters — results identical, plan telemetry shows the prune."""
+    from pyspark.sql.datasource import EqualTo
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_checkpoint,
+    )
+
+    _seed(spark, table_path, days=6)
+    manifest_checkpoint(spark, table_path)
+    view = f"mb_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, view, table_path)
+    got = spark.sql(f"SELECT k, v FROM {view} WHERE day = 'd2'")
+    want = (
+        manifest_read(spark, table_path)
+        .filter("day = 'd2'")
+        .select("k", "v")
+    )
+    assert _rows(got) == _rows(want)
+    # reader-level evidence: meta-only until partitions() fetches the
+    # selected partitions' file rows
+    schema = manifest_read(spark, table_path).schema
+    r = ManifestBatchReader(schema, {"path": table_path})
+    assert r._ckpt and "files" not in r.content
+    list(r.pushFilters([EqualTo(("day",), "d2")]))
+    parts = r.partitions()
+    assert r.last_plan["partitions_kept"] == 1
+    assert len(parts) >= 1
+    assert "files" not in r.content  # meta stays files-free across plans
