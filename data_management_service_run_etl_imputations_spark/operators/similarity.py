@@ -1151,3 +1151,113 @@ def ann_index_query(
             "rank",
         )
     )
+
+
+def ann_index_insert(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """INCREMENTAL index maintenance: encode new vectors with the
+    EXISTING quantizers (no refit — FAISS's ``add`` after ``train``) and
+    upsert them into the coded-vector table; re-sent ids replace their
+    old codes (manifest upsert semantics). The quantizers deliberately
+    stay fixed: recall for the new vectors degrades only as the data
+    distribution drifts from the build sample, which is the documented
+    rebuild trigger (build a fresh index and swap paths), never a
+    silent one. Cost: one broadcast-centroid assignment pass over the
+    NEW vectors + one partition-level upsert into the touched cells —
+    independent of index size."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_read,
+        manifest_upsert_partitioned,
+    )
+
+    spark = new_vectors.sparkSession
+    meta = manifest_read(spark, f"{index_path}/meta").collect()
+    params = next(
+        r for r in meta if r["kind"] == _ANN_PARAMS_KIND
+    )["centroid"]
+    dims, m_subspaces = int(params[0]), int(params[1])
+    d_sub = dims // m_subspaces
+    coarse_cents = [
+        (r["cell"], r["centroid"]) for r in meta if r["kind"] == "coarse"
+    ]
+    pq_cents = [
+        (r["sub"], r["code"], r["centroid"])
+        for r in meta
+        if r["kind"] == "pq"
+    ]
+
+    def normed(col):
+        n = F.sqrt(
+            F.aggregate(
+                col,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        return F.transform(col, lambda x: x.cast("double") / n)
+
+    vecs = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), normed(F.col(vec_col)).alias("c_vec")
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # nearest coarse cell per vector (broadcast centroid table)
+    cent_df = spark.createDataFrame(
+        coarse_cents, "cell INT, centroid ARRAY<DOUBLE>"
+    )
+    w_cell = Window.partitionBy("neighbor_id").orderBy("d2", "cell")
+    assigned = (
+        vecs.join(F.broadcast(cent_df))
+        .withColumn("d2", l2(F.col("c_vec"), F.col("centroid")))
+        .withColumn("rk", F.row_number().over(w_cell))
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "c_vec", "cell")
+    )
+    # nearest PQ code per subspace (broadcast codebook)
+    cb = spark.createDataFrame(
+        pq_cents, "sub INT, code INT, centroid ARRAY<DOUBLE>"
+    )
+    w_code = Window.partitionBy("neighbor_id", "sub").orderBy("d2", "code")
+    codes = (
+        assigned.join(F.broadcast(cb))
+        .withColumn(
+            "d2",
+            l2(
+                F.slice(F.col("c_vec"), F.col("sub") * d_sub + 1, d_sub),
+                F.col("centroid"),
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .groupBy("neighbor_id")
+        .agg(
+            F.first("c_vec").alias("c_vec"),
+            F.first("cell").alias("cell"),
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ).alias("__sc"),
+        )
+        .select(
+            "neighbor_id",
+            "c_vec",
+            F.transform(F.col("__sc"), lambda s: s["code"]).alias("codes"),
+            "cell",
+        )
+    )
+    r = manifest_upsert_partitioned(
+        codes, f"{index_path}/vectors", ["neighbor_id"], "cell"
+    )
+    return {
+        "inserted": r.get("inserted", 0),
+        "replaced": r.get("updated", 0),
+    }

@@ -4686,7 +4686,8 @@ def manifest_apply_cdf_batch(
                 ups, path, key_cols, partition_col,
                 txn=(f"{app_id}#up", int(batch_id)),
             )
-            out["bootstrap_partitions"] = r.get("partitions_written", 0)
+            out["inserted"] += r.get("inserted", 0)
+            out["updated"] += r.get("updated", 0)
         else:
             r = manifest_merge(
                 ups, path, key_cols, partition_col,

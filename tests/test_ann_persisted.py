@@ -109,3 +109,45 @@ def test_probe_reads_only_probed_cells(spark, emb, index_root):
         .collect()
     )
     assert len(cells) == 1
+
+
+def test_incremental_insert_without_refit(spark, emb, index_root):
+    """ann_index_insert encodes NEW vectors with the existing quantizers
+    and upserts them into the coded-vector table: planted exact copies
+    of the query vectors must come back as rank-1 neighbors at cosine
+    1.0, and the meta table (quantizers) must be untouched."""
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_insert,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+    )
+
+    ann_index_build(
+        emb, index_root, n_centroids=16, m_subspaces=8, ks_codes=32
+    )
+    meta_hist_before = len(manifest_history(index_root + "/meta"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    planted = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    r = ann_index_insert(planted, index_root)
+    assert r["inserted"] == 3 and r["replaced"] == 0
+    assert len(manifest_history(index_root + "/meta")) == meta_hist_before
+    vec = manifest_read(spark, index_root + "/vectors")
+    assert vec.count() == emb.count() + 3
+    out = ann_index_query(
+        queries, index_root, k=5, n_probe=12, refine_factor=12
+    )
+    top1 = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in out.filter(F.col("rank") == 1).collect()
+    }
+    for qid, (nid, cos) in top1.items():
+        assert nid == qid + 100000
+        assert cos == pytest.approx(1.0, abs=1e-6)
+    # re-sent ids REPLACE their codes (upsert semantics), never duplicate
+    ann_index_insert(planted, index_root)
+    assert manifest_read(spark, index_root + "/vectors").count() == (
+        emb.count() + 3
+    )
