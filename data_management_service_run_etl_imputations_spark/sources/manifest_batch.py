@@ -484,6 +484,9 @@ class ManifestTableDataSource(DataSource):
     def reader(self, schema):
         return ManifestBatchReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return ManifestAppendWriter(schema, self.options, overwrite)
+
 
 def manifest_sql_register(
     spark,
@@ -513,3 +516,258 @@ def manifest_sql_register(
     df = reader.load()
     df.createOrReplaceTempView(view_name)
     return df
+
+
+# --- write half: df.write.format("manifest").mode("append") ----------------
+#
+# INSERT-only append through the DataFrame writer API — the SQL-user
+# counterpart of manifest_upsert_partitioned's Python API (which remains
+# the path for key-merging upserts/MERGE: those need Spark jobs the
+# DataSourceWriter protocol cannot express). Executors write parquet
+# straight into one immutable stage directory (Arrow batches, no extra
+# shuffle); the driver-side commit() registers the files in a new
+# manifest version through the same pluggable commit point as every
+# other writer, with insert-only fast-forward on a lost race (appending
+# files can always rebase onto a newer head unless the schema moved).
+#
+# v1 writer REFUSES tables whose features it cannot maintain — CHECK
+# constraints (need a Spark observe pass), generated partition columns
+# (need expression evaluation), column mapping (needs id assignment) —
+# and any schema drift from the table's current schema. Loud refusal
+# over silent corruption, the same stance Delta's writer-feature flags
+# take.
+
+
+from dataclasses import dataclass, field as _dc_field
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+
+@dataclass
+class _AppendMessage(WriterCommitMessage):
+    # [(part_key, rel_path, size_bytes, n_rows)]
+    entries: "list" = _dc_field(default_factory=list)
+
+
+def _escape_part_component(v: str) -> str:
+    """Filesystem-safe partition-dir component. Internal naming only:
+    modern-protocol readers resolve files through the manifest's
+    explicit (key → files) lists and never parse directory names, so
+    this only has to be collision-free and portable."""
+    out = []
+    for ch in v:
+        if ch.isalnum() or ch in ("-", "_", "."):
+            out.append(ch)
+        else:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+    return "".join(out) or "__empty__"
+
+
+class ManifestAppendWriter(DataSourceArrowWriter):
+    def __init__(self, schema, options, overwrite: bool):
+        import json
+        import uuid
+
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _latest_manifest,
+            _pcols,
+        )
+
+        if overwrite:
+            raise ValueError(
+                "manifest format supports mode('append') only; use "
+                "manifest_replace_partitions / manifest_upsert_partitioned "
+                "for rewrites"
+            )
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest format requires .option('path', …)")
+        self.schema = schema
+        version, content = _latest_manifest(self.path)
+        if version == 0:
+            # table creation: partition spec comes from options
+            pc = options.get("partition_cols") or options.get(
+                "partition_col"
+            )
+            if not pc:
+                raise ValueError(
+                    "creating a manifest table via the writer requires "
+                    ".option('partition_cols', 'col[,col…]')"
+                )
+            self.pcols = [c.strip() for c in str(pc).split(",") if c.strip()]
+            self.base_version = 0
+        else:
+            for feature, why in (
+                ("constraints", "CHECK constraints need a Spark observe pass"),
+                ("generated_cols", "generated partition columns need "
+                                   "expression evaluation"),
+                ("col_ids", "column mapping needs id assignment"),
+            ):
+                if content.get(feature):
+                    raise ValueError(
+                        f"manifest writer v1 refuses a table with "
+                        f"{feature} ({why}); use the Python API "
+                        f"(manifest_upsert_partitioned / manifest_merge)"
+                    )
+            if content.get("fmt", "parquet") != "parquet":
+                raise ValueError("manifest writer v1 writes parquet only")
+            from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                _partition_cols,
+            )
+
+            self.pcols = _partition_cols(content)
+            # schema must EQUAL the table's current schema (no evolution
+            # through this writer): compare the session-independent JSON
+            want = json.loads(content["schema_json"])["fields"]
+            got = json.loads(schema.json())["fields"]
+            if [(f["name"], f["type"]) for f in want] != [
+                (f["name"], f["type"]) for f in got
+            ]:
+                raise ValueError(
+                    "writer schema differs from the table schema "
+                    f"at {self.path}; evolve via the Python API first"
+                )
+            self.base_version = version
+        missing = [c for c in self.pcols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"partition column(s) {missing} absent from the written "
+                "DataFrame"
+            )
+        self.stage = f"data/{uuid.uuid4().hex[:12]}"
+
+    # -- executors ---------------------------------------------------------
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _part_key,
+            _part_key_tuple,
+        )
+
+        by_part: dict[str, list] = {}
+        dir_of: dict[str, str] = {}
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            pvals = [t.column(c).to_pylist() for c in self.pcols]
+            keys = [
+                _part_key_tuple(vals, self.pcols) for vals in zip(*pvals)
+            ]
+            idx_by_key: dict[str, list[int]] = {}
+            for i, k in enumerate(keys):
+                idx_by_key.setdefault(k, []).append(i)
+            for k, idxs in idx_by_key.items():
+                by_part.setdefault(k, []).append(t.take(idxs))
+                if k not in dir_of:
+                    comps = [
+                        f"__p{j}={_escape_part_component(_part_key(v))}"
+                        if len(self.pcols) > 1
+                        else f"__p={_escape_part_component(_part_key(v))}"
+                        for j, v in enumerate(
+                            [pvals[j][idxs[0]] for j in range(len(self.pcols))]
+                        )
+                    ]
+                    dir_of[k] = "/".join(comps)
+        entries = []
+        for k, tables in by_part.items():
+            t = pa.concat_tables(tables)
+            rel = (
+                f"{self.stage}/{dir_of[k]}/"
+                f"part-{uuid.uuid4().hex[:12]}.parquet"
+            )
+            abs_path = os.path.join(self.path, *rel.split("/"))
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            pq.write_table(t, abs_path)
+            entries.append((k, rel, os.path.getsize(abs_path), len(t)))
+        return _AppendMessage(entries=entries)
+
+    # -- driver-side commit point -------------------------------------------
+    def commit(self, messages):
+        import json
+
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            CommitConflict,
+            _latest_manifest,
+            _publish_manifest,
+        )
+
+        entries: list = []
+        for m in messages:
+            if m is not None:
+                entries.extend(m.entries)
+        out_schema = self.schema.simpleString()
+        out_schema_json = self.schema.json()
+        last: "CommitConflict | None" = None
+        for _ in range(10):
+            version, base = _latest_manifest(self.path)
+            if version > 0:
+                want = json.loads(base["schema_json"])["fields"]
+                got = json.loads(out_schema_json)["fields"]
+                if [(f["name"], f["type"]) for f in want] != [
+                    (f["name"], f["type"]) for f in got
+                ]:
+                    raise ValueError(
+                        "table schema changed concurrently; aborting append"
+                    )
+            parts = dict(base.get("partitions", {}))
+            files = dict(base.get("files", {}))
+            dir_schemas = dict(base.get("dir_schemas", {}))
+            for k, rel, size, rows in entries:
+                d = rel.rsplit("/", 1)[0]
+                files[k] = [*files.get(k, []), [rel, size, rows]]
+                parts.setdefault(k, d)
+                dir_schemas[d] = out_schema
+            content = {
+                "partitions": parts,
+                "files": files,
+                "fmt": "parquet",
+                "partition_col": (
+                    self.pcols[0] if len(self.pcols) == 1 else None
+                ),
+                "schema": out_schema,
+                "schema_json": out_schema_json,
+                "stats_ref": base.get("stats_ref"),
+                "stats_cols": base.get("stats_cols", []),
+                "bloom_ref": base.get("bloom_ref"),
+                "deletes": base.get("deletes") or [],
+                "dir_schemas": dir_schemas,
+                **(
+                    {"partition_cols": self.pcols}
+                    if len(self.pcols) > 1
+                    else {}
+                ),
+            }
+            for k, v in base.items():
+                content.setdefault(k, v)
+            try:
+                _publish_manifest(
+                    self.path,
+                    version + 1,
+                    content,
+                    op="append",
+                    op_metrics={
+                        "files_added": len(entries),
+                        "rows_appended": sum(e[3] for e in entries),
+                    },
+                )
+                return
+            except CommitConflict as e:
+                # insert-only fast-forward: re-read the head and re-add
+                # our files (the loop re-checks schema drift)
+                last = e
+        raise last
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, *self.stage.split("/")),
+            ignore_errors=True,
+        )

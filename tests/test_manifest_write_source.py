@@ -1,0 +1,203 @@
+"""Write half of the batch ``manifest`` DataSource:
+df.write.format("manifest").mode("append") — executor-written parquet
+registered through one atomic manifest commit; insert-only semantics,
+table creation via options, loud refusals for features the v1 writer
+cannot maintain, and interop with every reader path.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+    ManifestTableDataSource,
+    manifest_sql_register,
+)
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    manifest_count,
+    manifest_delete_where,
+    manifest_history,
+    manifest_read,
+    manifest_upsert_partitioned,
+)
+
+
+@pytest.fixture()
+def table_path():
+    path = f"{tempfile.gettempdir()}/mwrite_{uuid.uuid4().hex[:12]}"
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, day STRING, v DOUBLE")
+
+
+def _w(df, path, **opts):
+    w = df.write.format("manifest").mode("append").option("path", path)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+
+
+def test_append_creates_table_and_reads_back(spark, table_path):
+    spark.dataSource.register(ManifestTableDataSource)
+    _w(
+        _batch(spark, [(1, "d1", 1.0), (2, "d2", 2.0)]),
+        table_path,
+        partition_cols="day",
+    )
+    got = manifest_read(spark, table_path)
+    assert sorted((r["k"], r["day"], r["v"]) for r in got.collect()) == [
+        (1, "d1", 1.0),
+        (2, "d2", 2.0),
+    ]
+    hist = manifest_history(table_path)
+    assert hist[-1]["op"] == "append"
+    assert hist[-1]["op_metrics"]["rows_appended"] == 2
+    assert manifest_count(table_path) == 2  # metadata-exact counts work
+
+
+def test_append_into_existing_python_api_table(spark, table_path):
+    """Writer-appended files interleave with Python-API commits: reads,
+    partition pruning, metadata counts, and DML all see them."""
+    spark.dataSource.register(ManifestTableDataSource)
+    manifest_upsert_partitioned(
+        _batch(spark, [(1, "d1", 1.0)]), table_path, ["k"], "day"
+    )
+    _w(_batch(spark, [(2, "d1", 2.0), (3, "d2", 3.0)]), table_path)
+    assert manifest_count(table_path) == 3
+    pruned = manifest_read(spark, table_path, partition_values=["d1"])
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 2]
+    # a later upsert still merges (appended keys are live upsert targets)
+    manifest_upsert_partitioned(
+        _batch(spark, [(2, "d1", 20.0)]), table_path, ["k"], "day"
+    )
+    got = {r["k"]: r["v"] for r in manifest_read(spark, table_path).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+    # and DELETE WHERE masks writer-appended rows
+    manifest_delete_where(spark, table_path, "k = 3")
+    assert manifest_count(table_path) == 2
+
+
+def test_append_is_insert_only_duplicate_keys_both_land(spark, table_path):
+    spark.dataSource.register(ManifestTableDataSource)
+    _w(_batch(spark, [(1, "d1", 1.0)]), table_path, partition_cols="day")
+    _w(_batch(spark, [(1, "d1", 99.0)]), table_path)
+    assert manifest_read(spark, table_path).count() == 2  # INSERT INTO shape
+
+
+def test_sql_view_roundtrip_write_then_read(spark, table_path):
+    spark.dataSource.register(ManifestTableDataSource)
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("day"),
+        F.col("id").cast("double").alias("v"),
+    )
+    _w(df, table_path, partition_cols="day")
+    view = f"mw_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, view, table_path)
+    n = spark.sql(
+        f"SELECT COUNT(*) AS n FROM {view} WHERE day = 'd1'"
+    ).first()["n"]
+    assert n == df.filter("day = 'd1'").count()
+
+
+def test_multicol_partitioning_through_writer(spark, table_path):
+    spark.dataSource.register(ManifestTableDataSource)
+    df = spark.createDataFrame(
+        [(1, "d1", "web", 1.0), (2, "d1", "app", 2.0), (3, "d2", "web", 3.0)],
+        "k LONG, day STRING, src STRING, v DOUBLE",
+    )
+    _w(df, table_path, partition_cols="day,src")
+    got = manifest_read(
+        spark, table_path, partition_filter={"src": "web"}
+    )
+    assert sorted(r["k"] for r in got.collect()) == [1, 3]
+
+
+def test_writer_refusals(spark, table_path):
+    spark.dataSource.register(ManifestTableDataSource)
+    df = _batch(spark, [(1, "d1", 1.0)])
+    # overwrite mode refused
+    with pytest.raises(Exception, match="append"):
+        df.write.format("manifest").mode("overwrite").option(
+            "path", table_path
+        ).save()
+    # creation without a partition spec refused
+    with pytest.raises(Exception, match="partition_cols"):
+        df.write.format("manifest").mode("append").option(
+            "path", table_path
+        ).save()
+    # schema drift refused
+    _w(df, table_path, partition_cols="day")
+    drifted = spark.createDataFrame(
+        [(1, "d1", 1)], "k LONG, day STRING, v LONG"
+    )
+    with pytest.raises(Exception, match="schema"):
+        _w(drifted, table_path)
+    # constraint-bearing tables refused
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_add_constraint,
+    )
+
+    manifest_add_constraint(spark, table_path, "v_pos", "v >= 0")
+    with pytest.raises(Exception, match="constraints"):
+        _w(df, table_path)
+
+
+def test_special_partition_values_roundtrip(spark, table_path):
+    """Values Spark's writer would percent-escape (colon, slash, space)
+    must round-trip through the writer's own dir naming — the manifest,
+    not the dir name, is authoritative."""
+    spark.dataSource.register(ManifestTableDataSource)
+    rows = [(1, "a:b", 1.0), (2, "c/d e", 2.0), (3, "100%", 3.0)]
+    _w(_batch(spark, rows), table_path, partition_cols="day")
+    got = manifest_read(spark, table_path)
+    assert sorted((r["k"], r["day"]) for r in got.collect()) == [
+        (1, "a:b"),
+        (2, "c/d e"),
+        (3, "100%"),
+    ]
+    pruned = manifest_read(spark, table_path, partition_values=["c/d e"])
+    assert [r["k"] for r in pruned.collect()] == [2]
+
+
+def test_typed_columns_roundtrip_through_writer(spark, table_path):
+    """Arrow-written parquet must read back with Spark types intact:
+    timestamp, date, decimal, and array columns."""
+    import datetime
+    from decimal import Decimal
+
+    spark.dataSource.register(ManifestTableDataSource)
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "d1",
+                datetime.datetime(2024, 1, 2, 3, 4, 5),
+                datetime.date(2024, 1, 2),
+                Decimal("12.34"),
+                [1.0, 2.0],
+            )
+        ],
+        "k LONG, day STRING, ts TIMESTAMP, d DATE, amt DECIMAL(10,2), "
+        "arr ARRAY<DOUBLE>",
+    )
+    df.write.format("manifest").mode("append").option(
+        "path", table_path
+    ).option("partition_cols", "day").save()
+    back = manifest_read(spark, table_path)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        f.dataType.simpleString() for f in df.schema.fields
+    ]
+    r = back.first()
+    assert r["ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert r["d"] == datetime.date(2024, 1, 2)
+    assert r["amt"] == Decimal("12.34")
+    assert r["arr"] == [1.0, 2.0]
