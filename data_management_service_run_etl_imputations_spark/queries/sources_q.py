@@ -1276,9 +1276,12 @@ def manifest_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def manifest_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL access to the manifest table through the batch ``manifest``
-    Python DataSource (sources/manifest_batch.py): orders land in a
-    year-partitioned manifest table WITH a merge-on-read DELETE pending
-    (rows never rewritten), the table is published as a temp view, and
+    Python DataSource (sources/manifest_batch.py), BOTH halves: orders
+    land via ``df.write.format("manifest").mode("append")`` (executor-
+    written parquet registered by one atomic manifest commit, table
+    created with ``partition_cols``), a merge-on-read DELETE is left
+    pending (rows never rewritten), the table is published as a temp
+    view, and
     a plain ``spark.sql`` SELECT answers the query — the partition
     conjunct (``o_year = 1996``) prunes partitions and the
     ``o_totalprice`` bound prunes files through the zone-map sidecar at
@@ -1291,9 +1294,11 @@ def manifest_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
         manifest_sql_register,
     )
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        ManifestTableDataSource,
+    )
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
         manifest_delete_where,
-        manifest_upsert_partitioned,
     )
     from data_management_service_run_etl_imputations_spark.sources.skipping import (
         manifest_collect_stats,
@@ -1309,7 +1314,17 @@ def manifest_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     try:
-        manifest_upsert_partitioned(t, target, ["o_orderkey"], "o_year")
+        # the WRITE half of the DataSource creates the table (executor-
+        # written parquet + one atomic manifest commit), so this query
+        # oracle-checks the writer AND the SQL reader end-to-end
+        spark.dataSource.register(ManifestTableDataSource)
+        (
+            t.write.format("manifest")
+            .mode("append")
+            .option("path", target)
+            .option("partition_cols", "o_year")
+            .save()
+        )
         manifest_collect_stats(spark, target, ["o_totalprice"])
         manifest_delete_where(
             spark, target, "o_orderpriority = '1-URGENT'", mode="mor"
