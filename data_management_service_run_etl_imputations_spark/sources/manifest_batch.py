@@ -573,11 +573,23 @@ class ManifestAppendWriter(DataSourceArrowWriter):
             _pcols,
         )
 
-        if overwrite:
+        self.overwrite = bool(overwrite)
+        if overwrite and (
+            options.get("partitionOverwriteMode", "").lower() != "dynamic"
+        ):
+            # whole-table truncate-overwrite stays refused (use the
+            # Python API's manifest_replace_partitions explicitly);
+            # dynamic mode is Spark's INSERT OVERWRITE shape — replace
+            # exactly the partitions present in the written data
             raise ValueError(
-                "manifest format supports mode('append') only; use "
-                "manifest_replace_partitions / manifest_upsert_partitioned "
-                "for rewrites"
+                "manifest format supports mode('append'), or "
+                "mode('overwrite') with "
+                ".option('partitionOverwriteMode', 'dynamic') — dynamic "
+                "partition overwrite replaces only the partitions the "
+                "written data contains (last-writer-wins per partition, "
+                "as Spark's native dynamic overwrite); whole-table "
+                "overwrite must go through "
+                "manifest_replace_partitions"
             )
         self.path = options.get("path")
         if not self.path:
@@ -718,6 +730,13 @@ class ManifestAppendWriter(DataSourceArrowWriter):
             parts = dict(base.get("partitions", {}))
             files = dict(base.get("files", {}))
             dir_schemas = dict(base.get("dir_schemas", {}))
+            if self.overwrite:
+                # dynamic partition overwrite: the touched partitions'
+                # file lists REPLACE wholesale (old files stay on disk
+                # for time travel until vacuum)
+                for k in {e[0] for e in entries}:
+                    files[k] = []
+                    parts.pop(k, None)
             for k, rel, size, rows in entries:
                 d = rel.rsplit("/", 1)[0]
                 files[k] = [*files.get(k, []), [rel, size, rows]]
@@ -745,12 +764,27 @@ class ManifestAppendWriter(DataSourceArrowWriter):
             }
             for k, v in base.items():
                 content.setdefault(k, v)
+            if self.overwrite:
+                # replaced partitions may orphan dirs and fully
+                # materialize pending delete entries — prune both
+                from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                    _live_dirs,
+                    _purge_dead_deletes,
+                )
+
+                live = _live_dirs(content)
+                content["dir_schemas"] = {
+                    d: sc
+                    for d, sc in content["dir_schemas"].items()
+                    if d in live
+                }
+                content["deletes"] = _purge_dead_deletes(content)
             try:
                 _publish_manifest(
                     self.path,
                     version + 1,
                     content,
-                    op="append",
+                    op="dynamic-overwrite" if self.overwrite else "append",
                     op_metrics={
                         "files_added": len(entries),
                         "rows_appended": sum(e[3] for e in entries),

@@ -124,8 +124,8 @@ def test_multicol_partitioning_through_writer(spark, table_path):
 def test_writer_refusals(spark, table_path):
     spark.dataSource.register(ManifestTableDataSource)
     df = _batch(spark, [(1, "d1", 1.0)])
-    # overwrite mode refused
-    with pytest.raises(Exception, match="append"):
+    # whole-table overwrite refused (dynamic mode is the opt-in)
+    with pytest.raises(Exception, match="partitionOverwriteMode"):
         df.write.format("manifest").mode("overwrite").option(
             "path", table_path
         ).save()
@@ -201,3 +201,38 @@ def test_typed_columns_roundtrip_through_writer(spark, table_path):
     assert r["d"] == datetime.date(2024, 1, 2)
     assert r["amt"] == Decimal("12.34")
     assert r["arr"] == [1.0, 2.0]
+
+
+def test_dynamic_partition_overwrite(spark, table_path):
+    """mode('overwrite') + partitionOverwriteMode=dynamic replaces
+    exactly the partitions present in the written data (INSERT
+    OVERWRITE); untouched partitions carry, old snapshots stay
+    time-travel readable."""
+    spark.dataSource.register(ManifestTableDataSource)
+    _w(
+        _batch(spark, [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)]),
+        table_path,
+        partition_cols="day",
+    )
+    (
+        _batch(spark, [(9, "d1", 9.0)])
+        .write.format("manifest")
+        .mode("overwrite")
+        .option("path", table_path)
+        .option("partitionOverwriteMode", "dynamic")
+        .save()
+    )
+    got = sorted(
+        (r["k"], r["day"]) for r in manifest_read(spark, table_path).collect()
+    )
+    assert got == [(3, "d2"), (9, "d1")]  # d1 replaced, d2 carried
+    hist = manifest_history(table_path)
+    assert hist[-1]["op"] == "dynamic-overwrite"
+    # pre-overwrite snapshot still reads
+    v1 = manifest_read(spark, table_path, version=1)
+    assert v1.count() == 3
+    from data_management_service_run_etl_imputations_spark.sources.fsck import (
+        manifest_fsck,
+    )
+
+    assert manifest_fsck(table_path)["errors"] == []
