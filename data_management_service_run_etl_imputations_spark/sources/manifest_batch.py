@@ -373,6 +373,8 @@ class ManifestBatchReader(DataSourceReader):
         )
 
         p = partition
+        if p is None:  # fully pruned scan: Spark still planned one task
+            return iter(())
         t = pq.read_table(f"{p.root}/{p.rel}")
         # 1) positional masks address raw row order within THIS file
         if p.pos_refs:

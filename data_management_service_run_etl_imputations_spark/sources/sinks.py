@@ -1086,6 +1086,8 @@ def _load_checkpoint_files(
     VERDICT r7 "What's missing" #3)."""
     import pyarrow.parquet as pq
 
+    if not part_keys:
+        return {}  # pyarrow rejects an empty IN set (null-typed array)
     t = pq.read_table(
         f"{_checkpoint_dir(path)}/{files_ref}",
         filters=[("part", "in", list(part_keys))],

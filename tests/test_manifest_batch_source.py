@@ -206,3 +206,26 @@ def test_sql_read_on_checkpointed_version_prunes_flat(spark, table_path):
     assert r.last_plan["partitions_kept"] == 1
     assert len(parts) >= 1
     assert "files" not in r.content  # meta stays files-free across plans
+
+
+def test_checkpointed_filter_pruning_to_zero_partitions(spark, table_path):
+    """A pushed filter that prunes EVERY partition on a checkpointed
+    version must plan an empty scan (not crash on pyarrow's empty IN)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_checkpoint,
+    )
+
+    _seed(spark, table_path, days=3)
+    manifest_checkpoint(spark, table_path)
+    schema = manifest_read(spark, table_path).schema
+    r = ManifestBatchReader(schema, {"path": table_path})
+    list(r.pushFilters([EqualTo(("day",), "no_such_day")]))
+    assert r.partitions() == []
+    view = f"mb_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, view, table_path)
+    assert (
+        spark.sql(f"SELECT * FROM {view} WHERE day = 'no_such_day'").count()
+        == 0
+    )
