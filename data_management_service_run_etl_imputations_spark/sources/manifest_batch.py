@@ -188,6 +188,21 @@ class ManifestBatchReader(DataSourceReader):
             pa.schema(fields).serialize().to_pybytes()
         )
 
+    def __getstate__(self):
+        # Executors only run read(), which works entirely off the
+        # partition objects — strip the O(files) planning state (manifest
+        # content, pruning boxes) from the pickled reader so the task
+        # payload stays O(1) in table size. Safe because Spark's plan
+        # worker constructs the reader and calls pushFilters/partitions
+        # in-process BEFORE serializing it for executors (pinned by the
+        # full batch-source test suite).
+        state = dict(self.__dict__)
+        state["content"] = None
+        state["_part_eqs"] = []
+        state["_boxes"] = {}
+        state["last_plan"] = {}
+        return state
+
     # -- filter pushdown (prune-only) -----------------------------------
     def pushFilters(self, filters):
         def attr(f):
