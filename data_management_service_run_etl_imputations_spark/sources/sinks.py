@@ -4645,14 +4645,17 @@ def manifest_apply_cdf_batch(
       batch must end deleted, a delete-then-reinsert key must end
       present. After the fold, the upsert and delete key sets are
       disjoint by construction.
-    - **Two idempotent commits** under ``(app_id#up/#del, batch_id)``
-      txn tokens: surviving rows MERGE in (whole-row update + insert),
-      then winning deletes MERGE out (``matched_delete``). A replayed
-      batch (Spark retries the same batch_id with byte-identical CDF
-      content — manifests and data files are immutable) finds its
-      tokens recorded and skips; a crash BETWEEN the two commits replays
-      into "first skips, second applies". The end state equals the
-      upstream snapshot either way.
+    - **Two idempotent commits** under ``(app_id#del/#up, batch_id)``
+      txn tokens: every key with a delete event MERGEs out first
+      (``matched_delete`` — including partition-MIGRATING updates,
+      which arrive as delete+insert and whose old-partition row a
+      matched_update could never move), then surviving fold winners
+      MERGE in (whole-row update + insert, landing in their CURRENT
+      partition). A replayed batch (Spark retries the same batch_id
+      with byte-identical CDF content — manifests and data files are
+      immutable) finds its tokens recorded and skips; a crash BETWEEN
+      the two commits replays into "first skips, second applies". The
+      end state equals the upstream snapshot either way.
 
     Scale: the fold is one shuffle over the batch (not the table);
     both merges are file-granular copy-on-write with index-pruned key
@@ -4665,22 +4668,52 @@ def manifest_apply_cdf_batch(
         for c in batch_df.columns
         if c not in (change_col, version_col)
     ]
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    # Tie-break WITHIN a version: a partition-migrating UPDATE emits a
+    # delete (old partition) AND an insert (new partition) for the same
+    # key at the SAME commit version — the net effect is the row in its
+    # new partition, so the non-delete change must win the fold.
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col),
+        F.when(F.col(change_col) == "delete", 1).otherwise(0).asc(),
+    )
     folded = (
         batch_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     ups = folded.filter(F.col(change_col) != "delete").select(*data_cols)
-    dels = folded.filter(F.col(change_col) == "delete").select(*data_cols)
+    # DELETES APPLY FIRST, and for every key with ANY delete event in the
+    # batch (not only fold winners): a partition-MIGRATING update arrives
+    # as delete(old partition) + insert(new partition), and MERGE cannot
+    # move a matched row between partitions (matched_update rejects
+    # partition columns by design) — so the old-partition row must be
+    # deleted before the winner re-inserts into its new partition. The
+    # delete rows carry the OLD partition values, which is exactly where
+    # the target rows live. Keys whose final state is present re-insert
+    # in the ups merge (their delete-winner keys are absent from ups).
+    dels = (
+        batch_df.filter(F.col(change_col) == "delete")
+        .select(*data_cols)
+        .dropDuplicates(key_cols)
+    )
     out = {"updated": 0, "deleted": 0, "inserted": 0}
-    version, _ = _latest_manifest(path)
     non_key = [
         c
         for c in data_cols
         if c not in key_cols and c not in _pcols(partition_col)
     ]
+    if not dels.isEmpty():
+        version, _ = _latest_manifest(path)
+        if version > 0:
+            r = manifest_merge(
+                dels, path, key_cols, partition_col,
+                matched_delete="true",
+                insert_not_matched=False,
+                txn=(f"{app_id}#del", int(batch_id)),
+            )
+            out["deleted"] += r.get("deleted", 0)
     if not ups.isEmpty():
+        version, _ = _latest_manifest(path)
         if version == 0:
             # bootstrap: the downstream table does not exist yet — the
             # plain upsert creates it (same txn token, same idempotency)
@@ -4699,16 +4732,6 @@ def manifest_apply_cdf_batch(
             )
             out["updated"] += r.get("updated", 0)
             out["inserted"] += r.get("inserted", 0)
-    if not dels.isEmpty():
-        version, _ = _latest_manifest(path)
-        if version > 0:
-            r = manifest_merge(
-                dels, path, key_cols, partition_col,
-                matched_delete="true",
-                insert_not_matched=False,
-                txn=(f"{app_id}#del", int(batch_id)),
-            )
-            out["deleted"] += r.get("deleted", 0)
     return out
 
 

@@ -175,3 +175,33 @@ def test_insert_then_delete_same_batch_folds_to_absent(spark, roots):
     )
     manifest_apply_cdf_batch(batch, down, ["k"], "day", app, 0)
     assert [t[0] for t in _snap(spark, down)] == [2]
+
+
+def test_partition_migration_applies_downstream(spark, roots):
+    """A partition-MIGRATING update upstream (UPDATE ... SET day=...)
+    surfaces in CDF as delete(old partition) + insert(new partition) at
+    ONE commit version; the apply must land the row in its NEW
+    partition downstream (delete-first + re-insert — a matched_update
+    can never move a row between partitions)."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_update_where,
+    )
+
+    up, down, ckpt = roots
+    app = f"t_{uuid.uuid4().hex[:6]}"
+    rows = [(k, f"d{k % 2}", float(k)) for k in range(10)]
+    manifest_upsert_partitioned(
+        _batch(spark, rows).coalesce(1), up, ["k"], "day"
+    )
+    _run_feed(spark, up, down, ckpt, app)
+    assert _snap(spark, down) == _snap(spark, up)
+    # migrate k=4 from d0 to d9 (and bump v) while the stream is down
+    manifest_update_where(
+        spark, up, {"day": "'d9'", "v": "v + 100"}, "k = 4", mode="cow"
+    )
+    _run_feed(spark, up, down, ckpt, app)
+    assert _snap(spark, down) == _snap(spark, up)
+    got = {t[0]: (t[1], t[2]) for t in _snap(spark, down)}
+    assert got[4] == ("d9", 104.0)
+    # and the old-partition copy is GONE (no phantom duplicate)
+    assert sum(1 for t in _snap(spark, down) if t[0] == 4) == 1
