@@ -730,12 +730,29 @@ class ManifestAppendWriter(DataSourceArrowWriter):
         for m in messages:
             if m is not None:
                 entries.extend(m.entries)
+        if not entries:
+            return  # empty write: no files, no commit (a no-op, not a
+            # metadata-only version; dynamic overwrite of an empty frame
+            # touches no partitions by definition)
         out_schema = self.schema.simpleString()
         out_schema_json = self.schema.json()
         last: "CommitConflict | None" = None
         for _ in range(10):
             version, base = _latest_manifest(self.path)
             if version > 0:
+                from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                    _partition_cols,
+                )
+
+                if _partition_cols(base) != self.pcols:
+                    # two creators raced with different specs, or the
+                    # planning-time spec drifted: our staged files are
+                    # keyed under the WRONG partition columns
+                    raise ValueError(
+                        f"table at {self.path} is partitioned by "
+                        f"{_partition_cols(base)}, this write staged "
+                        f"under {self.pcols}; aborting append"
+                    )
                 want = json.loads(base["schema_json"])["fields"]
                 got = json.loads(out_schema_json)["fields"]
                 if [(f["name"], f["type"]) for f in want] != [

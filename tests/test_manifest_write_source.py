@@ -236,3 +236,20 @@ def test_dynamic_partition_overwrite(spark, table_path):
     )
 
     assert manifest_fsck(table_path)["errors"] == []
+
+
+def test_null_partition_value_and_empty_write(spark, table_path):
+    spark.dataSource.register(ManifestTableDataSource)
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "d1", 2.0)], "k LONG, day STRING, v DOUBLE"
+    )
+    _w(df, table_path, partition_cols="day")
+    got = manifest_read(spark, table_path)
+    assert sorted((r["k"], r["day"]) for r in got.collect()) == [
+        (1, None),
+        (2, "d1"),
+    ]
+    # empty append is a no-op: no new manifest version
+    n = len(manifest_history(table_path))
+    _w(df.filter("k > 100"), table_path)
+    assert len(manifest_history(table_path)) == n
