@@ -253,3 +253,58 @@ def test_null_partition_value_and_empty_write(spark, table_path):
     n = len(manifest_history(table_path))
     _w(df.filter("k > 100"), table_path)
     assert len(manifest_history(table_path)) == n
+
+
+def test_threaded_writer_appends_race_python_dml(spark, table_path):
+    """Writer-API appends from several threads racing a Python-API
+    DELETE WHERE: every append lands exactly once (insert-only
+    fast-forward on lost commit races), no rows lost or duplicated."""
+    import threading
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        with_commit_retry,
+    )
+
+    spark.dataSource.register(ManifestTableDataSource)
+    _w(
+        _batch(spark, [(999, "seed", 0.0)]),
+        table_path,
+        partition_cols="day",
+    )
+    errors: list = []
+
+    def appender(t: int) -> None:
+        try:
+            for r in range(3):
+                _w(
+                    _batch(spark, [(100 * t + r, f"d{t}", float(r))]),
+                    table_path,
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def deleter() -> None:
+        try:
+            with_commit_retry(
+                lambda: manifest_delete_where(
+                    spark, table_path, "k = 999", mode="cow"
+                ),
+                max_attempts=20,
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(t,)) for t in range(3)
+    ]
+    threads.append(threading.Thread(target=deleter))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert errors == []
+    got = sorted(
+        r["k"] for r in manifest_read(spark, table_path).collect()
+    )
+    assert got == sorted(100 * t + r for t in range(3) for r in range(3))
+    assert len(manifest_history(table_path)) == 1 + 9 + 1  # every commit
