@@ -13,6 +13,12 @@ distinguish a plan regression from a noisy neighbor (round 2's bench showed
 10-28% phantom drift on untouched queries for exactly this reason). The
 minimum is the standard noise-floor estimator for a deterministic
 computation on shared hardware.
+
+Measurement hygiene (round-9): SUB-SECOND rows get extra reps (to 5
+total) — their round-over-round swing at 3 reps (±40% on untouched code,
+e.g. a3_pricing_summary 0.44↔0.62 s between r7/r8) exceeded the effects
+being measured. 1-minute host load average is recorded at start and end
+(``host_load``) so a loaded-box round is auditable as such.
 """
 
 from __future__ import annotations
@@ -39,13 +45,18 @@ def main() -> None:
     warm.fn(spark, sf_dir).limit(1).collect()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # sub-second queries swing hardest between rounds: top their sample
+    # count up to this floor (min estimator unchanged)
+    reps_subsec = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SUBSEC", "5")))
+    load_start = os.getloadavg()[0]
     per_query: dict[str, float] = {}
     per_samples: dict[str, list[float]] = {}
     per_p50: dict[str, float] = {}
+    per_reps: dict[str, int] = {}
     total = 0.0
     for name, q in sorted(headline.items()):
         samples: list[float] = []
-        for _ in range(reps):
+        while True:
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             # noop write forces FULL evaluation of every output column;
@@ -53,6 +64,9 @@ def main() -> None:
             # derived columns) and under-report projection-heavy queries.
             df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
+            want = reps_subsec if min(samples) < 1.0 else reps
+            if len(samples) >= want:
+                break
         dt = min(samples)
         n = df.count()  # untimed, for the report line
         per_query[name] = round(dt, 3)
@@ -60,6 +74,7 @@ def main() -> None:
         # auditable against the noise spread, not just the min
         per_samples[name] = [round(s, 3) for s in samples]
         per_p50[name] = round(statistics.median(samples), 3)
+        per_reps[name] = len(samples)
         total += dt
         print(
             f"# {name}: min={dt:.3f}s of {[round(s, 3) for s in samples]} "
@@ -78,6 +93,12 @@ def main() -> None:
                 "p50": per_p50,
                 "samples": per_samples,
                 "reps": reps,
+                "reps_per_query": per_reps,
+                "reps_subsec": reps_subsec,
+                "host_load": {
+                    "start_1m": round(load_start, 2),
+                    "end_1m": round(os.getloadavg()[0], 2),
+                },
                 "estimator": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

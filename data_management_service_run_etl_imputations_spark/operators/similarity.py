@@ -1162,7 +1162,11 @@ def ann_index_insert(
     """INCREMENTAL index maintenance: encode new vectors with the
     EXISTING quantizers (no refit — FAISS's ``add`` after ``train``) and
     upsert them into the coded-vector table; re-sent ids replace their
-    old codes (manifest upsert semantics). The quantizers deliberately
+    old codes EVERYWHERE — a delete-first key-probed MERGE removes the
+    old row even when the updated vector assigns to a DIFFERENT coarse
+    cell (a cell-partitioned upsert alone only merges within touched
+    cells, so a cross-cell mover would leave a stale duplicate
+    neighbor_id behind; ADVICE r8). The quantizers deliberately
     stay fixed: recall for the new vectors degrades only as the data
     distribution drifts from the build sample, which is the documented
     rebuild trigger (build a fresh index and swap paths), never a
@@ -1170,6 +1174,7 @@ def ann_index_insert(
     NEW vectors + one partition-level upsert into the touched cells —
     independent of index size."""
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_merge,
         manifest_read,
         manifest_upsert_partitioned,
     )
@@ -1254,10 +1259,28 @@ def ann_index_insert(
             "cell",
         )
     )
+    codes = codes.localCheckpoint()  # evaluated once, reused twice
+    # DELETE-FIRST across ALL cells (manifest_apply_cdf_batch's
+    # pattern): the key-probed MERGE removes a re-sent id's old row
+    # wherever it lives — including a different cell than the updated
+    # vector now assigns to. The probe is index-pruned; a batch of
+    # genuinely-new ids matches no files and rewrites nothing.
+    d = manifest_merge(
+        codes,
+        f"{index_path}/vectors",
+        ["neighbor_id"],
+        "cell",
+        matched_delete="true",
+        insert_not_matched=False,
+    )
+    replaced = d.get("deleted", 0)
     r = manifest_upsert_partitioned(
         codes, f"{index_path}/vectors", ["neighbor_id"], "cell"
     )
+    # after the delete pass every batch row inserts fresh; "replaced"
+    # reports how many of those superseded a pre-existing id
+    total = r.get("inserted", 0) + r.get("updated", 0)
     return {
-        "inserted": r.get("inserted", 0),
-        "replaced": r.get("updated", 0),
+        "inserted": max(0, total - replaced),
+        "replaced": replaced,
     }

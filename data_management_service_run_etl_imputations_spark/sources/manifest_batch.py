@@ -87,9 +87,14 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
 )
 
-# sentinel for SQL NULL (and NaN: Spark's eqNullSafe/`<=>` treats NaN as
-# equal to itself) in executor-side equality-delete key tuples
+# sentinels for SQL NULL vs float NaN in executor-side equality-delete
+# key tuples. They must stay DISTINCT: Spark's eqNullSafe/`<=>` (the
+# semantics `sinks._apply_deletes` masks with) treats NULL<=>NULL and
+# NaN<=>NaN as true but NULL<=>NaN as FALSE — collapsing both to one
+# sentinel would make a NULL delete key mask NaN data cells and vice
+# versa, diverging SQL reads from manifest_read.
 _NULL = "\x00__mb_null__"
+_NAN = "\x00__mb_nan__"
 
 
 class _ScanPartition(InputPartition):
@@ -117,14 +122,19 @@ class _ScanPartition(InputPartition):
 def _norm_key(v):
     """Hashable, null/NaN-normalized key cell for the executor-side
     equality-delete anti-join (mirror of ``_apply_deletes``'s
-    ``eqNullSafe``)."""
+    ``eqNullSafe``): None/NaT → ``_NULL``, float NaN → ``_NAN`` — two
+    DISTINCT sentinels, because NULL <=> NaN is false."""
     import numpy as np
     import pandas as pd
 
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_key(x) for x in v)
+    if v is None:
+        return _NULL
+    if isinstance(v, (float, np.floating)) and v != v:
+        return _NAN  # float NaN: matches NaN, never SQL NULL
     try:
-        if v is None or pd.isna(v):
+        if pd.isna(v):  # NaT and friends: the domain's NULL
             return _NULL
     except (TypeError, ValueError):
         pass
@@ -205,6 +215,14 @@ class ManifestBatchReader(DataSourceReader):
 
     # -- filter pushdown (prune-only) -----------------------------------
     def pushFilters(self, filters):
+        # Fresh pushdown round: if Spark reuses this reader instance for
+        # another plan, stale predicates from the previous query must
+        # not over-prune this scan (prune-only pruning drops files at
+        # plan time — re-application can't recover them).
+        self._part_eqs = []
+        self._boxes = {}
+        filters = list(filters)  # may be a one-shot iterator
+
         def attr(f):
             return f.attribute[0] if len(f.attribute) == 1 else None
 
@@ -256,8 +274,10 @@ class ManifestBatchReader(DataSourceReader):
                     f, (LessThan, LessThanOrEqual)
                 ) and f.value is not None:
                     box(c, None, f.value)
-            # prune-only: EVERYTHING still evaluated by Spark
-            yield f
+        # prune-only: EVERYTHING still evaluated by Spark. Returned as a
+        # list (not a generator) so the pruning-state reset above runs
+        # unconditionally at call time, not lazily on first iteration.
+        return list(filters)
 
     # -- planning --------------------------------------------------------
     def partitions(self):
@@ -505,6 +525,12 @@ class ManifestTableDataSource(DataSource):
         return ManifestAppendWriter(schema, self.options, overwrite)
 
 
+# view name (lowercased) -> (original view name, table root path):
+# the resolution table manifest_sql's DML dispatch uses to map a SQL
+# table identifier back to the manifest table it was registered from
+_SQL_TABLES: "dict[str, tuple[str, str]]" = {}
+
+
 def manifest_sql_register(
     spark,
     view_name: str,
@@ -532,6 +558,7 @@ def manifest_sql_register(
         reader = reader.option("as_of", str(as_of))
     df = reader.load()
     df.createOrReplaceTempView(view_name)
+    _SQL_TABLES[view_name.lower()] = (view_name, path)
     return df
 
 
@@ -737,6 +764,13 @@ class ManifestAppendWriter(DataSourceArrowWriter):
         out_schema = self.schema.simpleString()
         out_schema_json = self.schema.json()
         last: "CommitConflict | None" = None
+        # dynamic overwrite: snapshot of the replaced partitions' file
+        # lists at the FIRST attempt — a retry that silently re-applies
+        # files[k] = [] after a concurrent append landed in k would
+        # erase that writer's committed data without any conflict
+        # surfacing (Delta raises overwrite-vs-append conflicts; so do
+        # we)
+        replaced_seen: "dict[str, list] | None" = None
         for _ in range(10):
             version, base = _latest_manifest(self.path)
             if version > 0:
@@ -768,7 +802,31 @@ class ManifestAppendWriter(DataSourceArrowWriter):
                 # dynamic partition overwrite: the touched partitions'
                 # file lists REPLACE wholesale (old files stay on disk
                 # for time travel until vacuum)
-                for k in {e[0] for e in entries}:
+                touched = {e[0] for e in entries}
+                snapshot = {
+                    k: [tuple(x) for x in files.get(k, ())]
+                    for k in touched
+                }
+                if replaced_seen is None:
+                    replaced_seen = snapshot
+                elif snapshot != replaced_seen:
+                    # a concurrent writer committed into a partition we
+                    # are replacing, BETWEEN our attempts — wiping it now
+                    # would vanish successfully-committed data. Surface
+                    # the conflict; the caller re-runs the overwrite
+                    # against the new head deliberately.
+                    changed = sorted(
+                        k
+                        for k in touched
+                        if snapshot.get(k) != replaced_seen.get(k)
+                    )
+                    raise CommitConflict(
+                        "dynamic partition overwrite conflicts with a "
+                        f"concurrent commit into partition(s) {changed} "
+                        f"of {self.path}; re-run the overwrite to "
+                        "replace the new contents deliberately"
+                    )
+                for k in touched:
                     files[k] = []
                     parts.pop(k, None)
             for k, rel, size, rows in entries:
@@ -824,6 +882,15 @@ class ManifestAppendWriter(DataSourceArrowWriter):
                         "rows_appended": sum(e[3] for e in entries),
                     },
                 )
+                # bounded delta chains for writer-API-only tables: the
+                # session-less cadence checkpoint (this commit() runs in
+                # a plain Python worker, so the Spark-written
+                # manifest_checkpoint is unavailable here)
+                from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                    _maybe_auto_checkpoint_local,
+                )
+
+                _maybe_auto_checkpoint_local(self.path, version + 1)
                 return
             except CommitConflict as e:
                 # insert-only fast-forward: re-read the head and re-add
@@ -839,3 +906,422 @@ class ManifestAppendWriter(DataSourceArrowWriter):
             os.path.join(self.path, *self.stage.split("/")),
             ignore_errors=True,
         )
+
+
+# --- SQL DML dispatcher ------------------------------------------------
+#
+# spark.sql("DELETE FROM t WHERE …") cannot reach a Python DataSource
+# (Spark's DML plans are reserved for catalog tables), so the SQL story
+# stops at SELECT + INSERT-via-writer without this: manifest_sql() is
+# the statement-level router that makes the three DML verbs work
+# against registered manifest views by dispatching to the existing
+# engines — manifest_delete_where / manifest_update_where /
+# manifest_merge (sinks.py) — which already take SQL predicate and
+# assignment STRINGS and hand them to Spark's own expression parser.
+# The router only does statement-level tokenization (verb, table name,
+# clause boundaries at top level — never inside quotes or parens); it
+# has NO expression grammar of its own, so every condition/assignment
+# keeps exact Spark SQL semantics. Reference parity: the reference's
+# whole load path is DML-shaped (`function_app.py:296-312`); Delta
+# Lake's SparkSQL DML is the public model.
+
+
+def _scan_top(text: str):
+    """Yield ``(i, ch)`` for characters at TOP LEVEL — outside single/
+    double-quoted strings, backticked identifiers, and parentheses.
+    Single quotes escape by doubling ('') per SQL."""
+    depth = 0
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n:
+                if text[i] == q:
+                    if q == "'" and i + 1 < n and text[i + 1] == "'":
+                        i += 2  # doubled-quote escape
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            yield i, ch
+        i += 1
+
+
+def _find_kw_top(text: str, kw: str, start: int = 0) -> int:
+    """Index of the first top-level, word-delimited, case-insensitive
+    occurrence of ``kw`` at or after ``start``; -1 if absent."""
+    kw = kw.upper()
+    L = len(kw)
+    for i, ch in _scan_top(text):
+        if i < start or ch.upper() != kw[0]:
+            continue
+        if text[i : i + L].upper() != kw:
+            continue
+        before_ok = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        j = i + L
+        after_ok = j >= len(text) or not (text[j].isalnum() or text[j] == "_")
+        if before_ok and after_ok:
+            return i
+    return -1
+
+
+def _split_top(text: str, sep: str) -> list[str]:
+    """Split on every top-level occurrence of ``sep`` (a single
+    character like ',' or a keyword like 'AND' / 'WHEN')."""
+    outs, last = [], 0
+    if len(sep) == 1 and not sep.isalpha():
+        for i, ch in _scan_top(text):
+            if ch == sep:
+                outs.append(text[last:i])
+                last = i + 1
+    else:
+        pos = 0
+        while True:
+            i = _find_kw_top(text, sep, pos)
+            if i < 0:
+                break
+            outs.append(text[last:i])
+            last = i + len(sep)
+            pos = last
+    outs.append(text[last:])
+    return outs
+
+
+def _unquote_ident(ident: str) -> str:
+    ident = ident.strip()
+    if ident.startswith("`") and ident.endswith("`"):
+        return ident[1:-1]
+    return ident
+
+
+def _rewrite_alias(expr: str, alias_map: "dict[str, str]") -> str:
+    """Rewrite ``<alias>.`` qualifiers to the engine's canonical ``t.``
+    / ``s.`` OUTSIDE string literals (manifest_merge's expressions name
+    the target ``t`` and the source ``s``). Word-boundary exact: an
+    alias that is a prefix of another identifier never matches."""
+    import re
+
+    if not alias_map:
+        return expr
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(a) for a in alias_map) + r")\s*\.",
+        re.IGNORECASE,
+    )
+    # segment the expression at quoted regions; rewrite only outside
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if expr[j] == ch:
+                    if ch == "'" and j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+        else:
+            j = i
+            while j < n and expr[j] not in ("'", '"', "`"):
+                j += 1
+            out.append(
+                pat.sub(
+                    lambda m: alias_map[m.group(1).lower()] + ".",
+                    expr[i:j],
+                )
+            )
+            i = j
+    return "".join(out)
+
+
+def _resolve_sql_table(ident: str) -> "tuple[str, str]":
+    name = _unquote_ident(ident).lower()
+    if name not in _SQL_TABLES:
+        raise ValueError(
+            f"{ident!r} is not a registered manifest view — call "
+            f"manifest_sql_register(spark, {ident!r}, table_root) first "
+            f"(registered: {sorted(v for v, _ in _SQL_TABLES.values())})"
+        )
+    return _SQL_TABLES[name]
+
+
+def _parse_assignments(set_part: str) -> "dict[str, str]":
+    assignments: dict[str, str] = {}
+    import re
+
+    for item in _split_top(set_part, ","):
+        m = re.match(
+            r"\s*(`[^`]+`|[A-Za-z_]\w*)\s*=\s*(.+)$", item, re.S
+        )
+        if not m:
+            raise ValueError(f"cannot parse SET assignment {item.strip()!r}")
+        col = _unquote_ident(m.group(1))
+        if col in assignments:
+            raise ValueError(f"column {col!r} assigned twice in SET")
+        assignments[col] = m.group(2).strip()
+    if not assignments:
+        raise ValueError("SET clause assigns no columns")
+    return assignments
+
+
+def manifest_sql(spark, statement: str, mode: str | None = None):
+    """Execute ONE SQL statement against registered manifest views,
+    routing the DML verbs to the table's transactional engines:
+
+    - ``DELETE FROM v [WHERE cond]`` → :func:`sinks.manifest_delete_where`
+      (default ``mode='mor'``: positional sidecar, zero rewrite)
+    - ``UPDATE v SET c = expr[, …] [WHERE cond]`` →
+      :func:`sinks.manifest_update_where` (default ``mode='cow'``)
+    - ``MERGE INTO v [AS] t USING src [AS] s ON t.k = s.k [AND …]
+      WHEN MATCHED [AND cond] THEN DELETE |
+      WHEN MATCHED THEN UPDATE SET c = expr[, …] | SET * |
+      WHEN NOT MATCHED THEN INSERT *`` → :func:`sinks.manifest_merge`
+      (``src`` is any SQL-visible relation: a temp view or a
+      parenthesized subquery; ON must be a conjunction of same-named
+      equi-comparisons — they become the merge keys)
+
+    Anything else (SELECT, SHOW, …) falls through to ``spark.sql``
+    unchanged, so this can serve as the single SQL entry point. After a
+    DML verb commits, the view is RE-REGISTERED at the new head (the
+    snapshot-pinned view contract would otherwise hide your own write —
+    same behavior as Delta, where DML invalidates cached snapshots).
+    DML returns the engine's op-count dict (plus ``statement``);
+    fall-through returns the DataFrame. Conditions and assignments are
+    passed VERBATIM to the engines, which evaluate them with Spark's
+    expression parser — the router never interprets expressions, so
+    pruning behavior (partition probes, zone maps) is exactly the
+    Python API's. v1 refusals are loud: per-clause conditions on
+    ``UPDATE`` merge branches and column-list ``INSERT`` need engine
+    surface that does not exist yet."""
+    import json
+    import re
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+        _partition_cols,
+        manifest_delete_where,
+        manifest_merge,
+        manifest_update_where,
+    )
+
+    stmt = statement.strip().rstrip(";").strip()
+    verb_m = re.match(r"(DELETE|UPDATE|MERGE)\b", stmt, re.I)
+    if not verb_m:
+        return spark.sql(statement)
+    verb = verb_m.group(1).upper()
+
+    def refresh(view_name: str, path: str) -> None:
+        manifest_sql_register(spark, view_name, path)
+
+    if verb == "DELETE":
+        m = re.match(
+            r"DELETE\s+FROM\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
+        view_name, path = _resolve_sql_table(m.group(1))
+        rest = m.group(2).strip()
+        cond = "true"
+        if rest:
+            wm = re.match(r"WHERE\s+(.*)$", rest, re.I | re.S)
+            if not wm:
+                raise ValueError(
+                    f"unexpected trailing clause in DELETE: {rest!r}"
+                )
+            cond = wm.group(1).strip()
+        r = manifest_delete_where(spark, path, cond, mode=mode or "mor")
+        refresh(view_name, path)
+        return {"statement": "delete", **r}
+
+    if verb == "UPDATE":
+        m = re.match(
+            r"UPDATE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s+SET\s+(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
+        view_name, path = _resolve_sql_table(m.group(1))
+        body = m.group(2)
+        wi = _find_kw_top(body, "WHERE")
+        set_part = body[:wi] if wi >= 0 else body
+        cond = body[wi + 5 :].strip() if wi >= 0 else "true"
+        assignments = _parse_assignments(set_part)
+        r = manifest_update_where(
+            spark, path, assignments, cond, mode=mode or "cow"
+        )
+        refresh(view_name, path)
+        return {"statement": "update", **r}
+
+    # ---- MERGE INTO --------------------------------------------------
+    ui = _find_kw_top(stmt, "USING")
+    oi = _find_kw_top(stmt, "ON", ui + 5) if ui >= 0 else -1
+    wi = _find_kw_top(stmt, "WHEN", oi + 2) if oi >= 0 else -1
+    if min(ui, oi, wi) < 0:
+        raise ValueError(
+            "cannot parse MERGE statement (need USING … ON … WHEN …): "
+            f"{stmt!r}"
+        )
+    head = stmt[:ui]
+    hm = re.match(
+        r"MERGE\s+INTO\s+(`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+AS)?(?:\s+(`[^`]+`|[A-Za-z_]\w*))?\s*$",
+        head,
+        re.I | re.S,
+    )
+    if not hm:
+        raise ValueError(f"cannot parse MERGE INTO target: {head.strip()!r}")
+    view_name, path = _resolve_sql_table(hm.group(1))
+    t_alias = _unquote_ident(hm.group(2)) if hm.group(2) else None
+
+    using_part = stmt[ui + 5 : oi].strip()
+    um = re.match(
+        r"(\(.*\)|`[^`]+`|[A-Za-z_][\w.]*)(?:\s+AS)?"
+        r"(?:\s+(`[^`]+`|[A-Za-z_]\w*))?\s*$",
+        using_part,
+        re.S,
+    )
+    if not um:
+        raise ValueError(f"cannot parse USING source: {using_part!r}")
+    source_rel = um.group(1)
+    s_alias = _unquote_ident(um.group(2)) if um.group(2) else None
+    source = spark.sql(f"SELECT * FROM {source_rel} AS __manifest_src__")
+
+    # alias → canonical t/s rewriting for every expression we forward
+    alias_map: dict[str, str] = {}
+    if t_alias and t_alias.lower() != "t":
+        alias_map[t_alias.lower()] = "t"
+    if s_alias and s_alias.lower() != "s":
+        alias_map[s_alias.lower()] = "s"
+    # unaliased sides may be qualified by their relation name
+    raw_t = _unquote_ident(hm.group(1)).lower()
+    if not t_alias and raw_t != "t":
+        alias_map[raw_t] = "t"
+    if not s_alias and not source_rel.startswith("("):
+        raw_s = _unquote_ident(source_rel).lower()
+        if raw_s != "s":
+            alias_map[raw_s] = "s"
+
+    # merge keys from the ON conjunction: same-named equi-pairs only
+    on_part = stmt[oi + 2 : wi]
+    keys: list[str] = []
+    for conj in _split_top(on_part, "AND"):
+        cm = re.match(
+            r"\s*(`[^`]+`|[A-Za-z_]\w*)\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)"
+            r"\s*=\s*(`[^`]+`|[A-Za-z_]\w*)\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)\s*$",
+            conj,
+            re.S,
+        )
+        if not cm:
+            raise ValueError(
+                f"MERGE ON conjunct {conj.strip()!r} is not "
+                "alias.col = alias.col — only equi-key joins route to "
+                "manifest_merge"
+            )
+        q1, c1 = (_unquote_ident(cm.group(1)), _unquote_ident(cm.group(2)))
+        q2, c2 = (_unquote_ident(cm.group(3)), _unquote_ident(cm.group(4)))
+        sides = {
+            alias_map.get(q1.lower(), q1.lower()): c1,
+            alias_map.get(q2.lower(), q2.lower()): c2,
+        }
+        if set(sides) != {"t", "s"}:
+            raise ValueError(
+                f"MERGE ON conjunct {conj.strip()!r} must compare the "
+                "target to the source"
+            )
+        if sides["t"] != sides["s"]:
+            raise ValueError(
+                f"MERGE keys must be same-named on both sides "
+                f"(got t.{sides['t']} = s.{sides['s']}); alias the "
+                "source column in USING"
+            )
+        keys.append(sides["t"])
+
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"manifest table at {path} does not exist")
+    pcols = _partition_cols(content)
+    tcols = [
+        f["name"] for f in json.loads(content["schema_json"])["fields"]
+    ]
+
+    matched_update: "dict[str, str] | None" = None
+    matched_delete: "str | None" = None
+    insert_not_matched = False
+    for clause in _split_top(stmt[wi:], "WHEN")[1:]:
+        c = clause.strip()
+        nm = re.match(
+            r"NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s+THEN\s+INSERT\s+(.*)$",
+            c,
+            re.I | re.S,
+        )
+        if nm:
+            if nm.group(1).strip() != "*":
+                raise ValueError(
+                    "MERGE v1 supports INSERT * only (column-list INSERT "
+                    "needs engine surface manifest_merge does not have)"
+                )
+            insert_not_matched = True
+            continue
+        ti = _find_kw_top(c, "THEN")
+        mm = re.match(r"MATCHED\s*(?:AND\s+(.*))?$", c[:ti].strip(), re.I | re.S)
+        if ti < 0 or not mm:
+            raise ValueError(f"cannot parse MERGE WHEN clause: {c!r}")
+        cond = (mm.group(1) or "").strip()
+        action = c[ti + 4 :].strip()
+        if re.match(r"DELETE\s*$", action, re.I):
+            if matched_delete is not None:
+                raise ValueError("duplicate WHEN MATCHED … DELETE clause")
+            matched_delete = (
+                _rewrite_alias(cond, alias_map) if cond else "true"
+            )
+            continue
+        am = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
+        if not am:
+            raise ValueError(f"cannot parse MERGE action: {action!r}")
+        if cond:
+            raise ValueError(
+                "MERGE v1 cannot route WHEN MATCHED AND <cond> THEN "
+                "UPDATE — manifest_merge has no per-clause update "
+                "condition; fold the condition into the SET expressions "
+                "(CASE WHEN …) instead"
+            )
+        if matched_update is not None:
+            raise ValueError("duplicate WHEN MATCHED … UPDATE clause")
+        set_part = am.group(1).strip()
+        if set_part == "*":
+            matched_update = {
+                col: f"s.{col}"
+                for col in tcols
+                if col not in keys and col not in pcols
+            }
+        else:
+            matched_update = {
+                col: _rewrite_alias(expr, alias_map)
+                for col, expr in _parse_assignments(set_part).items()
+            }
+    if matched_update is None and matched_delete is None and not insert_not_matched:
+        raise ValueError("MERGE has no WHEN clauses")
+    r = manifest_merge(
+        source,
+        path,
+        keys,
+        pcols if len(pcols) > 1 else pcols[0],
+        matched_update=matched_update,
+        matched_delete=matched_delete,
+        insert_not_matched=insert_not_matched,
+    )
+    refresh(view_name, path)
+    return {"statement": "merge", **r}

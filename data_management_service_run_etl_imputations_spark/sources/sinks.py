@@ -575,6 +575,83 @@ def _maybe_auto_checkpoint(spark, path: str, version: int) -> None:
         pass
 
 
+def manifest_checkpoint_local(path: str, version: int | None = None) -> int:
+    """Session-less twin of :func:`manifest_checkpoint` for commit paths
+    that run where no SparkSession exists (the Python DataSource
+    writer's driver-side ``commit()`` executes in a plain Python
+    worker). Writes the SAME on-disk layout — one parquet files sidecar
+    clustered by ``part`` plus the meta JSON published through the
+    atomic commit backend — via pyarrow instead of a Spark job, so
+    ``df.write.format("manifest")``-only tables still get bounded delta
+    chains. The sidecar is a single file sorted by (part, idx) with
+    small row groups, so :func:`_load_checkpoint_files`'s pushed
+    part-IN filter still prunes row groups. Driver memory is O(files)
+    rows of metadata — the regime where a table is written exclusively
+    through the DataFrame writer; a 10⁷-file table should checkpoint
+    through the Spark-written path."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    version, content = _resolve_manifest(path, version)
+    if (
+        version == 0
+        or _has_checkpoint(path, version)
+        or "files" not in content
+    ):
+        return version
+    parts_sorted = sorted(content["files"])
+    cols: dict[str, list] = {"part": [], "rel": [], "size": [], "rows": [], "idx": []}
+    i = 0
+    for part in parts_sorted:
+        for e in content["files"][part]:
+            cols["part"].append(part)
+            cols["rel"].append(e[0])
+            cols["size"].append(e[1])
+            cols["rows"].append(e[2] if len(e) > 2 else None)
+            cols["idx"].append(i)
+            i += 1
+    ckpt_dir = _checkpoint_dir(path)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    files_ref = f"{version}.files.{uuid.uuid4().hex[:8]}.parquet"
+    t = pa.table(
+        {
+            "part": pa.array(cols["part"], pa.string()),
+            "rel": pa.array(cols["rel"], pa.string()),
+            "size": pa.array(cols["size"], pa.int64()),
+            "rows": pa.array(cols["rows"], pa.int64()),
+            "idx": pa.array(cols["idx"], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{ckpt_dir}/{files_ref}", row_group_size=8192)
+    meta = {k: v for k, v in content.items() if k != "files"}
+    meta["files_ref"] = files_ref
+    published = get_commit_backend().put_if_absent(
+        f"{ckpt_dir}/{version}.meta.json", json.dumps(meta).encode()
+    )
+    if not published:
+        try:
+            os.remove(f"{ckpt_dir}/{files_ref}")
+        except OSError:
+            pass
+    return version
+
+
+def _maybe_auto_checkpoint_local(path: str, version: int) -> None:
+    """Cadence trigger for session-less writers (best-effort, never
+    fails the commit) — the gap ADVICE r8 flagged on
+    ``ManifestAppendWriter.commit``."""
+    try:
+        anchor = max(1, _latest_checkpoint_version(path, version))
+        if version - anchor >= CHECKPOINT_EVERY:
+            manifest_checkpoint_local(path, version)
+    except Exception:  # pragma: no cover — checkpointing is derived state
+        pass
+
+
 def _latest_manifest(path: str) -> tuple[int, dict]:
     """Highest committed version and its content ({} at version 0).
     Incomplete writer crashes leave only temp files, never a readable

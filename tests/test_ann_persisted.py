@@ -151,3 +151,59 @@ def test_incremental_insert_without_refit(spark, emb, index_root):
     assert manifest_read(spark, index_root + "/vectors").count() == (
         emb.count() + 3
     )
+
+
+def test_insert_resend_moves_cell_without_stale_duplicate(
+    spark, emb, index_root
+):
+    """ADVICE r8 (medium): a re-sent vec_id whose UPDATED vector assigns
+    to a DIFFERENT coarse cell must REPLACE its old row, not leave a
+    stale duplicate in the old cell — the cell-partitioned upsert alone
+    only merges within touched partitions, so the delete-first MERGE is
+    what makes this hold. Pins: exactly one row per id, row in the NEW
+    cell, and the query returns the id once (no torn ADC sums)."""
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_insert,
+    )
+
+    ann_index_build(
+        emb, index_root, n_centroids=16, m_subspaces=8, ks_codes=32
+    )
+    vec = manifest_read(spark, index_root + "/vectors")
+    # two source vectors that the index assigns to DIFFERENT cells
+    cells = {
+        r["neighbor_id"]: r["cell"]
+        for r in vec.filter(F.col("neighbor_id") < 50).collect()
+    }
+    ids = sorted(cells)
+    a = ids[0]
+    b = next(i for i in ids if cells[i] != cells[a])
+    emb_of = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin([a, b])).collect()
+    }
+    planted_id = 777777
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    r1 = ann_index_insert(
+        spark.createDataFrame([(planted_id, emb_of[a])], schema), index_root
+    )
+    assert r1 == {"inserted": 1, "replaced": 0}
+    before = manifest_read(spark, index_root + "/vectors")
+    row1 = before.filter(F.col("neighbor_id") == planted_id).collect()
+    assert len(row1) == 1 and row1[0]["cell"] == cells[a]
+    # re-send the SAME id with b's vector — lands in a different cell
+    r2 = ann_index_insert(
+        spark.createDataFrame([(planted_id, emb_of[b])], schema), index_root
+    )
+    assert r2 == {"inserted": 0, "replaced": 1}
+    after = manifest_read(spark, index_root + "/vectors")
+    rows = after.filter(F.col("neighbor_id") == planted_id).collect()
+    assert len(rows) == 1, "stale old-cell row survived the re-send"
+    assert rows[0]["cell"] == cells[b]
+    assert after.count() == emb.count() + 1
+    # the query never sees the neighbor twice
+    q = emb.filter(F.col("vec_id") == b).select("vec_id", "embedding")
+    out = ann_index_query(q, index_root, k=5, n_probe=12, refine_factor=12)
+    mine = out.filter(F.col("neighbor_id") == planted_id).collect()
+    assert len(mine) == 1
+    assert mine[0]["cosine"] == pytest.approx(1.0, abs=1e-6)

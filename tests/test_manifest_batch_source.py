@@ -229,3 +229,64 @@ def test_checkpointed_filter_pruning_to_zero_partitions(spark, table_path):
         spark.sql(f"SELECT * FROM {view} WHERE day = 'no_such_day'").count()
         == 0
     )
+
+
+def test_pushfilters_reset_between_plans(spark, table_path):
+    """ADVICE r8: plan reuse must not inherit stale predicates — a
+    second pushFilters round on the SAME reader instance starts clean,
+    so an earlier query's pruning can never over-prune this scan."""
+    from pyspark.sql.datasource import EqualTo
+
+    _seed(spark, table_path)
+    schema = manifest_read(spark, table_path).schema
+    r = ManifestBatchReader(schema, {"path": table_path})
+    list(r.pushFilters([EqualTo(("day",), "d1")]))
+    assert len(r.partitions()) > 0
+    assert r.last_plan["partitions_kept"] == 1
+    # second round with NO filters: the d1 pruning must be forgotten
+    list(r.pushFilters([]))
+    r.partitions()
+    assert r.last_plan["partitions_kept"] == 3
+    # and a different filter replaces, not intersects
+    list(r.pushFilters([EqualTo(("day",), "d2")]))
+    r.partitions()
+    assert r.last_plan["partitions_kept"] == 1
+
+
+def test_equality_delete_null_vs_nan_sql_matches_manifest_read(
+    spark, table_path
+):
+    """ADVICE r8: SQL-read equality-delete masking must keep NULL and
+    float NaN DISTINCT (eqNullSafe semantics: NULL<=>NULL true,
+    NaN<=>NaN true, NULL<=>NaN false) — a NULL delete key must not mask
+    NaN data cells, byte-identical to manifest_read."""
+    rows = [(1, "d0", None), (2, "d0", float("nan")), (3, "d0", 1.0)]
+    manifest_upsert_partitioned(
+        _batch(spark, rows).coalesce(1), table_path, ["k"], "day"
+    )
+    # equality-delete on the FLOAT column with a NULL key
+    manifest_delete(
+        spark.createDataFrame([(None,)], "v DOUBLE"), table_path, ["v"]
+    )
+    view = f"mb_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, view, table_path)
+    got = sorted(r["k"] for r in spark.sql(f"SELECT k FROM {view}").collect())
+    want = sorted(
+        r["k"] for r in manifest_read(spark, table_path).select("k").collect()
+    )
+    assert got == want == [2, 3]  # NaN row SURVIVES a NULL delete key
+    # and the converse: a NaN delete key masks only the NaN row
+    manifest_delete(
+        spark.createDataFrame([(float("nan"),)], "v DOUBLE"),
+        table_path,
+        ["v"],
+    )
+    view2 = f"mb_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, view2, table_path)
+    got2 = sorted(
+        r["k"] for r in spark.sql(f"SELECT k FROM {view2}").collect()
+    )
+    want2 = sorted(
+        r["k"] for r in manifest_read(spark, table_path).select("k").collect()
+    )
+    assert got2 == want2 == [3]

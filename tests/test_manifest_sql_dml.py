@@ -1,0 +1,258 @@
+"""SQL DML dispatcher (manifest_sql): DELETE FROM / UPDATE … SET /
+MERGE INTO statements routed to the manifest table's transactional
+engines, with statement-level parsing only — conditions and assignments
+reach Spark's own expression parser verbatim. Non-DML falls through to
+spark.sql, DML refreshes the view to the new head, and every refusal is
+loud (VERDICT r8 "Next round" #1).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+    _find_kw_top,
+    _parse_assignments,
+    _rewrite_alias,
+    _split_top,
+    manifest_sql,
+    manifest_sql_register,
+)
+from data_management_service_run_etl_imputations_spark.sources.sinks import (
+    manifest_history,
+    manifest_read,
+    manifest_upsert_partitioned,
+)
+
+
+@pytest.fixture()
+def table_path():
+    path = f"{tempfile.gettempdir()}/msql_{uuid.uuid4().hex[:12]}"
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@pytest.fixture()
+def view(spark, table_path):
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(30)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, day STRING, v DOUBLE").coalesce(2),
+        table_path,
+        ["k"],
+        "day",
+    )
+    name = f"msqlv_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path)
+    yield name
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+# ---- statement-level tokenizer units ---------------------------------
+
+
+def test_find_kw_top_skips_quotes_and_parens():
+    s = "a = 'x WHERE y' AND fn(1, 'WHERE') AND b WHERE c = 1"
+    i = _find_kw_top(s, "WHERE")
+    assert s[i:].startswith("WHERE c")
+    assert _find_kw_top("no keyword here", "WHERE") == -1
+    # word boundaries: WHEREx / xWHERE never match
+    assert _find_kw_top("aWHERE WHEREb", "WHERE") == -1
+
+
+def test_split_top_commas_and_keywords():
+    assert _split_top("a = f(1, 2), b = 'x,y', c = 3", ",") == [
+        "a = f(1, 2)",
+        " b = 'x,y'",
+        " c = 3",
+    ]
+    parts = _split_top("t.a = s.a AND t.b = s.b AND (x AND y) = z", "AND")
+    assert len(parts) == 3
+    assert parts[2].strip() == "(x AND y) = z"
+
+
+def test_parse_assignments_edges():
+    a = _parse_assignments("v = v + 1, s = concat(a, ','), `q` = 'a=b'")
+    assert a == {"v": "v + 1", "s": "concat(a, ',')", "q": "'a=b'"}
+    with pytest.raises(ValueError, match="assigned twice"):
+        _parse_assignments("v = 1, v = 2")
+    with pytest.raises(ValueError, match="cannot parse"):
+        _parse_assignments("not an assignment")
+
+
+def test_rewrite_alias_outside_strings_only():
+    got = _rewrite_alias(
+        "tgt.v + src.v + 'tgt.v literal' + xtgt.v",
+        {"tgt": "t", "src": "s"},
+    )
+    assert got == "t.v + s.v + 'tgt.v literal' + xtgt.v"
+
+
+# ---- DELETE ------------------------------------------------------------
+
+
+def test_sql_delete_where(spark, table_path, view):
+    r = manifest_sql(spark, f"DELETE FROM {view} WHERE k % 5 = 0")
+    assert r["statement"] == "delete" and r["deleted_rows"] == 6
+    # the view auto-refreshed: SELECT through spark.sql sees the delete
+    assert spark.sql(f"SELECT count(*) n FROM {view}").first()["n"] == 24
+    assert manifest_read(spark, table_path).count() == 24
+    # default is merge-on-read: zero rewrite
+    last = manifest_history(table_path)[-1]
+    assert last["op"] == "delete"
+    assert last["op_metrics"]["mode"] == "merge-on-read"
+
+
+def test_sql_delete_without_where_and_mode(spark, table_path, view):
+    r = manifest_sql(spark, f"DELETE FROM {view}", mode="cow")
+    assert r["deleted_rows"] == 30
+    assert spark.sql(f"SELECT count(*) n FROM {view}").first()["n"] == 0
+
+
+def test_sql_delete_trailing_semicolon_and_case(spark, table_path, view):
+    r = manifest_sql(spark, f"  delete from {view} where day = 'd1' ; ")
+    assert r["deleted_rows"] == 10
+
+
+# ---- UPDATE ------------------------------------------------------------
+
+
+def test_sql_update_set_where(spark, table_path, view):
+    r = manifest_sql(
+        spark,
+        f"UPDATE {view} SET v = v * 2, day = day WHERE k >= 20",
+    )
+    assert r["statement"] == "update" and r["updated_rows"] == 10
+    got = {r["k"]: r["v"] for r in spark.sql(f"SELECT k, v FROM {view}").collect()}
+    assert got[25] == 50.0 and got[5] == 5.0
+
+
+def test_sql_update_where_in_string_literal(spark, table_path, view):
+    """A WHERE inside a string literal must not split the statement."""
+    r = manifest_sql(
+        spark,
+        f"UPDATE {view} SET day = concat(day, ' WHERE not a clause') "
+        f"WHERE k = 1",
+    )
+    assert r["updated_rows"] == 1
+
+
+# ---- MERGE -------------------------------------------------------------
+
+
+def test_sql_merge_all_clauses(spark, table_path, view):
+    src = f"msqls_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(1, "d1", 999.0), (100, "d1", 1.0), (7, "d1", -1.0)],
+        "k LONG, day STRING, v DOUBLE",
+    ).createOrReplaceTempView(src)
+    r = manifest_sql(
+        spark,
+        f"""
+        MERGE INTO {view} AS tgt USING {src} AS src
+        ON tgt.k = src.k
+        WHEN MATCHED AND src.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = src.v
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    assert r == {"statement": "merge", "updated": 1, "deleted": 1, "inserted": 1}
+    got = {r["k"]: r["v"] for r in spark.sql(f"SELECT k, v FROM {view}").collect()}
+    assert got[1] == 999.0 and got[100] == 1.0 and 7 not in got
+    assert len(got) == 30  # 30 - 1 deleted + 1 inserted
+
+
+def test_sql_merge_subquery_source_update_star(spark, table_path, view):
+    """Parenthesized subquery source + UPDATE SET * (all non-key,
+    non-partition columns from the source)."""
+    r = manifest_sql(
+        spark,
+        f"""
+        MERGE INTO {view} t
+        USING (SELECT 2 AS k, 'd2' AS day, CAST(-5 AS DOUBLE) AS v) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        """,
+    )
+    assert r["updated"] == 1 and r["inserted"] == 0
+    got = {r["k"]: r["v"] for r in spark.sql(f"SELECT k, v FROM {view}").collect()}
+    assert got[2] == -5.0
+
+
+def test_sql_merge_unaliased_relations_qualify_by_name(spark, table_path, view):
+    src = f"msqls_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(3, "d0", 333.0)], "k LONG, day STRING, v DOUBLE"
+    ).createOrReplaceTempView(src)
+    r = manifest_sql(
+        spark,
+        f"MERGE INTO {view} USING {src} ON {view}.k = {src}.k "
+        f"WHEN MATCHED THEN UPDATE SET v = {src}.v",
+    )
+    assert r["updated"] == 1
+    got = {r["k"]: r["v"] for r in spark.sql(f"SELECT k, v FROM {view}").collect()}
+    assert got[3] == 333.0
+
+
+def test_sql_merge_refusals(spark, table_path, view):
+    src = f"msqls_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(1, "d1", 1.0)], "k LONG, day STRING, v DOUBLE"
+    ).createOrReplaceTempView(src)
+    with pytest.raises(ValueError, match="per-clause update"):
+        manifest_sql(
+            spark,
+            f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v",
+        )
+    with pytest.raises(ValueError, match="INSERT \\* only"):
+        manifest_sql(
+            spark,
+            f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+        )
+    with pytest.raises(ValueError, match="equi-key"):
+        manifest_sql(
+            spark,
+            f"MERGE INTO {view} t USING {src} s ON t.k > s.k "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="same-named"):
+        manifest_sql(
+            spark,
+            f"MERGE INTO {view} t USING {src} s ON t.k = s.v "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="cannot parse MERGE WHEN"):
+        manifest_sql(
+            spark, f"MERGE INTO {view} t USING {src} s ON t.k = s.k WHEN"
+        )
+
+
+def test_unregistered_table_and_fallthrough(spark, table_path, view):
+    with pytest.raises(ValueError, match="not a registered manifest view"):
+        manifest_sql(spark, "DELETE FROM never_registered WHERE 1=1")
+    # SELECT / SHOW fall through to spark.sql unchanged
+    df = manifest_sql(spark, f"SELECT count(*) AS n FROM {view}")
+    assert df.first()["n"] == 30
+
+
+def test_sql_dml_probe_still_prunes(spark, table_path, view):
+    """Plan evidence (VERDICT r8 'done' criterion): a partition-equality
+    DELETE through SQL probes only the matching partition's files —
+    the dispatcher forwards the predicate verbatim, so the engine's
+    probe pruning engages exactly as the Python API's."""
+    r = manifest_sql(spark, f"DELETE FROM {view} WHERE day = 'd1'")
+    assert r["deleted_rows"] == 10
+    # _prune_dml_probe telemetry: the mor probe read only d1's files
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["probe_files_kept"] < m["probe_files_total"], (
+        f"probe did not prune: {m}"
+    )
