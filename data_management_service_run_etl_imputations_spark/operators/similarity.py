@@ -248,58 +248,33 @@ def embedding_near_duplicates_blocked(
             F.col(vec_col), lambda x: x.cast("double") / norm
         ).alias("__unit"),
     )
-    # Quantizer: seeded Lloyd's k-means on a bounded sample of unit
-    # vectors, trained DRIVER-SIDE (FAISS trains coarse quantizers on
-    # samples for the same reason). Sample + exact cardinality come from
-    # ONE projection pass: each partition emits its first
-    # ceil(64k/n_partitions) unit vectors plus a count row — no separate
-    # df.count() job (count() is a full scan, not a parquet-footer read,
-    # so the old count-then-collect did two passes). Clustering QUALITY
-    # only moves the pruning rate, never recall (any partition is
-    # exact); per-partition heads are spread across the input's file
-    # ranges, which is plenty for a coarse quantizer. Driver-side numpy
-    # replaces an MLlib fit because the fit was the measured wall-clock
-    # floor at bench scale (~5 s multi-stage overhead for 2k vectors);
-    # Lloyd's on ≤64k×dims is milliseconds.
+    # Quantizer (big-corpus path): seeded Lloyd's k-means on a bounded
+    # sample of unit vectors, trained DRIVER-SIDE (FAISS trains coarse
+    # quantizers on samples for the same reason).
+    # Cardinality probe: one JVM-ONLY count() (Catalyst prunes every
+    # projection, so it reads no vector bytes and spins no Python
+    # workers). The previous design fused sample + count into one
+    # mapInPandas pass; at bench scale that Python pass WAS the
+    # wall-clock floor (~1.0 s of the 1.7 s strict run at sf0.1: Arrow
+    # transfer of every unit vector + Python worker startup, all
+    # discarded whenever the short-circuit then fired). Two JVM jobs
+    # beat one Python job, and on the short-circuit path the quantizer
+    # sample is never collected at all; on the big-corpus path it
+    # collects via JVM-side Bernoulli sample() below. Clustering
+    # QUALITY only moves the pruning rate, never recall (any partition
+    # is exact), so a Bernoulli sample is as good as per-partition
+    # heads. Driver-side numpy Lloyd's replaces an MLlib fit because
+    # the fit was the measured wall-clock floor at bench scale (~5 s
+    # multi-stage overhead for 2k vectors); Lloyd's on <=64k x dims is
+    # milliseconds.
     fit_cap = 65536
-    sample_src = base.select("__unit")
-    n_parts = max(1, sample_src.rdd.getNumPartitions())
-    per_part = -(-fit_cap // n_parts)  # ceil
-
-    def _head_and_count(batches):
-        taken, n, kept = 0, 0, []
-        for b in batches:
-            n += len(b)
-            if taken < per_part:
-                take = min(per_part - taken, len(b))
-                kept.append(b.iloc[:take])
-                taken += take
-        head = (
-            pd.concat(kept)
-            if kept
-            else pd.DataFrame({"__unit": pd.Series(dtype="object")})
-        )
-        yield pd.concat(
-            [
-                head.assign(__n=0),
-                pd.DataFrame({"__unit": [None], "__n": [n]}),
-            ]
-        )
-
-    probe = sample_src.mapInPandas(
-        _head_and_count, schema="__unit array<double>, __n long"
-    ).collect()
-    n_rows = sum(r["__n"] for r in probe)
+    n_rows = df.count()
     if n_rows == 0:
         # empty corpus: no pairs (the unguarded path would crash inside
         # rng.choice on a zero-length sample)
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double"
         )
-    sample = np.array(
-        [r["__unit"] for r in probe if r["__unit"] is not None],
-        dtype=np.float64,
-    )
     if single_block_rows is None:
         single_block_rows = target_block_rows
     if n_rows <= single_block_rows:
@@ -360,6 +335,22 @@ def embedding_near_duplicates_blocked(
         return scored.select(
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
+    # quantizer sample (big-corpus path only): JVM-side Bernoulli
+    # sample, oversampled 1.2x then capped — one projection-pruned job
+    # that ships at most fit_cap unit vectors to the driver
+    frac = min(1.0, (fit_cap * 1.2) / n_rows)
+    sample_rows = (
+        base.select("__unit").sample(fraction=frac, seed=seed)
+        .limit(fit_cap)
+        .collect()
+    )
+    if not sample_rows:  # tiny-fraction edge: fall back to a head
+        sample_rows = (
+            base.select("__unit").limit(min(fit_cap, n_rows)).collect()
+        )
+    sample = np.array(
+        [r["__unit"] for r in sample_rows], dtype=np.float64
+    )
     if n_cells is None:
         n_cells = min(2048, max(16, int(math.isqrt(n_rows))))
 

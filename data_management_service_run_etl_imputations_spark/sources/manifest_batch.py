@@ -153,8 +153,6 @@ class ManifestBatchReader(DataSourceReader):
         version = options.get("version")
         as_of = options.get("as_of")
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
-            _has_checkpoint,
-            _load_checkpoint_meta,
             _materialize,
             _resolve_version,
         )
@@ -164,22 +162,25 @@ class ManifestBatchReader(DataSourceReader):
             int(version) if version is not None else None,
             as_of=float(as_of) if as_of is not None else None,
         )
-        # On a checkpointed version, defer the O(files) half: hold only
-        # the small meta now and fetch file lists for just the
-        # partitions that survive pruning at partitions() time (same
-        # flat-cost contract as manifest_read's pruned path).
-        self._ckpt = self.version > 0 and _has_checkpoint(
-            self.path, self.version
+        # When the version's delta chain anchors at a parquet checkpoint
+        # (the version itself OR any ancestor in the cadence window),
+        # defer the O(files) half: hold only the small meta + the
+        # chain's file-edit overlay now and fetch file lists for just
+        # the partitions that survive pruning at partitions() time
+        # (same flat-cost contract as manifest_read's pruned path).
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _pruned_resolve,
         )
-        if self._ckpt:
-            self.content = _load_checkpoint_meta(self.path, self.version)
-            self._files_ref = self.content.pop("files_ref")
+
+        self._files_plan = None
+        if self.version > 0:
+            resolved = _pruned_resolve(self.path, self.version)
+            if resolved is not None:
+                self.content, self._files_plan = resolved
+            else:
+                self.content = _materialize(self.path, self.version)
         else:
-            self.content = (
-                _materialize(self.path, self.version)
-                if self.version > 0
-                else {"partitions": {}}
-            )
+            self.content = {"partitions": {}}
         if self.version == 0:
             raise ValueError(f"no manifest table at {self.path}")
         # pruning state fed by pushFilters (empty = unpruned scan)
@@ -208,6 +209,7 @@ class ManifestBatchReader(DataSourceReader):
         # full batch-source test suite).
         state = dict(self.__dict__)
         state["content"] = None
+        state["_files_plan"] = None
         state["_part_eqs"] = []
         state["_boxes"] = {}
         state["last_plan"] = {}
@@ -321,18 +323,18 @@ class ManifestBatchReader(DataSourceReader):
                 for k, v in parts.items()
                 if any(m(comps(k)[idx]) for m in matchers)
             }
-        if self._ckpt:
+        if self._files_plan is not None:
             # fetch file lists for ONLY the surviving partitions, fresh
             # per plan (re-planning with different filters must not see
             # a stale pruned subset); self.content stays files-free
             from data_management_service_run_etl_imputations_spark.sources.sinks import (
-                _load_checkpoint_files,
+                _load_files_pruned,
             )
 
             content = {
                 **content,
-                "files": _load_checkpoint_files(
-                    self.path, self._files_ref, sorted(parts)
+                "files": _load_files_pruned(
+                    self.path, self._files_plan, sorted(parts)
                 ),
             }
         rels = _live_file_rels(content, parts, path=self.path)
@@ -487,9 +489,8 @@ class ManifestTableDataSource(DataSource):
         from pyspark.sql.types import StructType
 
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
-            _has_checkpoint,
-            _load_checkpoint_meta,
             _materialize,
+            _pruned_resolve,
             _resolve_version,
         )
 
@@ -505,12 +506,10 @@ class ManifestTableDataSource(DataSource):
         )
         if v == 0:
             raise ValueError(f"no manifest table at {path}")
-        # schema needs only the small meta half on checkpointed versions
-        content = (
-            _load_checkpoint_meta(path, v)
-            if _has_checkpoint(path, v)
-            else _materialize(path, v)
-        )
+        # schema needs only the small meta half whenever the chain
+        # anchors at a checkpoint (head checkpointed or not)
+        resolved = _pruned_resolve(path, v)
+        content = resolved[0] if resolved is not None else _materialize(path, v)
         if not content.get("schema_json"):
             raise ValueError(
                 f"no manifest table (with schema_json) at {path}"

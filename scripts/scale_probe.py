@@ -282,6 +282,37 @@ def main() -> None:
             }
             ckpt_probe.append(entry)
             print(json.dumps({"ckpt_pruned_read": entry}))
+            # NON-CHECKPOINTED HEAD (VERDICT r8 #2): drift the head a
+            # few commits past the checkpoint; the pruned read must
+            # resolve as checkpoint + log-suffix replay with the SAME
+            # flat file-row cost
+            for i in range(3):
+                manifest_upsert_partitioned(
+                    spark.createDataFrame(
+                        [(n_parts * 20 + i, "d0001", 1.0)],
+                        "k LONG, day STRING, v DOUBLE",
+                    ),
+                    root,
+                    ["k"],
+                    "day",
+                )
+            CKPT_PRUNED_LAST.clear()
+            t0 = time.perf_counter()
+            n2 = manifest_read(
+                spark, root, partition_values=["d0007"]
+            ).count()
+            entry2 = {
+                "partitions_total": n_parts,
+                "head_off_checkpoint": 3,
+                "rows_read": n2,
+                "sec": round(time.perf_counter() - t0, 3),
+                **{
+                    k: CKPT_PRUNED_LAST[k]
+                    for k in ("partitions_selected", "file_rows_loaded")
+                },
+            }
+            ckpt_probe.append(entry2)
+            print(json.dumps({"ckpt_pruned_read_offhead": entry2}))
     finally:
         _shutil.rmtree(root, ignore_errors=True)
 

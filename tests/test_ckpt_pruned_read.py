@@ -113,3 +113,186 @@ def test_time_travel_version_pins_pruned_read(spark, table_path):
     # head (not checkpointed): falls back, delete visible
     head = manifest_read(spark, table_path, partition_values=["d002"])
     assert head.count() == 0
+
+
+def test_pruned_resolve_equals_materialize_every_version(spark, table_path):
+    """The non-checkpointed-head extension (VERDICT r8 #2):
+    _pruned_resolve must reconstruct EXACTLY what _materialize builds —
+    meta keys identical, and the lazy files loader, asked for every
+    partition, byte-equal to the hydrated dict — at EVERY version of a
+    history that exercises upserts (files.set), partition replacement,
+    MoR deletes, a checkpoint mid-chain, and post-checkpoint commits."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_version,
+        _load_files_pruned,
+        _materialize,
+        _pruned_resolve,
+        manifest_replace_partitions,
+    )
+
+    _seed(spark, table_path, days=6)                      # v1
+    manifest_delete_where(spark, table_path, "k = 103")   # v2 (mor)
+    manifest_checkpoint(spark, table_path)                # ckpt @ v2
+    _seed(spark, table_path, days=3)                      # v3 re-upserts d0-2
+    manifest_delete_where(spark, table_path, "day = 'd001'", mode="cow")  # v4
+    manifest_replace_partitions(
+        spark.createDataFrame(
+            [(900, "d005", 9.0)], "k LONG, day STRING, v DOUBLE"
+        ),
+        table_path,
+        "day",
+        ["d005"],
+    )                                                     # v5
+    head = _latest_version(table_path)
+    assert head >= 5
+    n_pruned = 0
+    for v in range(1, head + 1):
+        full = _materialize(table_path, v)
+        resolved = _pruned_resolve(table_path, v)
+        if resolved is None:
+            continue  # full-snapshot anchor: fallback path by design
+        n_pruned += 1
+        meta, plan = resolved
+        assert meta == {k: x for k, x in full.items() if k != "files"}, v
+        all_parts = sorted(full.get("partitions", {}))
+        got_files = _load_files_pruned(table_path, plan, all_parts)
+        want_files = {
+            k: x for k, x in full.get("files", {}).items() if k in set(all_parts)
+        }
+        assert got_files == want_files, f"files diverge at v{v}"
+        # and a partition the chain never touched loads alone
+        if all_parts:
+            one = all_parts[-1]
+            assert _load_files_pruned(table_path, plan, [one]) == {
+                k: x for k, x in want_files.items() if k == one
+            }, v
+    assert n_pruned >= 3  # the chain path actually engaged post-checkpoint
+
+
+def test_pruned_read_at_non_checkpointed_head(spark, table_path):
+    """manifest_read with selectors at a head that is PAST its last
+    checkpoint must still take the pruned path (chain replay + overlay)
+    and return byte-identical rows to the full path."""
+    _seed(spark, table_path, days=12)
+    manifest_checkpoint(spark, table_path)      # ckpt @ v1
+    _seed(spark, table_path, days=2)            # v2: d0, d1 rewritten
+    manifest_delete_where(spark, table_path, "k = 303")  # v3: MoR mask
+    CKPT_PRUNED_LAST.clear()
+    got = manifest_read(
+        spark, table_path, partition_filter={"day": ["d001", "d003"]}
+    )
+    assert CKPT_PRUNED_LAST["partitions_selected"] == 2
+    assert CKPT_PRUNED_LAST["partitions_total"] == 12
+    assert CKPT_PRUNED_LAST["chain_overlay_parts"] >= 2  # d0, d1 edits
+    want = manifest_read(spark, table_path).filter(
+        "day IN ('d001', 'd003')"
+    )
+    assert _rows(got) == _rows(want)
+    assert got.filter("k = 303").count() == 0  # chain delete masked
+
+
+def test_sql_scan_pruned_at_non_checkpointed_head(spark, table_path):
+    """The batch DataSource plans from checkpoint + log-suffix too: a
+    WHERE-pruned SQL read at an off-checkpoint head matches
+    manifest_read and the planner telemetry shows partition pruning."""
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        ManifestBatchReader,
+        manifest_sql_register,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    _seed(spark, table_path, days=8)
+    manifest_checkpoint(spark, table_path)
+    _seed(spark, table_path, days=2)  # head drifts past the checkpoint
+    view = f"ckv_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, view, table_path)
+    got = spark.sql(f"SELECT k, day, v FROM {view} WHERE day = 'd001'")
+    want = manifest_read(spark, table_path).filter("day = 'd001'")
+    assert _rows(got) == _rows(want)
+    # planner evidence, on the reader class directly
+    schema = manifest_read(spark, table_path).schema
+    r = ManifestBatchReader(schema, {"path": table_path})
+    assert r._files_plan is not None  # lazy path engaged off-checkpoint
+    list(r.pushFilters([EqualTo(("day",), "d001")]))
+    r.partitions()
+    assert r.last_plan["partitions_kept"] == 1
+    assert r.last_plan["partitions_total"] == 8
+
+
+def test_lazy_mor_delete_at_checkpointed_head(spark, table_path):
+    """MoR DELETE at a checkpoint-anchored head plans lazily (VERDICT r8
+    #2): partition pruning on checkpoint meta, file lists fetched for
+    surviving partitions only, actions-based commit — and the result is
+    byte-identical to the full path, masks apply on reads, history
+    carries the lazy telemetry, and the commit replays exactly."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_version,
+        _materialize,
+        manifest_history,
+    )
+
+    _seed(spark, table_path, days=10)
+    manifest_checkpoint(spark, table_path)
+    _seed(spark, table_path, days=2)  # drift the head off the checkpoint
+    r = manifest_delete_where(
+        spark, table_path, "day = 'd003' AND k >= 302", mode="mor"
+    )
+    assert r == {"deleted_rows": 3, "files_matched": r["files_matched"]}
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["lazy_plan"] is True
+    assert m["probe_partitions_kept"] == 1
+    assert m["probe_partitions_total"] == 10
+    assert m["mode"] == "merge-on-read"
+    # the delta replays to exactly the same content as a full read
+    v = _latest_version(table_path)
+    full = _materialize(table_path, v)
+    assert any(
+        e.get("kind") == "pos" for e in full.get("deletes", [])
+    )
+    got = sorted(
+        r["k"]
+        for r in manifest_read(spark, table_path)
+        .filter("day = 'd003'")
+        .collect()
+    )
+    assert got == [300, 301]
+    # and the rest of the table is untouched
+    assert manifest_read(spark, table_path).count() == 10 * 5 - 3
+
+
+def test_lazy_mor_delete_falls_back_when_consolidation_due(
+    spark, table_path
+):
+    """Past POS_CONSOLIDATE_THRESHOLD pending positional entries the
+    lazy plan must yield to the full path so consolidation (table-wide
+    address liveness) still happens."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        POS_CONSOLIDATE_THRESHOLD,
+        _latest_manifest,
+        manifest_history,
+    )
+
+    _seed(spark, table_path, days=3)
+    manifest_checkpoint(spark, table_path)
+    targets = [0, 1, 2, 3, 4, 100, 101, 102, 103]  # distinct live rows
+    assert len(targets) == POS_CONSOLIDATE_THRESHOLD + 1
+    for k in targets:
+        manifest_delete_where(spark, table_path, f"k = {k}", mode="mor")
+        # keep every head checkpoint-anchored so the lazy path stays
+        # ELIGIBLE — the fallback must be the consolidation guard, not
+        # a missing checkpoint
+        manifest_checkpoint(spark, table_path)
+    _, content = _latest_manifest(table_path)
+    n_pos = len(
+        [e for e in content.get("deletes", []) if e.get("kind") == "pos"]
+    )
+    assert n_pos <= POS_CONSOLIDATE_THRESHOLD  # consolidation ran
+    ops = [h["op_metrics"] for h in manifest_history(table_path)
+           if h["op"] == "delete"]
+    assert any(m.get("lazy_plan") for m in ops)       # lazy engaged
+    assert not all(m.get("lazy_plan") for m in ops)   # fallback engaged
+    # every targeted row masked, the rest intact
+    got = sorted(
+        r["k"] for r in manifest_read(spark, table_path).collect()
+    )
+    assert got == [104, 200, 201, 202, 203, 204]

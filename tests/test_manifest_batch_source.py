@@ -200,7 +200,7 @@ def test_sql_read_on_checkpointed_version_prunes_flat(spark, table_path):
     # selected partitions' file rows
     schema = manifest_read(spark, table_path).schema
     r = ManifestBatchReader(schema, {"path": table_path})
-    assert r._ckpt and "files" not in r.content
+    assert r._files_plan is not None and "files" not in r.content
     list(r.pushFilters([EqualTo(("day",), "d2")]))
     parts = r.partitions()
     assert r.last_plan["partitions_kept"] == 1
