@@ -524,10 +524,13 @@ class ManifestTableDataSource(DataSource):
         return ManifestAppendWriter(schema, self.options, overwrite)
 
 
-# view name (lowercased) -> (original view name, table root path):
-# the resolution table manifest_sql's DML dispatch uses to map a SQL
-# table identifier back to the manifest table it was registered from
-_SQL_TABLES: "dict[str, tuple[str, str]]" = {}
+# view name (lowercased) -> (original view name, table root path,
+# follow_head, version the view is currently bound to): the resolution
+# table manifest_sql's DML dispatch uses to map a SQL table identifier
+# back to the manifest table it was registered from, and — for
+# follow_head registrations — to detect a moved head cheaply before a
+# SELECT falls through to spark.sql
+_SQL_TABLES: "dict[str, tuple[str, str, bool, int]]" = {}
 
 
 def manifest_sql_register(
@@ -536,6 +539,7 @@ def manifest_sql_register(
     path: str,
     version: int | None = None,
     as_of: float | None = None,
+    follow_head: bool = False,
 ):
     """Expose a manifest table to SQL: register the ``manifest`` format,
     enable Python-DataSource filter pushdown (prune-only — disabled, the
@@ -544,20 +548,47 @@ def manifest_sql_register(
     through ``pushFilters``/``partitions``, so WHERE clauses prune files
     at plan time; the SNAPSHOT stays pinned to registration time
     (re-register to see newer commits — the same "view of a version"
-    contract as Delta's ``@v`` syntax)."""
+    contract as Delta's ``@v`` syntax).
+
+    ``follow_head=True`` opts a view into always-current binding THROUGH
+    :func:`manifest_sql`: before a statement referencing the view runs,
+    the dispatcher compares the table's current head (one O(delta-chain)
+    directory listing, no file-list hydration) to the version the view
+    is bound to and re-registers only when the head moved. Within one
+    statement the snapshot is still immutable — currency is
+    per-statement, the same isolation Delta gives a catalog table. Raw
+    ``spark.sql`` calls bypass the dispatcher and keep seeing the pinned
+    snapshot; that is the documented trade of using the session-level
+    temp-view surface instead of a catalog plugin."""
+    if follow_head and (version is not None or as_of is not None):
+        raise ValueError(
+            "follow_head=True pins to the moving head — it cannot be "
+            "combined with an explicit version/as_of"
+        )
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:  # noqa: BLE001 — older/locked conf: stay unpruned
         pass
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _resolve_version,
+    )
+
     spark.dataSource.register(ManifestTableDataSource)
+    bound_v = _resolve_version(
+        path,
+        int(version) if version is not None else None,
+        as_of=float(as_of) if as_of is not None else None,
+    )
     reader = spark.read.format("manifest").option("path", path)
-    if version is not None:
-        reader = reader.option("version", str(version))
-    if as_of is not None:
-        reader = reader.option("as_of", str(as_of))
+    if bound_v > 0:
+        # pin the DataFrame explicitly to the version we recorded —
+        # closes the race where a commit lands between our resolution
+        # and the DataSource's own (the view and _SQL_TABLES would
+        # disagree about what "current" means)
+        reader = reader.option("version", str(bound_v))
     df = reader.load()
     df.createOrReplaceTempView(view_name)
-    _SQL_TABLES[view_name.lower()] = (view_name, path)
+    _SQL_TABLES[view_name.lower()] = (view_name, path, follow_head, bound_v)
     return df
 
 
@@ -1049,9 +1080,9 @@ def _resolve_sql_table(ident: str) -> "tuple[str, str]":
         raise ValueError(
             f"{ident!r} is not a registered manifest view — call "
             f"manifest_sql_register(spark, {ident!r}, table_root) first "
-            f"(registered: {sorted(v for v, _ in _SQL_TABLES.values())})"
+            f"(registered: {sorted(v[0] for v in _SQL_TABLES.values())})"
         )
-    return _SQL_TABLES[name]
+    return _SQL_TABLES[name][:2]
 
 
 def _parse_assignments(set_part: str) -> "dict[str, str]":
@@ -1073,6 +1104,45 @@ def _parse_assignments(set_part: str) -> "dict[str, str]":
     return assignments
 
 
+def _refresh_followed_views(spark, stmt: str) -> None:
+    """Re-bind every ``follow_head`` view the statement references whose
+    table head moved since the view's current binding. Reference
+    detection is a word-boundary name match OUTSIDE quoted regions — a
+    false positive (the name used as a column, say) merely triggers a
+    harmless head-version compare; a miss is impossible for a real table
+    reference because SQL table identifiers are exactly the registered
+    word. The compare is :func:`sinks._resolve_version`'s directory
+    listing — O(delta-chain entries), no file-list hydration — so a
+    SELECT against an unchanged table pays only metadata stat calls."""
+    import re
+
+    followed = [
+        (view, path)
+        for view, path, follow, bound_v in _SQL_TABLES.values()
+        if follow
+    ]
+    if not followed:
+        return
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _resolve_version,
+    )
+
+    # strip single/double-quoted literals so a view name inside a string
+    # is not treated as a reference; parenthesized regions are KEPT
+    # (subqueries reference views), which is why this is a regex strip
+    # rather than _scan_top (that also drops paren bodies)
+    text = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ", stmt)
+    for view, path in followed:
+        if not re.search(
+            r"(?<![\w`])" + re.escape(view) + r"(?![\w`])", text, re.I
+        ):
+            continue
+        bound_v = _SQL_TABLES[view.lower()][3]
+        head_v = _resolve_version(path, None)
+        if head_v != bound_v:
+            manifest_sql_register(spark, view, path, follow_head=True)
+
+
 def manifest_sql(spark, statement: str, mode: str | None = None):
     """Execute ONE SQL statement against registered manifest views,
     routing the DML verbs to the table's transactional engines:
@@ -1090,8 +1160,10 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       equi-comparisons — they become the merge keys)
 
     Anything else (SELECT, SHOW, …) falls through to ``spark.sql``
-    unchanged, so this can serve as the single SQL entry point. After a
-    DML verb commits, the view is RE-REGISTERED at the new head (the
+    unchanged — after re-binding any referenced ``follow_head`` views
+    whose table head moved (see :func:`manifest_sql_register`), so a
+    head-following view is always-current through this entry point.
+    After a DML verb commits, the view is RE-REGISTERED at the new head (the
     snapshot-pinned view contract would otherwise hide your own write —
     same behavior as Delta, where DML invalidates cached snapshots).
     DML returns the engine's op-count dict (plus ``statement``);
@@ -1116,11 +1188,13 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     stmt = statement.strip().rstrip(";").strip()
     verb_m = re.match(r"(DELETE|UPDATE|MERGE)\b", stmt, re.I)
     if not verb_m:
+        _refresh_followed_views(spark, stmt)
         return spark.sql(statement)
     verb = verb_m.group(1).upper()
 
     def refresh(view_name: str, path: str) -> None:
-        manifest_sql_register(spark, view_name, path)
+        follow = _SQL_TABLES.get(view_name.lower(), ("", "", False, 0))[2]
+        manifest_sql_register(spark, view_name, path, follow_head=follow)
 
     if verb == "DELETE":
         m = re.match(

@@ -256,3 +256,117 @@ def test_sql_dml_probe_still_prunes(spark, table_path, view):
     assert m["probe_files_kept"] < m["probe_files_total"], (
         f"probe did not prune: {m}"
     )
+
+
+# ---- follow_head: always-current views through the dispatcher --------
+
+
+def _add(spark, table_path, rows):
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, day STRING, v DOUBLE").coalesce(1),
+        table_path,
+        ["k"],
+        "day",
+    )
+
+
+def test_follow_head_view_sees_new_commits(spark, table_path):
+    _add(spark, table_path, [(1, "d0", 1.0), (2, "d1", 2.0)])
+    name = f"msqlf_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path, follow_head=True)
+    q = f"SELECT count(*) AS c FROM {name}"
+    assert manifest_sql(spark, q).collect()[0].c == 2
+    # commit through the Python API (NOT the dispatcher) — currency must
+    # come from the head compare, not the DML refresh path
+    _add(spark, table_path, [(3, "d2", 3.0)])
+    assert manifest_sql(spark, q).collect()[0].c == 3
+    # raw spark.sql keeps the last bound snapshot only until the next
+    # dispatcher call re-binds; after it, both agree
+    assert spark.sql(q).collect()[0].c == 3
+
+
+def test_pinned_view_stays_pinned_through_dispatcher(spark, table_path):
+    _add(spark, table_path, [(1, "d0", 1.0)])
+    name = f"msqlp_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path)  # default: pinned
+    q = f"SELECT count(*) AS c FROM {name}"
+    _add(spark, table_path, [(2, "d1", 2.0)])
+    assert manifest_sql(spark, q).collect()[0].c == 1
+
+
+def test_follow_head_refuses_explicit_version(spark, table_path):
+    _add(spark, table_path, [(1, "d0", 1.0)])
+    with pytest.raises(ValueError, match="follow_head"):
+        manifest_sql_register(
+            spark, "nope", table_path, version=1, follow_head=True
+        )
+
+
+def test_follow_head_no_rebind_when_head_unchanged(spark, table_path):
+    """An unchanged table must not be re-registered (re-binding replans
+    the DataFrame; the whole point of the version compare is that a
+    quiescent table costs only metadata stats)."""
+    from data_management_service_run_etl_imputations_spark.sources import (
+        manifest_batch as mb,
+    )
+
+    _add(spark, table_path, [(1, "d0", 1.0), (2, "d1", 2.0)])
+    name = f"msqln_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path, follow_head=True)
+    bound_before = mb._SQL_TABLES[name.lower()]
+    q = f"SELECT sum(v) AS s FROM {name}"
+    manifest_sql(spark, q).collect()
+    assert mb._SQL_TABLES[name.lower()] == bound_before  # same tuple → no rebind
+
+
+def test_follow_head_survives_dml_refresh(spark, table_path):
+    """A DML statement's view refresh must preserve the follow flag —
+    otherwise one UPDATE silently downgrades the view to pinned."""
+    from data_management_service_run_etl_imputations_spark.sources import (
+        manifest_batch as mb,
+    )
+
+    _add(spark, table_path, [(1, "d0", 1.0), (2, "d1", 2.0)])
+    name = f"msqld_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path, follow_head=True)
+    manifest_sql(spark, f"UPDATE {name} SET v = v + 10 WHERE k = 1")
+    assert mb._SQL_TABLES[name.lower()][2] is True
+    # and the refreshed view already sees the DML
+    got = manifest_sql(
+        spark, f"SELECT v FROM {name} WHERE k = 1"
+    ).collect()[0].v
+    assert got == 11.0
+    # out-of-band commit after DML still tracked
+    _add(spark, table_path, [(9, "d0", 9.0)])
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {name}").collect()[0].c
+        == 3
+    )
+
+
+def test_follow_head_name_in_string_literal_not_a_reference(spark, table_path):
+    """A view name inside a string literal must not trigger a head
+    compare/rebind — the reference detector strips quoted regions."""
+    from data_management_service_run_etl_imputations_spark.sources import (
+        manifest_batch as mb,
+    )
+
+    _add(spark, table_path, [(1, "d0", 1.0)])
+    name = f"msqls_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path, follow_head=True)
+    _add(spark, table_path, [(2, "d1", 2.0)])
+    bound = mb._SQL_TABLES[name.lower()]
+    manifest_sql(spark, f"SELECT '{name}' AS tag").collect()
+    assert mb._SQL_TABLES[name.lower()] == bound  # literal only → untouched
+
+
+def test_follow_head_subquery_reference_rebinds(spark, table_path):
+    _add(spark, table_path, [(1, "d0", 1.0), (2, "d1", 2.0)])
+    name = f"msqlq_{uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path, follow_head=True)
+    _add(spark, table_path, [(3, "d2", 3.0)])
+    got = manifest_sql(
+        spark,
+        f"SELECT c FROM (SELECT count(*) AS c FROM {name}) x",
+    ).collect()[0].c
+    assert got == 3
