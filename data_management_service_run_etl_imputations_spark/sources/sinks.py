@@ -2620,7 +2620,36 @@ def manifest_update_where(
         raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
     if not assignments:
         raise ValueError("assignments must set at least one column")
-    version, content = _latest_manifest(path)
+    # LAZY PLAN (the DELETE discipline extended to the second MoR verb):
+    # a merge-on-read update commits only a positional mask + freshly
+    # staged files, so when the head's chain anchors at a checkpoint the
+    # probe AND the commit run without hydrating the O(files) driver
+    # dict. Gates (any failing → eager path): positional consolidation
+    # not due, no zone-map sidecar (its refresh prunes against the full
+    # live file set), no column mapping (dir_col_ids pruning likewise).
+    files_plan = None
+    if mode == "mor":
+        v = _latest_version(path)
+        if v > 0:
+            resolved = _pruned_resolve(path, v)
+            if resolved is not None:
+                meta = resolved[0]
+                n_pos = len(
+                    [
+                        e
+                        for e in (meta.get("deletes") or [])
+                        if e.get("kind") == "pos"
+                    ]
+                )
+                if (
+                    n_pos + 1 <= POS_CONSOLIDATE_THRESHOLD
+                    and not meta.get("stats_ref")
+                    and not meta.get("col_ids")
+                ):
+                    content, files_plan = resolved
+                    version = v
+    if files_plan is None:
+        version, content = _latest_manifest(path)
     if version == 0:
         raise ValueError(f"manifest table at {path} does not exist")
     parts = content.get("partitions", {})
@@ -2655,7 +2684,12 @@ def manifest_update_where(
     files: dict = content.get("files", {})
 
     _, rels, probe_metrics = _prune_dml_probe(
-        spark, path, version, content, condition, parts
+        spark, path, version, content, condition, parts,
+        files_loader=(
+            (lambda pk: _load_files_pruned(path, files_plan, pk))
+            if files_plan is not None
+            else None
+        ),
     )
     if not rels:
         return {"updated_rows": 0, "files_matched": 0, **probe_metrics}
@@ -2782,7 +2816,21 @@ def manifest_update_where(
     )
     # nothing is rewritten: every live file of the touched partitions
     # carries by reference next to the freshly staged updated rows
-    carry_files = {k: list(files.get(k, [])) for k in touched_keys}
+    carry_src = (
+        _load_files_pruned(path, files_plan, touched_keys)
+        if files_plan is not None
+        else files
+    )
+    carry_files = {k: list(carry_src.get(k, [])) for k in touched_keys}
+    if files_plan is not None:
+        # lazy commit: consolidation guaranteed not due by the gate
+        # above — append the entry as-is; purge/consolidation happen at
+        # the next eager commit or checkpoint
+        new_deletes = [*(content.get("deletes") or []), entry]
+    else:
+        new_deletes = _maybe_consolidate_pos(
+            spark, path, content, [*(content.get("deletes") or []), entry]
+        )
     _stage_and_commit(
         path,
         updated,
@@ -2791,14 +2839,7 @@ def manifest_update_where(
         fmt,
         version,
         content,
-        {
-            "deletes": _maybe_consolidate_pos(
-                spark,
-                path,
-                content,
-                [*(content.get("deletes") or []), entry],
-            )
-        },
+        {"deletes": new_deletes},
         op="update",
         allow_fast_forward=False,
         carry_files=carry_files,
@@ -2809,6 +2850,7 @@ def manifest_update_where(
             "mode": "merge-on-read",
             **probe_metrics,
         },
+        lazy_actions=files_plan is not None,
     )
     return {
         "updated_rows": n,
@@ -2949,7 +2991,30 @@ def manifest_upsert_partitioned(
     import uuid
 
     spark = incoming.sparkSession
-    version, content = _latest_manifest(path)
+    # LAZY PLAN — the hot path gets the DELETE/UPDATE discipline: an
+    # upsert touches only the incoming batch's partitions, so when the
+    # head's chain anchors at a checkpoint, the probe, the carry lists,
+    # and the commit (actions-based, with a PRUNED fast-forward on a
+    # lost race) all run off meta + the touched partitions' file lists —
+    # steady ingestion into a 10⁷-file table never hydrates the O(files)
+    # driver dict. Gates (any → eager): zone-map/bloom sidecars (their
+    # refresh prunes against the full live set) and column mapping
+    # (dir_col_ids pruning likewise).
+    files_plan = None
+    v = _latest_version(path)
+    if v > 0:
+        resolved = _pruned_resolve(path, v)
+        if resolved is not None:
+            meta = resolved[0]
+            if (
+                not meta.get("stats_ref")
+                and not meta.get("col_ids")
+                and not meta.get("bloom_ref")
+            ):
+                content, files_plan = resolved
+                version = v
+    if files_plan is None:
+        version, content = _latest_manifest(path)
     if txn is not None and _txn_applied(content, txn):
         return {"updated": 0, "inserted": 0, "skipped": True}
     if txn is not None:
@@ -2959,11 +3024,20 @@ def manifest_upsert_partitioned(
         incoming = _apply_generated(incoming, gen)
         extra_meta = {**(extra_meta or {}), "generated_cols": gen}
     parts: dict = dict(content.get("partitions", {}))
-    files: dict = dict(content.get("files", {}))
 
     pcols = _pcols(partition_col)
     touched = incoming.select(*pcols).distinct().collect()
     touched_keys = [_part_key_tuple(tuple(r), pcols) for r in touched]
+    if files_plan is not None:
+        # hydrate the TOUCHED partitions' file lists only — everything
+        # downstream (probe, split, stage) reads content["files"] for
+        # touched keys alone, and the lazy commit never lets this
+        # partial dict near an eager _build
+        content = {
+            **content,
+            "files": _load_files_pruned(path, files_plan, touched_keys),
+        }
+    files: dict = dict(content.get("files", {}))
     scope = {k: parts[k] for k in touched_keys if k in parts}
 
     # FILE-granular copy-on-write: probe which files of the touched
@@ -3046,6 +3120,7 @@ def manifest_upsert_partitioned(
             # removed/added row with the same key into one update event
             "keys": list(keys),
         },
+        lazy_actions=files_plan is not None,
     )
     if auto_compact_min_files is not None and touched_keys:
         _auto_compact(
@@ -3070,6 +3145,7 @@ def _stage_and_commit(
     allow_fast_forward: bool = True,
     op_metrics_extra: dict | None = None,
     carry_files: dict[str, list] | None = None,
+    lazy_actions: bool = False,
 ) -> int:
     """Shared write tail for partition-rewriting commits (upsert, merge):
     stage the touched partitions' merged content into an immutable
@@ -3092,7 +3168,22 @@ def _stage_and_commit(
     partitions' keys: a concurrent commit adding a source-matching key
     to an untouched partition invalidates the staged merge even though
     no touched partition moved, so the whole merge must re-run against
-    the new head via ``with_commit_retry``)."""
+    the new head via ``with_commit_retry``).
+
+    ``lazy_actions=True`` is the MoR-update extension of the lazy DELETE
+    commit: the caller planned through :func:`_pruned_resolve`, so
+    ``content`` carries NO file lists, and the commit publishes an
+    explicit ACTIONS diff (partitions/files/dir_schemas sets for the
+    touched keys plus ``extra_meta``) instead of letting
+    ``_publish_manifest`` re-materialize the parent to diff against —
+    commit cost O(touched partitions), never O(table files). Contract:
+    the staged schema must equal the table schema (an UPDATE cannot
+    mutate it — verified, with a full-materialization fallback),
+    table-wide maintenance (positional-entry consolidation, dead-delete
+    purge, stats sidecar refresh, column-mapping pruning) is the
+    CALLER's gate (it must fall back to the eager path when any is
+    due), and fast-forward must be off (a head compare would hydrate
+    what the plan avoided)."""
     import uuid
 
     from data_management_service_run_etl_imputations_spark.session import (
@@ -3281,6 +3372,88 @@ def _stage_and_commit(
         "files_carried": sum(len(v) for v in carry.values()),
         **(op_metrics_extra or {}),
     }
+    if lazy_actions:
+        if out_schema != content.get("schema"):
+            # staged schema drifted from the table's (should be
+            # impossible for UPDATE; defensive): the actions diff below
+            # would be incomplete — hydrate and take the eager path
+            content = _materialize(path, version)
+            lazy_actions = False
+    if lazy_actions:
+        parts_set: dict[str, str] = {}
+        files_set: dict[str, list] = {}
+        dirs_set: dict[str, str] = {}
+        for k in touched_keys:
+            carried = carry.get(k, [])
+            if staged_files[k]:
+                rel = staged_rel[k]
+                parts_set[k] = rel
+                files_set[k] = [*carried, *staged_files[k]]
+                dirs_set[rel] = out_schema
+            elif carried:
+                files_set[k] = list(carried)
+            else:  # pragma: no cover — touched keys come from staged rows
+                raise RuntimeError(
+                    f"{op} at {path}: touched partition {k!r} has neither "
+                    "staged nor carried files on the lazy commit path"
+                )
+        actions = {
+            "set": dict(extra_meta or {}),
+            "partitions.set": parts_set,
+            "files.set": files_set,
+            "dir_schemas.set": dirs_set,
+        }
+        for _ in range(16):
+            try:
+                _publish_manifest(
+                    path,
+                    version + 1,
+                    {**content, **(extra_meta or {})},
+                    op=op,
+                    op_metrics={**op_metrics, "lazy_commit": True},
+                    actions=actions,
+                )
+                break
+            except CommitConflict:
+                if extra_meta or not allow_fast_forward:
+                    raise
+                # LAZY fast-forward: the eager loop's head compare is
+                # touched-keys + meta only (_upsert_fast_forward_safe
+                # never looks outside them), so a PRUNED head resolve —
+                # meta + file lists for just the touched keys — answers
+                # it without hydrating the O(files) dict. The winner
+                # having grown an index sidecar / column mapping is an
+                # escape (our actions skipped their maintenance).
+                head_v = _latest_version(path)
+                resolved = (
+                    _pruned_resolve(path, head_v) if head_v > 0 else None
+                )
+                if resolved is None:
+                    head = _materialize(path, head_v)
+                else:
+                    hmeta, hplan = resolved
+                    head = {
+                        **hmeta,
+                        "files": _load_files_pruned(
+                            path, hplan, touched_keys
+                        ),
+                    }
+                if (
+                    head.get("stats_ref")
+                    or head.get("col_ids")
+                    or head.get("bloom_ref")
+                    or not _upsert_fast_forward_safe(
+                        content, head, touched_keys, fmt, partition_col
+                    )
+                ):
+                    raise
+                version, content = head_v, head
+        else:  # pragma: no cover — 16 straight fast-forward losses
+            raise CommitConflict(
+                f"{op} at {path} lost {16} lazy fast-forward commit races"
+            )
+        _maybe_auto_checkpoint(merged.sparkSession, path, version + 1)
+        return n_merged
     for _ in range(16):
         try:
             _publish_manifest(

@@ -313,6 +313,62 @@ def main() -> None:
             }
             ckpt_probe.append(entry2)
             print(json.dumps({"ckpt_pruned_read_offhead": entry2}))
+            # LAZY DML + UPSERT COMMITS at the drifted head (r9): the
+            # MoR verbs and the partition-level upsert plan AND commit
+            # off checkpoint + log-suffix (actions-based publish, file
+            # lists fetched for surviving/touched partitions only) —
+            # the telemetry flags prove the path engaged and the wall
+            # cost must stay flat as the partition count grows 10×.
+            from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                manifest_delete_where,
+                manifest_history,
+                manifest_update_where,
+            )
+
+            for op_name, run in (
+                (
+                    "delete_mor",
+                    lambda: manifest_delete_where(
+                        spark, root, "day = 'd0003' AND k % 3 = 0",
+                        mode="mor",
+                    ),
+                ),
+                (
+                    "update_mor",
+                    lambda: manifest_update_where(
+                        spark, root, {"v": "v + 0.5"},
+                        "day = 'd0005' AND k % 3 = 1", mode="mor",
+                    ),
+                ),
+                (
+                    "upsert",
+                    lambda: manifest_upsert_partitioned(
+                        spark.createDataFrame(
+                            [(n_parts * 20 + 50, "d0002", 2.0)],
+                            "k LONG, day STRING, v DOUBLE",
+                        ),
+                        root,
+                        ["k"],
+                        "day",
+                    ),
+                ),
+            ):
+                t0 = time.perf_counter()
+                run()
+                sec = round(time.perf_counter() - t0, 3)
+                m = manifest_history(root)[-1]["op_metrics"]
+                entry3 = {
+                    "op": op_name,
+                    "partitions_total": n_parts,
+                    "sec": sec,
+                    "lazy_plan": m.get("lazy_plan"),
+                    "lazy_commit": m.get("lazy_commit"),
+                    "probe_partitions_kept": m.get(
+                        "probe_partitions_kept"
+                    ),
+                }
+                ckpt_probe.append(entry3)
+                print(json.dumps({"lazy_dml_commit": entry3}))
     finally:
         _shutil.rmtree(root, ignore_errors=True)
 

@@ -296,3 +296,421 @@ def test_lazy_mor_delete_falls_back_when_consolidation_due(
         r["k"] for r in manifest_read(spark, table_path).collect()
     )
     assert got == [104, 200, 201, 202, 203, 204]
+
+
+def test_lazy_mor_update_at_checkpointed_head(spark, table_path):
+    """MoR UPDATE at a checkpoint-anchored head plans AND commits lazily
+    (the DELETE discipline extended to the second MoR verb): partition
+    pruning on checkpoint meta, carry lists fetched for the touched
+    partitions only, actions-based commit — byte-identical to the full
+    path on read-back, telemetry recorded, delta replays exactly."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_version,
+        _materialize,
+        manifest_history,
+        manifest_update_where,
+    )
+
+    _seed(spark, table_path, days=10)
+    manifest_checkpoint(spark, table_path)
+    _seed(spark, table_path, days=2)  # drift the head off the checkpoint
+    r = manifest_update_where(
+        spark,
+        table_path,
+        {"v": "v + 1000"},
+        "day = 'd004' AND k >= 402",
+        mode="mor",
+    )
+    assert r["updated_rows"] == 3
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["lazy_plan"] is True
+    assert m["lazy_commit"] is True
+    assert m["probe_partitions_kept"] == 1
+    assert m["probe_partitions_total"] == 10
+    assert m["mode"] == "merge-on-read"
+    assert m["files_rewritten"] == 0
+    assert m["files_carried"] >= 1  # old files carried by reference
+    # the delta replays: the touched partition's file list holds carried
+    # + staged entries, and the positional mask entry rode the commit
+    v = _latest_version(table_path)
+    full = _materialize(table_path, v)
+    assert any(e.get("kind") == "pos" for e in full.get("deletes", []))
+    assert len(full["files"]["d004"]) == m["files_carried"] + m["files_added"]
+    got = sorted(
+        (r["k"], r["v"])
+        for r in manifest_read(spark, table_path)
+        .filter("day = 'd004'")
+        .collect()
+    )
+    assert got == [(400, 0.0), (401, 1.0), (402, 1002.0), (403, 1003.0),
+                   (404, 1004.0)]
+    assert manifest_read(spark, table_path).count() == 10 * 5
+
+
+def test_lazy_mor_update_equals_eager_twin(spark, table_path):
+    """The lazy commit must be semantically identical to the eager one:
+    two identical tables, one updated off a drifted checkpoint (lazy),
+    one with no checkpoint (eager) — full reads agree."""
+    import tempfile
+    import uuid as _uuid
+
+    import shutil as _shutil
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+        manifest_update_where,
+    )
+
+    twin = f"{tempfile.gettempdir()}/ckptread_{_uuid.uuid4().hex[:12]}"
+    try:
+        for p in (table_path, twin):
+            _seed(spark, p, days=6)
+        manifest_checkpoint(spark, table_path)
+        for p in (table_path, twin):
+            _seed(spark, p, days=2)
+            manifest_update_where(
+                spark, p, {"v": "v * 2", "k": "k + 10000"},
+                "day IN ('d001', 'd002') AND v >= 2", mode="mor",
+            )
+        lazy_m = manifest_history(table_path)[-1]["op_metrics"]
+        eager_m = manifest_history(twin)[-1]["op_metrics"]
+        assert lazy_m.get("lazy_commit") is True
+        assert "lazy_commit" not in eager_m
+        assert _rows(manifest_read(spark, table_path)) == _rows(
+            manifest_read(spark, twin)
+        )
+    finally:
+        _shutil.rmtree(twin, ignore_errors=True)
+
+
+def test_lazy_mor_update_row_migration_new_partition(spark, table_path):
+    """A partition-column assignment on the lazy path: updated rows land
+    in a NEW partition (created via the actions diff), old addresses
+    masked — the row-migration contract survives the lazy commit."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_version,
+        _materialize,
+        manifest_history,
+        manifest_update_where,
+    )
+
+    _seed(spark, table_path, days=4)
+    manifest_checkpoint(spark, table_path)
+    r = manifest_update_where(
+        spark, table_path, {"day": "'d999'"}, "k = 203", mode="mor"
+    )
+    assert r["updated_rows"] == 1
+    assert manifest_history(table_path)[-1]["op_metrics"]["lazy_commit"] is True
+    full = _materialize(table_path, _latest_version(table_path))
+    assert "d999" in full["partitions"]
+    got = manifest_read(spark, table_path).filter("k = 203").collect()
+    assert [(r["k"], r["day"]) for r in got] == [(203, "d999")]
+    assert manifest_read(spark, table_path).count() == 4 * 5
+
+
+def test_lazy_mor_update_falls_back_without_checkpoint(spark, table_path):
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+        manifest_update_where,
+    )
+
+    _seed(spark, table_path, days=3)
+    manifest_update_where(spark, table_path, {"v": "v + 1"}, "k = 101")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert "lazy_commit" not in m and "lazy_plan" not in m
+    got = manifest_read(spark, table_path).filter("k = 101").collect()
+    assert got[0]["v"] == 2.0
+
+
+def test_lazy_mor_update_falls_back_with_stats_sidecar(spark, table_path):
+    """A zone-map table must take the eager path: the sidecar refresh
+    prunes against the full live file set, which the lazy plan avoids —
+    correctness of stats maintenance over commit-cost optimization."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+        manifest_update_where,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.skipping import (
+        manifest_collect_stats,
+    )
+
+    _seed(spark, table_path, days=3)
+    manifest_collect_stats(spark, table_path, ["k", "v"])
+    manifest_checkpoint(spark, table_path)
+    manifest_update_where(
+        spark, table_path, {"v": "v + 5"}, "k = 202", mode="mor"
+    )
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert "lazy_commit" not in m
+    got = manifest_read(spark, table_path).filter("k = 202").collect()
+    assert got[0]["v"] == 7.0
+
+
+# ---- lazy upsert: the hot ingest path off the checkpoint --------------
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, day STRING, v DOUBLE")
+
+
+def test_lazy_upsert_at_checkpointed_head(spark, table_path):
+    """Upsert at a checkpoint-anchored head: probe, carry lists, and the
+    actions-based commit all run off meta + the touched partitions' file
+    lists (telemetry: lazy_commit) — and the merge semantics (update
+    matched keys, insert new ones, carry untouched files by reference)
+    are unchanged."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_version,
+        _materialize,
+        manifest_history,
+    )
+
+    _seed(spark, table_path, days=8)
+    manifest_checkpoint(spark, table_path)
+    r = manifest_upsert_partitioned(
+        _batch(spark, [(201, "d002", 999.0), (777, "d002", 7.0)]),
+        table_path,
+        ["k"],
+        "day",
+    )
+    assert r == {"updated": 1, "inserted": 1}
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert m["lazy_commit"] is True
+    got = sorted(
+        (row["k"], row["v"])
+        for row in manifest_read(spark, table_path)
+        .filter("day = 'd002'")
+        .collect()
+    )
+    assert got == [(200, 0.0), (201, 999.0), (202, 2.0), (203, 3.0),
+                   (204, 4.0), (777, 7.0)]
+    assert manifest_read(spark, table_path).count() == 8 * 5 + 1
+    # the delta replays to a complete table (every partition's files)
+    full = _materialize(table_path, _latest_version(table_path))
+    assert sorted(full["partitions"]) == [f"d{d:03d}" for d in range(8)]
+    assert all(full["files"][k] for k in full["partitions"])
+
+
+def test_lazy_upsert_equals_eager_twin(spark, table_path):
+    import tempfile
+    import uuid as _uuid
+
+    import shutil as _shutil
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+    )
+
+    twin = f"{tempfile.gettempdir()}/ckptread_{_uuid.uuid4().hex[:12]}"
+    try:
+        for p in (table_path, twin):
+            _seed(spark, p, days=5)
+        manifest_checkpoint(spark, table_path)
+        batch = [(100, "d001", -1.0), (300, "d003", -3.0),
+                 (901, "d009", 9.0)]
+        for p in (table_path, twin):
+            manifest_upsert_partitioned(
+                _batch(spark, batch), p, ["k"], "day"
+            )
+        lazy_m = manifest_history(table_path)[-1]["op_metrics"]
+        eager_m = manifest_history(twin)[-1]["op_metrics"]
+        assert lazy_m.get("lazy_commit") is True
+        assert "lazy_commit" not in eager_m
+        assert _rows(manifest_read(spark, table_path)) == _rows(
+            manifest_read(spark, twin)
+        )
+    finally:
+        _shutil.rmtree(twin, ignore_errors=True)
+
+
+def test_lazy_upsert_materializes_pending_delete(spark, table_path):
+    """A pending MoR delete on a partition the lazy upsert rewrites must
+    not resurrect: _apply_deletes runs off the meta content's delete
+    entries before the merge, exactly as the eager path."""
+    _seed(spark, table_path, days=3)
+    manifest_checkpoint(spark, table_path)
+    manifest_delete_where(spark, table_path, "k = 101", mode="mor")
+    manifest_upsert_partitioned(
+        _batch(spark, [(102, "d001", 555.0)]), table_path, ["k"], "day"
+    )
+    got = sorted(
+        (row["k"], row["v"])
+        for row in manifest_read(spark, table_path)
+        .filter("day = 'd001'")
+        .collect()
+    )
+    assert got == [(100, 0.0), (102, 555.0), (103, 3.0), (104, 4.0)]
+
+
+def test_lazy_upsert_new_partition(spark, table_path):
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+    )
+
+    _seed(spark, table_path, days=2)
+    manifest_checkpoint(spark, table_path)
+    r = manifest_upsert_partitioned(
+        _batch(spark, [(900, "d900", 9.0)]), table_path, ["k"], "day"
+    )
+    assert r == {"updated": 0, "inserted": 1}
+    assert manifest_history(table_path)[-1]["op_metrics"]["lazy_commit"] is True
+    assert manifest_read(
+        spark, table_path, partition_values=["d900"]
+    ).count() == 1
+
+
+def test_lazy_upsert_fast_forwards_on_disjoint_race(
+    spark, table_path, monkeypatch
+):
+    """Losing the version race to a writer of DIFFERENT partitions: the
+    lazy loop resolves the head through _pruned_resolve (meta + touched
+    keys' file lists only) and re-commits the same actions — no
+    CommitConflict escapes, no restage, no full hydration."""
+    from data_management_service_run_etl_imputations_spark.sources import sinks
+
+    _seed(spark, table_path, days=3)
+    manifest_checkpoint(spark, table_path)
+    real_latest_version = sinks._latest_version
+    state = {"raced": False}
+
+    def racing_latest_version(path):
+        v = real_latest_version(path)
+        if not state["raced"]:
+            state["raced"] = True
+            manifest_upsert_partitioned(
+                _batch(spark, [(800, "d008", 8.0)]), path, ["k"], "day"
+            )
+        return v
+
+    monkeypatch.setattr(sinks, "_latest_version", racing_latest_version)
+    # DIRECT call — the lazy fast-forward inside must absorb the race
+    manifest_upsert_partitioned(
+        _batch(spark, [(100, "d001", -100.0)]), table_path, ["k"], "day"
+    )
+    monkeypatch.setattr(sinks, "_latest_version", real_latest_version)
+    rows = _rows(manifest_read(spark, table_path))
+    assert (800, "d008", 8.0) in rows      # racer's write survived
+    assert (100, "d001", -100.0) in rows   # our write survived
+    assert manifest_read(spark, table_path).count() == 3 * 5 + 1
+
+
+def test_lazy_upsert_same_partition_race_escalates(
+    spark, table_path, monkeypatch
+):
+    """A racer into the SAME partition is a true data conflict: the lazy
+    loop must raise CommitConflict (our staged merge is stale), and a
+    with_commit_retry re-run merges correctly against the new head."""
+    import pytest as _pytest
+
+    from data_management_service_run_etl_imputations_spark.sources import sinks
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CommitConflict,
+        with_commit_retry,
+    )
+
+    _seed(spark, table_path, days=2)
+    manifest_checkpoint(spark, table_path)
+    real_latest_version = sinks._latest_version
+    state = {"raced": False}
+
+    def racing_latest_version(path):
+        v = real_latest_version(path)
+        if not state["raced"]:
+            state["raced"] = True
+            manifest_upsert_partitioned(
+                _batch(spark, [(150, "d001", 150.0)]), path, ["k"], "day"
+            )
+        return v
+
+    monkeypatch.setattr(sinks, "_latest_version", racing_latest_version)
+    with _pytest.raises(CommitConflict):
+        manifest_upsert_partitioned(
+            _batch(spark, [(151, "d001", 151.0)]), table_path, ["k"], "day"
+        )
+    monkeypatch.setattr(sinks, "_latest_version", real_latest_version)
+    with_commit_retry(
+        lambda: manifest_upsert_partitioned(
+            _batch(spark, [(151, "d001", 151.0)]), table_path, ["k"], "day"
+        )
+    )
+    rows = _rows(manifest_read(spark, table_path))
+    assert (150, "d001", 150.0) in rows and (151, "d001", 151.0) in rows
+
+
+def test_lazy_upsert_txn_idempotent(spark, table_path):
+    """txn tokens ride the lazy actions commit atomically: the marker
+    commits with the data (extra_meta → actions.set), a replay skips."""
+    _seed(spark, table_path, days=2)
+    manifest_checkpoint(spark, table_path)
+    r1 = manifest_upsert_partitioned(
+        _batch(spark, [(500, "d001", 5.0)]), table_path, ["k"], "day",
+        txn=("job-a", 7),
+    )
+    assert r1 == {"updated": 0, "inserted": 1}
+    r2 = manifest_upsert_partitioned(
+        _batch(spark, [(500, "d001", 5555.0)]), table_path, ["k"], "day",
+        txn=("job-a", 7),
+    )
+    assert r2 == {"updated": 0, "inserted": 0, "skipped": True}
+    got = manifest_read(spark, table_path).filter("k = 500").collect()
+    assert got[0]["v"] == 5.0
+
+
+def test_lazy_upsert_schema_evolution_falls_back(spark, table_path):
+    """A batch that ADDS a column changes the committed schema — the
+    lazy commit's actions diff cannot express that, so it must hydrate
+    and take the eager path (telemetry: no lazy_commit), with the
+    evolved schema recorded."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+    )
+
+    _seed(spark, table_path, days=2)
+    manifest_checkpoint(spark, table_path)
+    wide = spark.createDataFrame(
+        [(600, "d001", 6.0, "tag")], "k LONG, day STRING, v DOUBLE, t STRING"
+    )
+    manifest_upsert_partitioned(wide, table_path, ["k"], "day")
+    m = manifest_history(table_path)[-1]["op_metrics"]
+    assert "lazy_commit" not in m
+    got = manifest_read(spark, table_path).filter("k = 600").collect()
+    assert got[0]["t"] == "tag"
+    # evolved column present (null) on old rows
+    assert "t" in manifest_read(spark, table_path).columns
+
+
+def test_lazy_upsert_multicol_partitions(spark, table_path):
+    """Multi-column partitioning (canonical JSON-tuple manifest keys)
+    through the lazy path: touched-key resolution, pruned carry lists,
+    and the actions diff all speak the same key encoding."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        manifest_history,
+    )
+
+    rows = [(d * 100 + s * 10 + i, f"d{d}", f"s{s}", float(i))
+            for d in range(3) for s in range(2) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "k LONG, day STRING, source STRING, v DOUBLE"
+    )
+    manifest_upsert_partitioned(df, table_path, ["k"], ["day", "source"])
+    manifest_checkpoint(spark, table_path)
+    r = manifest_upsert_partitioned(
+        spark.createDataFrame(
+            [(110, "d1", "s1", 999.0), (777, "d1", "s1", 7.0)],
+            "k LONG, day STRING, source STRING, v DOUBLE",
+        ),
+        table_path,
+        ["k"],
+        ["day", "source"],
+    )
+    assert r == {"updated": 1, "inserted": 1}
+    assert manifest_history(table_path)[-1]["op_metrics"]["lazy_commit"] is True
+    got = sorted(
+        (row["k"], row["v"])
+        for row in manifest_read(
+            spark, table_path, partition_filter={"day": "d1", "source": "s1"}
+        ).collect()
+    )
+    assert got == [(110, 999.0), (111, 1.0), (112, 2.0), (113, 3.0),
+                   (777, 7.0)]
+    assert manifest_read(spark, table_path).count() == 24 + 1
