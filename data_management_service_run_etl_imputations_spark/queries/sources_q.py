@@ -1481,23 +1481,36 @@ def streaming_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE NOT EXISTS (
                 SELECT 1 FROM after_upd a WHERE a.o_orderkey = s.o_orderkey
             )
+        ),
+        inserted AS (
+            SELECT CAST(-o_year AS BIGINT) AS o_orderkey, o_year,
+                   CAST(0.0 AS DOUBLE) AS o_totalprice
+            FROM (SELECT DISTINCT o_year FROM merged)
+        ),
+        final AS (
+            SELECT o_orderkey, o_year, o_totalprice FROM merged
+            UNION ALL
+            SELECT o_orderkey, o_year, o_totalprice FROM inserted
         )
         SELECT o_year, COUNT(*) AS n_rows,
                ROUND(SUM(o_totalprice), 4) AS total_price
-        FROM merged GROUP BY o_year
+        FROM final GROUP BY o_year
     """,
 )
 def manifest_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL SQL DML surface over a manifest table (VERDICT r8 "Next
     round" #1): orders land through ``df.write.format("manifest")``,
-    then three SQL statements mutate the table through
+    then FOUR SQL statements mutate the table through
     :func:`manifest_sql` (sources/manifest_batch.py) — a merge-on-read
     ``DELETE FROM`` (positional sidecar, zero rewrite), a copy-on-write
-    ``UPDATE … SET`` (file-granular rewrite), and a ``MERGE INTO`` with
+    ``UPDATE … SET`` (file-granular rewrite), a ``MERGE INTO`` with
     both ``WHEN MATCHED THEN UPDATE`` and ``WHEN NOT MATCHED THEN
     INSERT *`` against a subquery source (deleted 1-URGENT keys
-    divisible by 11 re-insert here) — and a plain ``spark.sql`` SELECT
-    reads the final state through the auto-refreshed view. The
+    divisible by 11 re-insert here), and an ``INSERT INTO (cols)
+    SELECT`` (one marker row per year; the unlisted column fills NULL
+    — r9's fourth verb, routed to the Arrow append writer) — and a
+    plain ``spark.sql`` SELECT reads the final state through the
+    auto-refreshed view. The
     dispatcher is statement-level only: every predicate reaches the DML
     engines verbatim, so partition probes and zone-map pruning engage
     exactly as the Python API's (plan evidence pinned in
@@ -1551,6 +1564,12 @@ def manifest_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN NOT MATCHED THEN INSERT *
             """,
         )
+        manifest_sql(
+            spark,
+            f"INSERT INTO {view} (o_orderkey, o_year, o_totalprice) "
+            f"SELECT CAST(-o_year AS BIGINT), o_year, "
+            f"CAST(0.0 AS DOUBLE) FROM {view} GROUP BY o_year",
+        )  # appended through the Arrow writer; o_orderpriority fills NULL
         return spark.sql(
             f"""
             SELECT o_year, COUNT(*) AS n_rows,

@@ -1158,6 +1158,13 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       (``src`` is any SQL-visible relation: a temp view or a
       parenthesized subquery; ON must be a conjunction of same-named
       equi-comparisons — they become the merge keys)
+    - ``INSERT INTO v [(c1, …)] SELECT …|VALUES …`` →
+      ``df.write.format("manifest").mode("append")`` with the source
+      aligned to the CURRENT table schema (positional without a column
+      list, ANSI-style; listed columns map by name, unlisted ones fill
+      NULL — except partition columns, which must be listed);
+      ``INSERT OVERWRITE v SELECT …`` → the writer's dynamic partition
+      overwrite (replaces exactly the partitions present in the data)
 
     Anything else (SELECT, SHOW, …) falls through to ``spark.sql``
     unchanged — after re-binding any referenced ``follow_head`` views
@@ -1186,7 +1193,7 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     )
 
     stmt = statement.strip().rstrip(";").strip()
-    verb_m = re.match(r"(DELETE|UPDATE|MERGE)\b", stmt, re.I)
+    verb_m = re.match(r"(DELETE|UPDATE|MERGE|INSERT)\b", stmt, re.I)
     if not verb_m:
         _refresh_followed_views(spark, stmt)
         return spark.sql(statement)
@@ -1217,6 +1224,133 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
         r = manifest_delete_where(spark, path, cond, mode=mode or "mor")
         refresh(view_name, path)
         return {"statement": "delete", **r}
+
+    if verb == "INSERT":
+        m = re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+            r"(`[^`]+`|[A-Za-z_][\w.]*)\s*(.*)$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {stmt!r}")
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        view_name, path = _resolve_sql_table(m.group(2))
+        rest = m.group(3).strip()
+        cols: "list[str] | None" = None
+        if rest.startswith("("):
+            # a leading balanced parens group is a COLUMN LIST iff its
+            # body is a bare comma list of identifiers — otherwise it is
+            # the source query itself ((SELECT …) is valid)
+            depth, end = 0, -1
+            for i, ch in enumerate(rest):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            body = rest[1:end] if end > 0 else ""
+            if end > 0 and re.fullmatch(
+                r"\s*(`[^`]+`|[A-Za-z_]\w*)(\s*,\s*(`[^`]+`|[A-Za-z_]\w*))*\s*",
+                body,
+            ):
+                cols = [_unquote_ident(c) for c in body.split(",")]
+                if len(set(c.lower() for c in cols)) != len(cols):
+                    raise ValueError(
+                        f"duplicate column in INSERT column list: {cols}"
+                    )
+                rest = rest[end + 1 :].strip()
+        if not rest:
+            raise ValueError("INSERT has no source query")
+        src = spark.sql(rest)  # SELECT / VALUES / WITH / TABLE / (…)
+
+        # resolve the CURRENT table schema (never the view's possibly
+        # pinned snapshot): the writer refuses any drift, so the source
+        # is aligned here — store-assignment casts, table column order
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _latest_manifest,
+            _partition_cols,
+        )
+
+        t_version, t_content = _latest_manifest(path)
+        if t_version == 0:
+            raise ValueError(f"manifest table at {path} does not exist")
+        tschema = StructType.fromJson(json.loads(t_content["schema_json"]))
+        pcols_t = _partition_cols(t_content)
+        if cols is None:
+            if len(src.columns) != len(tschema.fields):
+                raise ValueError(
+                    f"INSERT is positional without a column list: source "
+                    f"has {len(src.columns)} columns, table "
+                    f"{view_name!r} has {len(tschema.fields)}"
+                )
+            pairs = list(zip(range(len(src.columns)), tschema.fields))
+        else:
+            by_name = {f.name.lower(): f for f in tschema.fields}
+            unknown = [c for c in cols if c.lower() not in by_name]
+            if unknown:
+                raise ValueError(
+                    f"INSERT column(s) {unknown} do not exist in "
+                    f"{view_name!r} (have "
+                    f"{[f.name for f in tschema.fields]})"
+                )
+            if len(src.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT column list names {len(cols)} columns but "
+                    f"the source query produces {len(src.columns)}"
+                )
+            listed = {c.lower() for c in cols}
+            missing_p = [p for p in pcols_t if p.lower() not in listed]
+            if missing_p:
+                raise ValueError(
+                    f"INSERT column list must include the partition "
+                    f"column(s) {missing_p} — a NULL partition key is "
+                    "refused, not defaulted"
+                )
+            src_of = {c.lower(): i for i, c in enumerate(cols)}
+            pairs = [
+                (src_of.get(f.name.lower()), f) for f in tschema.fields
+            ]
+        # source columns are addressed by POSITION: rename them all to
+        # safe placeholders first — generated names like
+        # ``CAST(0.0 AS DOUBLE)`` contain dots/parens that by-name
+        # resolution (F.col and DataFrame.__getitem__ alike) mis-parses
+        safe = src.toDF(*[f"__ins_c{i}" for i in range(len(src.columns))])
+        aligned = safe.select(
+            *[
+                (
+                    F.col(f"__ins_c{i}").cast(f.dataType)
+                    if i is not None
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for i, f in pairs
+            ]
+        )
+        writer = aligned.write.format("manifest").option("path", path)
+        if overwrite:
+            writer = writer.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        else:
+            writer = writer.mode("append")
+        writer.save()
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_history,
+        )
+
+        op_metrics = manifest_history(path)[-1].get("op_metrics", {})
+        refresh(view_name, path)
+        return {
+            "statement": "insert",
+            "mode": "dynamic-overwrite" if overwrite else "append",
+            "rows_inserted": op_metrics.get("rows_appended"),
+            "files_added": op_metrics.get("files_added"),
+        }
 
     if verb == "UPDATE":
         m = re.match(

@@ -2398,6 +2398,7 @@ def manifest_delete_where(
             "files_matched": len(files_matched),
             "mode": "merge-on-read",
             **probe_metrics,
+            **({"lazy_commit": True} if actions is not None else {}),
         },
         actions=actions,
     )

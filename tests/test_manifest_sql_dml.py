@@ -370,3 +370,106 @@ def test_follow_head_subquery_reference_rebinds(spark, table_path):
         f"SELECT c FROM (SELECT count(*) AS c FROM {name}) x",
     ).collect()[0].c
     assert got == 3
+
+
+# ---- INSERT INTO / INSERT OVERWRITE through the dispatcher ------------
+
+
+def test_sql_insert_into_select(spark, table_path, view):
+    r = manifest_sql(
+        spark,
+        f"INSERT INTO {view} SELECT k + 1000, day, v * 10 "
+        f"FROM {view} WHERE k < 3",
+    )
+    assert r["statement"] == "insert" and r["mode"] == "append"
+    assert r["rows_inserted"] == 3
+    got = sorted(
+        (row["k"], row["v"])
+        for row in manifest_sql(
+            spark, f"SELECT k, v FROM {view} WHERE k >= 1000"
+        ).collect()
+    )
+    assert got == [(1000, 0.0), (1001, 10.0), (1002, 20.0)]
+    assert manifest_read(spark, table_path).count() == 33
+
+
+def test_sql_insert_values_and_column_list(spark, table_path, view):
+    r = manifest_sql(
+        spark,
+        f"INSERT INTO {view} (day, k) VALUES ('d9', 900), ('d9', 901)",
+    )
+    assert r["rows_inserted"] == 2
+    got = manifest_sql(
+        spark, f"SELECT k, day, v FROM {view} WHERE day = 'd9' ORDER BY k"
+    ).collect()
+    assert [(row["k"], row["day"], row["v"]) for row in got] == [
+        (900, "d9", None),  # unlisted column fills NULL
+        (901, "d9", None),
+    ]
+
+
+def test_sql_insert_overwrite_dynamic(spark, table_path, view):
+    before_d0 = manifest_sql(
+        spark, f"SELECT count(*) AS c FROM {view} WHERE day = 'd0'"
+    ).collect()[0].c
+    assert before_d0 == 10
+    r = manifest_sql(
+        spark,
+        f"INSERT OVERWRITE {view} VALUES "
+        f"(CAST(1 AS LONG), 'd0', CAST(-1.0 AS DOUBLE))",
+    )
+    assert r["mode"] == "dynamic-overwrite"
+    # d0 replaced wholesale, every other partition untouched
+    got = manifest_sql(
+        spark, f"SELECT k, v FROM {view} WHERE day = 'd0'"
+    ).collect()
+    assert [(row["k"], row["v"]) for row in got] == [(1, -1.0)]
+    assert manifest_read(spark, table_path).count() == 30 - 10 + 1
+
+
+def test_sql_insert_parenthesized_select_source(spark, table_path, view):
+    r = manifest_sql(
+        spark,
+        f"INSERT INTO {view} (SELECT k + 2000, day, v FROM {view} "
+        f"WHERE k = 5)",
+    )
+    assert r["rows_inserted"] == 1
+    assert (
+        manifest_sql(
+            spark, f"SELECT count(*) AS c FROM {view} WHERE k = 2005"
+        ).collect()[0].c
+        == 1
+    )
+
+
+def test_sql_insert_refusals(spark, table_path, view):
+    # positional arity mismatch
+    with pytest.raises(ValueError, match="positional"):
+        manifest_sql(spark, f"INSERT INTO {view} SELECT 1, 'd0'")
+    # unknown column in the list
+    with pytest.raises(ValueError, match="do not exist"):
+        manifest_sql(
+            spark, f"INSERT INTO {view} (nope, day, v) VALUES (1, 'd0', 1.0)"
+        )
+    # column list omitting the partition column
+    with pytest.raises(ValueError, match="partition"):
+        manifest_sql(spark, f"INSERT INTO {view} (k, v) VALUES (1, 1.0)")
+    # duplicate column in the list
+    with pytest.raises(ValueError, match="duplicate"):
+        manifest_sql(
+            spark, f"INSERT INTO {view} (k, k, day) VALUES (1, 2, 'd0')"
+        )
+    # arity mismatch against the column list
+    with pytest.raises(ValueError, match="column list names"):
+        manifest_sql(spark, f"INSERT INTO {view} (k, day) VALUES (1)")
+
+
+def test_sql_insert_casts_to_table_types(spark, table_path, view):
+    """Store-assignment: INT literals land in LONG/DOUBLE columns."""
+    manifest_sql(
+        spark, f"INSERT INTO {view} VALUES (42424242, 'd1', 7)"
+    )
+    got = manifest_sql(
+        spark, f"SELECT k, v FROM {view} WHERE k = 42424242"
+    ).collect()
+    assert (got[0]["k"], got[0]["v"]) == (42424242, 7.0)
