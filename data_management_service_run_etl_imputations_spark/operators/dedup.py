@@ -170,17 +170,34 @@ def verify_pairs_exact_jaccard(
 
     Scale shape: shingles are joined TO the pair list (two equi-joins on
     doc id + one on (id, shingle)), so cost ∝ |candidates|·|shingles per
-    doc| — never corpus². Pass ``shingles`` (a distinct (id, h) frame, e.g.
-    the one the candidate generator already computed) to share one shingle
-    scan across the candidate and verify stages of a pipeline."""
+    doc| — never corpus². Pass ``shingles`` (an (id, h) frame, duplicates
+    fine — e.g. the raw one the candidate generator already computed) to
+    share one shingle scan across the candidate and verify stages of a
+    pipeline. The corpus-wide frame is first SEMI-JOINED down to the ids
+    the pairs actually name (AQE broadcasts the id list when it is small,
+    falls back to a shuffle join when candidates are huge), so the dedup
+    and size aggregates shuffle only the candidate docs' shingles — at
+    100 TB the verify cost tracks the candidate set, never the corpus."""
+    # the candidate pipeline (banded self-join upstream) feeds BOTH the
+    # id filter and the common-shingle join — cut lineage so it runs once
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    ids = (
+        p.select(F.col("id_a").alias("id"))
+        .union(p.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     sh = (
-        shingles
-        if shingles is not None
-        else shingle_hashes(df, id_col, text_col, k)
-    ).withColumnRenamed("h", "shingle").localCheckpoint(eager=False)
+        (
+            shingles
+            if shingles is not None
+            else shingle_hashes(df, id_col, text_col, k)
+        )
+        .withColumnRenamed("h", "shingle")
+        .join(ids, "id", "left_semi")
+        .dropDuplicates(["id", "shingle"])
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    p = pairs.select("id_a", "id_b")
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (

@@ -120,7 +120,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verify_pairs_exact_jaccard(
         docs, cands, "doc_id", "text", k=8, threshold=0.8,
-        shingles=sh_all.dropDuplicates(["id", "h"]),
+        shingles=sh_all,  # raw: verify semi-filters to candidate ids,
+        # THEN dedups — only candidate docs' shingles ever shuffle
     )
 
 
