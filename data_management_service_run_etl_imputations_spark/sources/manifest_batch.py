@@ -1153,11 +1153,13 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       :func:`sinks.manifest_update_where` (default ``mode='cow'``)
     - ``MERGE INTO v [AS] t USING src [AS] s ON t.k = s.k [AND …]
       WHEN MATCHED [AND cond] THEN DELETE |
-      WHEN MATCHED THEN UPDATE SET c = expr[, …] | SET * |
-      WHEN NOT MATCHED THEN INSERT *`` → :func:`sinks.manifest_merge`
-      (``src`` is any SQL-visible relation: a temp view or a
-      parenthesized subquery; ON must be a conjunction of same-named
-      equi-comparisons — they become the merge keys)
+      WHEN MATCHED [AND cond] THEN UPDATE SET c = expr[, …] | SET * |
+      WHEN NOT MATCHED THEN INSERT * | INSERT (c1, …) VALUES (e1, …)``
+      → :func:`sinks.manifest_merge` (``src`` is any SQL-visible
+      relation: a temp view or a parenthesized subquery; ON must be a
+      conjunction of same-named equi-comparisons — they become the
+      merge keys; a column-list INSERT must name the partition columns
+      and fills unlisted columns with NULL)
     - ``INSERT INTO v [(c1, …)] SELECT …|VALUES …`` →
       ``df.write.format("manifest").mode("append")`` with the source
       aligned to the CURRENT table schema (positional without a column
@@ -1178,9 +1180,8 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     passed VERBATIM to the engines, which evaluate them with Spark's
     expression parser — the router never interprets expressions, so
     pruning behavior (partition probes, zone maps) is exactly the
-    Python API's. v1 refusals are loud: per-clause conditions on
-    ``UPDATE`` merge branches and column-list ``INSERT`` need engine
-    surface that does not exist yet."""
+    Python API's. Remaining refusals are loud (duplicate clauses,
+    non-equi ON conjuncts, unknown columns)."""
     import json
     import re
 
@@ -1465,8 +1466,10 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     ]
 
     matched_update: "dict[str, str] | None" = None
+    matched_update_condition: "str | None" = None
     matched_delete: "str | None" = None
     insert_not_matched = False
+    insert_values: "dict[str, str] | None" = None
     for clause in _split_top(stmt[wi:], "WHEN")[1:]:
         c = clause.strip()
         nm = re.match(
@@ -1475,11 +1478,39 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
             re.I | re.S,
         )
         if nm:
-            if nm.group(1).strip() != "*":
-                raise ValueError(
-                    "MERGE v1 supports INSERT * only (column-list INSERT "
-                    "needs engine surface manifest_merge does not have)"
+            ins = nm.group(1).strip()
+            if ins != "*":
+                # column-list INSERT: (c1, …) VALUES (e1, …) — column
+                # count must match the value count; expressions reach
+                # manifest_merge verbatim (aliases rewritten to s)
+                im = re.match(
+                    r"\((.*?)\)\s*VALUES\s*\((.*)\)\s*$", ins, re.I | re.S
                 )
+                if not im:
+                    raise ValueError(
+                        "cannot parse MERGE INSERT action (expected "
+                        f"INSERT * or INSERT (cols) VALUES (exprs)): "
+                        f"{ins!r}"
+                    )
+                ins_cols = [
+                    _unquote_ident(x) for x in _split_top(im.group(1), ",")
+                ]
+                ins_exprs = [
+                    x.strip() for x in _split_top(im.group(2), ",")
+                ]
+                if len(ins_cols) != len(ins_exprs):
+                    raise ValueError(
+                        f"MERGE INSERT names {len(ins_cols)} columns but "
+                        f"gives {len(ins_exprs)} values"
+                    )
+                if len({x.lower() for x in ins_cols}) != len(ins_cols):
+                    raise ValueError(
+                        f"duplicate column in MERGE INSERT list: {ins_cols}"
+                    )
+                insert_values = {
+                    col: _rewrite_alias(expr, alias_map)
+                    for col, expr in zip(ins_cols, ins_exprs)
+                }
             insert_not_matched = True
             continue
         ti = _find_kw_top(c, "THEN")
@@ -1498,15 +1529,10 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
         am = re.match(r"UPDATE\s+SET\s+(.*)$", action, re.I | re.S)
         if not am:
             raise ValueError(f"cannot parse MERGE action: {action!r}")
-        if cond:
-            raise ValueError(
-                "MERGE v1 cannot route WHEN MATCHED AND <cond> THEN "
-                "UPDATE — manifest_merge has no per-clause update "
-                "condition; fold the condition into the SET expressions "
-                "(CASE WHEN …) instead"
-            )
         if matched_update is not None:
             raise ValueError("duplicate WHEN MATCHED … UPDATE clause")
+        if cond:
+            matched_update_condition = _rewrite_alias(cond, alias_map)
         set_part = am.group(1).strip()
         if set_part == "*":
             matched_update = {
@@ -1529,6 +1555,8 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
         matched_update=matched_update,
         matched_delete=matched_delete,
         insert_not_matched=insert_not_matched,
+        matched_update_condition=matched_update_condition,
+        insert_values=insert_values,
     )
     refresh(view_name, path)
     return {"statement": "merge", **r}

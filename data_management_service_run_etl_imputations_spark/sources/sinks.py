@@ -3870,6 +3870,8 @@ def manifest_merge(
     fmt: str = "parquet",
     txn: "tuple[str, int] | None" = None,
     auto_compact_min_files: int | None = None,
+    matched_update_condition: str | None = None,
+    insert_values: "dict[str, str] | None" = None,
 ) -> dict[str, int]:
     """MERGE INTO for the manifest table — the full Delta/ANSI merge
     surface the plain upsert (whole-row replace) cannot express:
@@ -3883,7 +3885,15 @@ def manifest_merge(
     - ``matched_delete``: SQL predicate over ``t``/``s``; a matched row
       satisfying it is removed (evaluated BEFORE matched_update; a row
       is deleted or updated, never both).
+    - ``matched_update_condition``: SQL predicate over ``t``/``s``
+      gating the update — ``WHEN MATCHED AND <cond> THEN UPDATE``; a
+      matched row failing (or NULL on) the condition carries unchanged.
     - ``insert_not_matched``: source rows with no key match insert.
+    - ``insert_values``: {target column: SQL expression over ``s``} —
+      the ANSI ``INSERT (cols) VALUES (exprs)`` shape; unlisted target
+      columns fill NULL, partition columns MUST be listed (a NULL
+      partition key is refused, not defaulted), and schema evolution is
+      off in this mode (every key must be an existing target column).
 
     Schema evolution (Delta autoMerge-style): source columns the target
     lacks are ADDED — inserted rows carry them, updated rows take them
@@ -3918,6 +3928,23 @@ def manifest_merge(
         raise ValueError(
             f"matched_update must not set partition column(s) {bad_set}"
         )
+    if matched_update_condition is not None and not matched_update:
+        raise ValueError(
+            "matched_update_condition requires matched_update — a "
+            "conditional update needs update assignments to gate"
+        )
+    if insert_values is not None:
+        if not insert_not_matched:
+            raise ValueError(
+                "insert_values requires insert_not_matched=True"
+            )
+        missing_p = sorted(set(pcols) - set(insert_values))
+        if missing_p:
+            raise ValueError(
+                f"insert_values must assign the partition column(s) "
+                f"{missing_p} — a NULL partition key is refused, not "
+                "defaulted"
+            )
     version, content = _latest_manifest(path)
     if txn is not None and _txn_applied(content, txn):
         return {"updated": 0, "deleted": 0, "inserted": 0, "skipped": True}
@@ -3958,14 +3985,22 @@ def manifest_merge(
         if parts
         else (set(), set(), 0, 0, False)
     )
-    insert_parts = (
-        {
+    if insert_not_matched:
+        # with insert_values the partition value is the assigned
+        # EXPRESSION over the source, not the source's own column
+        part_src = (
+            src.alias("s").select(
+                *[F.expr(insert_values[p]).alias(p) for p in pcols]
+            )
+            if insert_values is not None
+            else src.select(*pcols)
+        )
+        insert_parts = {
             _part_key_tuple(tuple(r), pcols)
-            for r in src.select(*pcols).distinct().collect()
+            for r in part_src.distinct().collect()
         }
-        if insert_not_matched
-        else set()
-    )
+    else:
+        insert_parts = set()
     touched_keys = sorted(match_parts | insert_parts)
     if not touched_keys:
         return {"updated": 0, "deleted": 0, "inserted": 0}
@@ -4018,10 +4053,20 @@ def manifest_merge(
     delete_cond = (
         F.expr(matched_delete) if matched_delete is not None else F.lit(False)
     )
+    # per-clause update gate (WHEN MATCHED AND cond THEN UPDATE): a
+    # matched row failing — or NULL on — the condition falls through to
+    # carry, exactly the ANSI clause semantics
+    update_gate = (
+        F.coalesce(
+            F.expr(matched_update_condition).cast("boolean"), F.lit(False)
+        )
+        if matched_update_condition is not None
+        else F.lit(True)
+    )
     action = (
         F.when(in_t & in_s & delete_cond, F.lit("delete"))
         .when(
-            in_t & in_s,
+            in_t & in_s & update_gate,
             F.lit("update") if matched_update else F.lit("carry"),
         )
         .when(in_t, F.lit("carry"))
@@ -4049,6 +4094,16 @@ def manifest_merge(
                 f"matched_update sets column(s) {unknown} that exist in "
                 "neither the target table nor the merge source"
             )
+    if insert_values is not None:
+        # column-list INSERT targets EXISTING table columns only —
+        # schema evolution stays the INSERT-* contract
+        evolve_cols = []
+        unknown = sorted(set(insert_values) - set(t_cols))
+        if unknown:
+            raise ValueError(
+                f"insert_values sets column(s) {unknown} that do not "
+                f"exist in the target table (have {t_cols})"
+            )
     out_cols = []
     for c in t_cols:
         # every branch pre-cast to the TARGET column type (Delta casts
@@ -4060,11 +4115,18 @@ def manifest_merge(
             if matched_update and c in matched_update
             else F.col(f"t.{c}")
         ).cast(t_types[c])
-        inserted = (
-            F.col(f"s.{c}").cast(t_types[c])
-            if c in src_cols
-            else F.lit(None).cast(t_types[c])
-        )
+        if insert_values is not None:
+            inserted = (
+                F.expr(insert_values[c])
+                if c in insert_values
+                else F.lit(None)
+            ).cast(t_types[c])
+        else:
+            inserted = (
+                F.col(f"s.{c}").cast(t_types[c])
+                if c in src_cols
+                else F.lit(None).cast(t_types[c])
+            )
         out_cols.append(
             F.when(F.col("__action") == "insert", inserted)
             .when(F.col("__action") == "update", updated)

@@ -206,17 +206,24 @@ def test_sql_merge_refusals(spark, table_path, view):
     spark.createDataFrame(
         [(1, "d1", 1.0)], "k LONG, day STRING, v DOUBLE"
     ).createOrReplaceTempView(src)
-    with pytest.raises(ValueError, match="per-clause update"):
-        manifest_sql(
-            spark,
-            f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
-            "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v",
-        )
-    with pytest.raises(ValueError, match="INSERT \\* only"):
+    # column-list INSERT must name the partition column
+    with pytest.raises(ValueError, match="partition"):
         manifest_sql(
             spark,
             f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
             "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+        )
+    with pytest.raises(ValueError, match="names 2 columns"):
+        manifest_sql(
+            spark,
+            f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, day) VALUES (s.k)",
+        )
+    with pytest.raises(ValueError, match="duplicate column"):
+        manifest_sql(
+            spark,
+            f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.k)",
         )
     with pytest.raises(ValueError, match="equi-key"):
         manifest_sql(
@@ -473,3 +480,72 @@ def test_sql_insert_casts_to_table_types(spark, table_path, view):
         spark, f"SELECT k, v FROM {view} WHERE k = 42424242"
     ).collect()
     assert (got[0]["k"], got[0]["v"]) == (42424242, 7.0)
+
+
+def test_sql_merge_conditional_update(spark, table_path, view):
+    """WHEN MATCHED AND <cond> THEN UPDATE: only matched rows passing
+    the per-clause condition update; the rest carry unchanged."""
+    src = f"msqls_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(0, 100.0), (1, 200.0), (2, 300.0)], "k LONG, nv DOUBLE"
+    ).createOrReplaceTempView(src)
+    r = manifest_sql(
+        spark,
+        f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
+        "WHEN MATCHED AND s.nv > 150 THEN UPDATE SET v = s.nv",
+    )
+    assert r["updated"] == 2  # k=0 matched but failed the gate
+    got = {
+        row["k"]: row["v"]
+        for row in manifest_sql(
+            spark, f"SELECT k, v FROM {view} WHERE k IN (0, 1, 2)"
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 200.0, 2: 300.0}
+
+
+def test_sql_merge_column_list_insert(spark, table_path, view):
+    """INSERT (cols) VALUES (exprs): expressions over the source,
+    unlisted columns NULL, partition column required (and present)."""
+    src = f"msqls_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(500, "d7"), (501, "d7")], "k LONG, target_day STRING"
+    ).createOrReplaceTempView(src)
+    r = manifest_sql(
+        spark,
+        f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k, day) VALUES (s.k + 1000, "
+        "s.target_day)",
+    )
+    assert r["inserted"] == 2
+    got = manifest_sql(
+        spark, f"SELECT k, day, v FROM {view} WHERE day = 'd7' ORDER BY k"
+    ).collect()
+    assert [(row["k"], row["day"], row["v"]) for row in got] == [
+        (1500, "d7", None),
+        (1501, "d7", None),
+    ]
+
+
+def test_sql_merge_conditional_update_null_condition_carries(
+    spark, table_path, view
+):
+    """A NULL per-clause condition means NOT updated (ANSI), never an
+    error or an update."""
+    src = f"msqls_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(3, None), (4, 10.0)], "k LONG, nv DOUBLE"
+    ).createOrReplaceTempView(src)
+    r = manifest_sql(
+        spark,
+        f"MERGE INTO {view} t USING {src} s ON t.k = s.k "
+        "WHEN MATCHED AND s.nv > 5 THEN UPDATE SET v = s.nv",
+    )
+    assert r["updated"] == 1  # k=3's NULL gate carries
+    got = {
+        row["k"]: row["v"]
+        for row in manifest_sql(
+            spark, f"SELECT k, v FROM {view} WHERE k IN (3, 4)"
+        ).collect()
+    }
+    assert got == {3: 3.0, 4: 10.0}
