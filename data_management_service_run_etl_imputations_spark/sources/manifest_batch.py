@@ -1104,6 +1104,103 @@ def _parse_assignments(set_part: str) -> "dict[str, str]":
     return assignments
 
 
+def _dispatch_util_statement(spark, stmt: str):
+    """Maintenance/metadata statements over registered manifest views —
+    the Delta utility-SQL parity layer. Returns ``None`` when ``stmt``
+    is not a utility statement (the caller falls through):
+
+    - ``DESCRIBE HISTORY v`` → DataFrame of :func:`sinks.manifest_history`
+      rows, NEWEST first (Delta's order); ``op_metrics`` as a JSON string.
+    - ``OPTIMIZE v [ZORDER BY (c1, …)]`` → :func:`sinks.manifest_compact`
+      / :func:`skipping.manifest_cluster_zorder`.
+    - ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]`` →
+      :func:`sinks.manifest_vacuum` (default keep_versions=1, matching
+      the Python API).
+    """
+    import json
+    import re
+
+    m = re.match(
+        r"DESCRIBE\s+HISTORY\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*$", stmt, re.I
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_history,
+        )
+
+        _, path = _resolve_sql_table(m.group(1))
+        rows = [
+            (
+                h["version"],
+                h.get("op"),
+                float(h["committed_at"]) if h.get("committed_at") else None,
+                h.get("n_partitions"),
+                h.get("n_files"),
+                h.get("pending_deletes"),
+                json.dumps(h.get("op_metrics") or {}, sort_keys=True),
+            )
+            for h in reversed(manifest_history(path))  # newest first
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version INT, op STRING, committed_at DOUBLE, "
+            "n_partitions INT, n_files INT, pending_deletes INT, "
+            "op_metrics STRING",
+        )
+
+    m = re.match(
+        r"OPTIMIZE\s+(`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        view_name, path = _resolve_sql_table(m.group(1))
+        if m.group(2):
+            from data_management_service_run_etl_imputations_spark.sources.skipping import (
+                manifest_cluster_zorder,
+            )
+
+            cols = [
+                _unquote_ident(c) for c in m.group(2).split(",") if c.strip()
+            ]
+            r = manifest_cluster_zorder(spark, path, cols)
+            out = {"statement": "optimize-zorder", **r}
+        else:
+            from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                manifest_compact,
+            )
+
+            r = manifest_compact(spark, path)
+            out = {"statement": "optimize", **r}
+        follow = _SQL_TABLES.get(view_name.lower(), ("", "", False, 0))[2]
+        manifest_sql_register(spark, view_name, path, follow_head=follow)
+        return out
+
+    m = re.match(
+        r"VACUUM\s+(`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_vacuum,
+        )
+
+        _, path = _resolve_sql_table(m.group(1))
+        kw: dict = {}
+        if m.group(2):
+            if m.group(3).upper() == "VERSIONS":
+                kw["keep_versions"] = int(m.group(2))
+            else:
+                kw["retain_seconds"] = float(m.group(2)) * 3600.0
+        n = manifest_vacuum(path, **kw)
+        return {"statement": "vacuum", "removed_dirs": n}
+
+    return None
+
+
 def _refresh_followed_views(spark, stmt: str) -> None:
     """Re-bind every ``follow_head`` view the statement references whose
     table head moved since the view's current binding. Reference
@@ -1167,6 +1264,10 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       NULL — except partition columns, which must be listed);
       ``INSERT OVERWRITE v SELECT …`` → the writer's dynamic partition
       overwrite (replaces exactly the partitions present in the data)
+    - utility statements (Delta parity): ``DESCRIBE HISTORY v`` (a
+      DataFrame, newest first), ``OPTIMIZE v [ZORDER BY (c1, …)]``,
+      ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]`` — see
+      :func:`_dispatch_util_statement`
 
     Anything else (SELECT, SHOW, …) falls through to ``spark.sql``
     unchanged — after re-binding any referenced ``follow_head`` views
@@ -1194,6 +1295,9 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     )
 
     stmt = statement.strip().rstrip(";").strip()
+    util = _dispatch_util_statement(spark, stmt)
+    if util is not None:
+        return util
     verb_m = re.match(r"(DELETE|UPDATE|MERGE|INSERT)\b", stmt, re.I)
     if not verb_m:
         _refresh_followed_views(spark, stmt)

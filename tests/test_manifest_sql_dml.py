@@ -549,3 +549,67 @@ def test_sql_merge_conditional_update_null_condition_carries(
         ).collect()
     }
     assert got == {3: 3.0, 4: 10.0}
+
+
+# ---- utility statements ------------------------------------------------
+
+
+def test_sql_describe_history(spark, table_path, view):
+    manifest_sql(spark, f"DELETE FROM {view} WHERE k = 0")
+    hist = manifest_sql(spark, f"DESCRIBE HISTORY {view}").collect()
+    assert hist[0]["op"] == "delete"  # newest first
+    assert hist[-1]["op"] == "upsert"
+    assert hist[0]["version"] > hist[-1]["version"]
+    import json as _json
+
+    m = _json.loads(hist[0]["op_metrics"])
+    assert m["deleted_rows"] == 1
+
+
+def test_sql_optimize_compacts(spark, table_path, view):
+    # fragment one partition with two extra appends
+    for i in (800, 801):
+        manifest_sql(spark, f"INSERT INTO {view} VALUES "
+                            f"(CAST({i} AS LONG), 'd0', CAST(0.0 AS DOUBLE))")
+    r = manifest_sql(spark, f"OPTIMIZE {view}")
+    assert r["statement"] == "optimize"
+    assert r["partitions"] >= 1 and r["files_after"] <= r["files_before"]
+    # content unchanged, view refreshed
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 32
+    )
+    assert manifest_read(spark, table_path).count() == 32
+
+
+def test_sql_optimize_zorder(spark, table_path, view):
+    r = manifest_sql(spark, f"OPTIMIZE {view} ZORDER BY (k, v)")
+    assert r["statement"] == "optimize-zorder"
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 30
+    )
+
+
+def test_sql_vacuum_retain_versions(spark, table_path, view):
+    import os
+
+    manifest_sql(spark, f"UPDATE {view} SET v = v + 1 WHERE k = 1")
+    manifest_sql(spark, f"OPTIMIZE {view}")
+    n_stages_before = len(os.listdir(f"{table_path}/data"))
+    r = manifest_sql(spark, f"VACUUM {view} RETAIN 1 VERSIONS")
+    assert r["statement"] == "vacuum"
+    assert r["removed_dirs"] >= 1
+    assert len(os.listdir(f"{table_path}/data")) < n_stages_before
+    # table still reads correctly at head
+    got = manifest_sql(
+        spark, f"SELECT v FROM {view} WHERE k = 1"
+    ).collect()[0].v
+    assert got == 2.0
+
+
+def test_sql_util_unregistered_table_refused(spark):
+    with pytest.raises(ValueError, match="not a registered manifest view"):
+        manifest_sql(spark, "DESCRIBE HISTORY no_such_view")
+    with pytest.raises(ValueError, match="not a registered manifest view"):
+        manifest_sql(spark, "VACUUM no_such_view")
