@@ -1198,6 +1198,73 @@ def _dispatch_util_statement(spark, stmt: str):
         n = manifest_vacuum(path, **kw)
         return {"statement": "vacuum", "removed_dirs": n}
 
+    m = re.match(
+        r"ANALYZE\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s+COMPUTE\s+"
+        r"STATISTICS\s+FOR\s+COLUMNS\s+(.+)$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.skipping import (
+            manifest_collect_stats,
+        )
+
+        _, path = _resolve_sql_table(m.group(1))
+        cols = [
+            _unquote_ident(c) for c in m.group(2).split(",") if c.strip()
+        ]
+        r = manifest_collect_stats(spark, path, cols)
+        return {"statement": "analyze", **r}
+
+    # CREATE TABLE <name> LOCATION '<path>' PARTITIONED BY (cols)
+    # AS SELECT … — CTAS through the Arrow writer, then registered as a
+    # SQL view (follow_head by default: a freshly created table is
+    # usually about to be loaded further)
+    m = re.match(
+        r"CREATE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
+        r"LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s+"
+        r"AS\s+(.+)$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        view_name = _unquote_ident(m.group(1))
+        path = m.group(2)
+        pcols = [
+            _unquote_ident(c) for c in m.group(3).split(",") if c.strip()
+        ]
+        if not pcols:
+            raise ValueError(
+                "CREATE TABLE … AS requires PARTITIONED BY with at "
+                "least one column (the manifest protocol is partitioned)"
+            )
+        src = spark.sql(m.group(4).strip())
+        missing = [p for p in pcols if p not in src.columns]
+        if missing:
+            raise ValueError(
+                f"PARTITIONED BY column(s) {missing} are not produced "
+                f"by the CTAS query (have {src.columns})"
+            )
+        spark.dataSource.register(ManifestTableDataSource)
+        (
+            src.write.format("manifest")
+            .mode("append")
+            .option("path", path)
+            .option("partition_cols", ",".join(pcols))
+            .save()
+        )
+        manifest_sql_register(spark, view_name, path, follow_head=True)
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_history,
+        )
+
+        om = manifest_history(path)[-1].get("op_metrics", {})
+        return {
+            "statement": "create-table-as",
+            "rows_inserted": om.get("rows_appended"),
+            "files_added": om.get("files_added"),
+        }
+
     return None
 
 
@@ -1266,8 +1333,11 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       overwrite (replaces exactly the partitions present in the data)
     - utility statements (Delta parity): ``DESCRIBE HISTORY v`` (a
       DataFrame, newest first), ``OPTIMIZE v [ZORDER BY (c1, …)]``,
-      ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]`` — see
-      :func:`_dispatch_util_statement`
+      ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]``,
+      ``ANALYZE TABLE v COMPUTE STATISTICS FOR COLUMNS c1, …``, and
+      ``CREATE TABLE name LOCATION 'path' PARTITIONED BY (cols) AS
+      SELECT …`` (CTAS through the Arrow writer, registered
+      ``follow_head``) — see :func:`_dispatch_util_statement`
 
     Anything else (SELECT, SHOW, …) falls through to ``spark.sql``
     unchanged — after re-binding any referenced ``follow_head`` views

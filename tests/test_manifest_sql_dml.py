@@ -613,3 +613,62 @@ def test_sql_util_unregistered_table_refused(spark):
         manifest_sql(spark, "DESCRIBE HISTORY no_such_view")
     with pytest.raises(ValueError, match="not a registered manifest view"):
         manifest_sql(spark, "VACUUM no_such_view")
+
+
+def test_sql_analyze_table(spark, table_path, view):
+    r = manifest_sql(
+        spark,
+        f"ANALYZE TABLE {view} COMPUTE STATISTICS FOR COLUMNS k, v",
+    )
+    assert r["statement"] == "analyze"
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+    )
+
+    _, content = _latest_manifest(table_path)
+    assert content.get("stats_ref")
+    assert set(content.get("stats_cols", [])) >= {"k", "v"}
+
+
+def test_sql_create_table_as(spark, table_path, view):
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    dst = f"{_tempfile.gettempdir()}/msqlctas_{uuid.uuid4().hex[:8]}"
+    new_view = f"msqlnew_{uuid.uuid4().hex[:8]}"
+    try:
+        r = manifest_sql(
+            spark,
+            f"CREATE TABLE {new_view} LOCATION '{dst}' "
+            f"PARTITIONED BY (day) "
+            f"AS SELECT k, day, v * 100 AS v FROM {view} WHERE k < 6",
+        )
+        assert r["statement"] == "create-table-as"
+        assert r["rows_inserted"] == 6
+        # registered follow_head: later INSERT through the dispatcher is
+        # visible without re-registration
+        manifest_sql(
+            spark,
+            f"INSERT INTO {new_view} VALUES "
+            f"(CAST(99 AS LONG), 'd9', CAST(9.0 AS DOUBLE))",
+        )
+        got = manifest_sql(
+            spark, f"SELECT count(*) AS c FROM {new_view}"
+        ).collect()[0].c
+        assert got == 7
+        assert manifest_read(spark, dst).count() == 7
+    finally:
+        _shutil.rmtree(dst, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(new_view)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def test_sql_create_table_as_refusals(spark, table_path, view):
+    with pytest.raises(ValueError, match="PARTITIONED BY column"):
+        manifest_sql(
+            spark,
+            f"CREATE TABLE t2 LOCATION '/tmp/x_{uuid.uuid4().hex[:6]}' "
+            f"PARTITIONED BY (nope) AS SELECT k, day, v FROM {view}",
+        )
