@@ -714,3 +714,75 @@ def test_lazy_upsert_multicol_partitions(spark, table_path):
     assert got == [(110, 999.0), (111, 1.0), (112, 2.0), (113, 3.0),
                    (777, 7.0)]
     assert manifest_read(spark, table_path).count() == 24 + 1
+
+
+def test_lazy_vs_eager_randomized_mixed_history(spark, table_path):
+    """Randomized differential: the same mixed DML script (upsert /
+    MoR delete / MoR update, seeded) applied to TWIN tables — one
+    checkpointed so the lazy paths engage, one never checkpointed so
+    every commit is eager — must produce identical reads after every
+    step, and the lazy table's materialized head must replay to a
+    complete, consistent content. This is the property the per-verb
+    tests can't cover: arbitrary INTERLEAVINGS of lazy and eager
+    commits over one chain."""
+    import random
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_version,
+        _materialize,
+        manifest_history,
+        manifest_update_where,
+    )
+
+    rng = random.Random(1309)
+    twin = f"{tempfile.gettempdir()}/ckptread_{_uuid.uuid4().hex[:12]}"
+    try:
+        for p in (table_path, twin):
+            _seed(spark, p, days=4)
+        manifest_checkpoint(spark, table_path)  # lazy twin only
+        next_k = 10_000
+        for step in range(10):
+            op = rng.choice(["upsert", "delete", "update", "upsert"])
+            if op == "upsert":
+                rows = [
+                    (next_k + i, f"d{rng.randrange(5):03d}",
+                     float(rng.randrange(100)))
+                    for i in range(rng.randrange(1, 4))
+                ]
+                next_k += 10
+                for p in (table_path, twin):
+                    manifest_upsert_partitioned(
+                        _batch(spark, rows), p, ["k"], "day"
+                    )
+            elif op == "delete":
+                cond = f"k % 7 = {rng.randrange(7)} AND day = 'd001'"
+                for p in (table_path, twin):
+                    manifest_delete_where(spark, p, cond, mode="mor")
+            else:
+                cond = f"k % 5 = {rng.randrange(5)}"
+                for p in (table_path, twin):
+                    manifest_update_where(
+                        spark, p, {"v": "v + 1"}, cond, mode="mor"
+                    )
+            if rng.random() < 0.3:
+                manifest_checkpoint(spark, table_path)  # drift anchor
+            assert _rows(manifest_read(spark, table_path)) == _rows(
+                manifest_read(spark, twin)
+            ), f"diverged at step {step} after {op}"
+        # the lazy table actually exercised lazy commits
+        lazy_ops = [
+            h["op_metrics"]
+            for h in manifest_history(table_path)
+            if h["op_metrics"].get("lazy_commit")
+        ]
+        assert lazy_ops, "no lazy commit engaged — test lost its point"
+        # head materializes to a complete content (every partition's
+        # file list non-empty, every delete ref resolvable)
+        full = _materialize(table_path, _latest_version(table_path))
+        assert set(full["partitions"]) == set(full["files"])
+        assert all(full["files"][k] for k in full["partitions"])
+    finally:
+        _shutil.rmtree(twin, ignore_errors=True)
