@@ -186,6 +186,19 @@ class ManifestBatchReader(DataSourceReader):
         # pruning state fed by pushFilters (empty = unpruned scan)
         self._part_eqs: list = []  # [(col, [values])]
         self._boxes: dict[str, tuple] = {}  # {col: (lo, hi)} closed
+        # plan-time pruning gate. Spark's Python-DataSource machinery
+        # caches the planned scan (readInfo) per RELATION instance and
+        # serves it to any later scan of that relation that pushes no
+        # filters — so a pruned plan can leak into a query it doesn't
+        # belong to (observed on 4.1.2: SELECT count(*) after a
+        # partition-filtered SELECT on the same registered view returns
+        # the pruned subset). Pruning from pushed filters is therefore
+        # only sound when each relation instance sees ONE filter
+        # context; manifest_sql enforces that by re-binding views
+        # between filter contexts, and passes prune='false' for
+        # bindings it cannot prove single-context (a statement
+        # referencing the view more than once).
+        self.prune = str(options.get("prune", "true")).lower() != "false"
         # plan telemetry for tests/debugging (driver-worker side only)
         self.last_plan: dict = {}
         import pyarrow as pa
@@ -293,6 +306,18 @@ class ManifestBatchReader(DataSourceReader):
         )
 
         content = self.content
+        # CONSUME the pushdown state: it applies to exactly one planning
+        # round. Spark reuses this reader instance across queries on the
+        # same registered view and does NOT call pushFilters when a
+        # query has no pushable filters — without the consume, such a
+        # query would inherit the PREVIOUS query's pruning and silently
+        # drop rows (the pushFilters-top reset alone cannot cover it).
+        # A re-plan within one round that skips pushFilters then simply
+        # runs unpruned — slower, never wrong.
+        part_eqs, boxes = self._part_eqs, self._boxes
+        self._part_eqs, self._boxes = [], {}
+        if not self.prune:
+            part_eqs, boxes = [], {}
         parts = dict(content.get("partitions") or {})
         pcols = _partition_cols(content)
         n_parts_total = len(parts)
@@ -311,7 +336,7 @@ class ManifestBatchReader(DataSourceReader):
         # partition-equality pruning through the typed gate: a filter
         # whose literal/column pairing is not coercion-faithful prunes
         # NOTHING (Spark re-applies it anyway)
-        for c, vals in self._part_eqs:
+        for c, vals in part_eqs:
             if c not in pcols:
                 continue
             matchers = [_part_eq_matcher(col_types.get(c), v) for v in vals]
@@ -341,9 +366,7 @@ class ManifestBatchReader(DataSourceReader):
         n_files_after_parts = len(rels)
         # zone-map skipping on non-partition range boxes (best-effort:
         # canonicalization raises on cross-domain probes — keep all)
-        data_boxes = {
-            c: b for c, b in self._boxes.items() if c not in pcols
-        }
+        data_boxes = {c: b for c, b in boxes.items() if c not in pcols}
         if data_boxes and content.get("stats_ref"):
             try:
                 from data_management_service_run_etl_imputations_spark.sources.skipping import (
@@ -530,7 +553,14 @@ class ManifestTableDataSource(DataSource):
 # back to the manifest table it was registered from, and — for
 # follow_head registrations — to detect a moved head cheaply before a
 # SELECT falls through to spark.sql
-_SQL_TABLES: "dict[str, tuple[str, str, bool, int]]" = {}
+_SQL_TABLES: "dict[str, tuple[str, str, bool, int, bool]]" = {}
+
+# views whose CURRENT binding may hold a filter-pruned cached scan:
+# Spark's Python-DataSource readInfo cache is per relation instance and
+# is served to later no-filter scans of the same relation (see
+# ManifestBatchReader.prune) — after any SELECT ran against a binding,
+# the next manifest_sql statement referencing it re-binds first
+_VIEW_DIRTY: set = set()
 
 
 def manifest_sql_register(
@@ -540,15 +570,28 @@ def manifest_sql_register(
     version: int | None = None,
     as_of: float | None = None,
     follow_head: bool = False,
+    prune: bool = True,
 ):
     """Expose a manifest table to SQL: register the ``manifest`` format,
     enable Python-DataSource filter pushdown (prune-only — disabled, the
     scan is merely unpruned), load the table, and publish it as a temp
-    view. Returns the DataFrame. Each SELECT against the view re-plans
-    through ``pushFilters``/``partitions``, so WHERE clauses prune files
-    at plan time; the SNAPSHOT stays pinned to registration time
+    view. Returns the DataFrame. A SELECT with pushable filters prunes
+    files at plan time; the SNAPSHOT stays pinned to registration time
     (re-register to see newer commits — the same "view of a version"
     contract as Delta's ``@v`` syntax).
+
+    ONE-FILTER-CONTEXT-PER-BINDING contract (``prune=True``, default):
+    Spark caches a Python DataSource's planned scan per relation
+    instance and serves it to later scans of that relation that push no
+    filters, so after a filtered query a pruned plan can leak into an
+    unfiltered one. :func:`manifest_sql` enforces the contract
+    automatically (it re-binds a view between statements and disables
+    pruning for statements referencing a view twice). If you instead
+    run many RAW ``spark.sql`` queries against one long-lived binding,
+    register with ``prune=False``: the scan then never prunes from
+    pushed filters (every predicate is still applied by Spark —
+    correct, just unpruned), making the binding safe for unlimited
+    reuse.
 
     ``follow_head=True`` opts a view into always-current binding THROUGH
     :func:`manifest_sql`: before a statement referencing the view runs,
@@ -586,9 +629,19 @@ def manifest_sql_register(
         # and the DataSource's own (the view and _SQL_TABLES would
         # disagree about what "current" means)
         reader = reader.option("version", str(bound_v))
+    if not prune:
+        reader = reader.option("prune", "false")
     df = reader.load()
     df.createOrReplaceTempView(view_name)
-    _SQL_TABLES[view_name.lower()] = (view_name, path, follow_head, bound_v)
+    _SQL_TABLES[view_name.lower()] = (
+        view_name,
+        path,
+        follow_head,
+        bound_v,
+        prune,
+    )
+    # a fresh binding has an empty scan cache — clean by construction
+    _VIEW_DIRTY.discard(view_name.lower())
     return df
 
 
@@ -1116,6 +1169,17 @@ def _dispatch_util_statement(spark, stmt: str):
     - ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]`` →
       :func:`sinks.manifest_vacuum` (default keep_versions=1, matching
       the Python API).
+    - ``RESTORE [TABLE] v TO VERSION AS OF n`` /
+      ``TO TIMESTAMP AS OF epoch`` → :func:`sinks.manifest_restore`
+      (metadata-only re-commit of the earlier snapshot as a new head).
+    - ``ALTER TABLE v ADD CONSTRAINT name CHECK (expr)`` /
+      ``DROP CONSTRAINT name`` / ``RENAME COLUMN a TO b`` /
+      ``DROP COLUMN c`` → the corresponding :mod:`sinks` engines
+      (column ops are metadata-only via column mapping).
+
+    Statements that mutate the table or its schema re-register the view
+    afterward (preserving its follow-head flag) — the snapshot-pinned
+    view contract would otherwise hide the statement's own effect.
     """
     import json
     import re
@@ -1173,8 +1237,7 @@ def _dispatch_util_statement(spark, stmt: str):
 
             r = manifest_compact(spark, path)
             out = {"statement": "optimize", **r}
-        follow = _SQL_TABLES.get(view_name.lower(), ("", "", False, 0))[2]
-        manifest_sql_register(spark, view_name, path, follow_head=follow)
+        _reregister_current(spark, view_name, path)
         return out
 
     m = re.match(
@@ -1265,46 +1328,181 @@ def _dispatch_util_statement(spark, stmt: str):
             "files_added": om.get("files_added"),
         }
 
+    m = re.match(
+        r"RESTORE\s+(?:TABLE\s+)?(`[^`]+`|[A-Za-z_][\w.]*)\s+TO\s+"
+        r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+([0-9][\w.:-]*)\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_restore,
+        )
+
+        view_name, path = _resolve_sql_table(m.group(1))
+        if m.group(2).upper() == "VERSION":
+            r = manifest_restore(path, version=int(m.group(3)))
+        else:
+            # timestamps are the manifest's native committed_at epoch
+            # seconds (what DESCRIBE HISTORY shows), so the SQL form
+            # takes the same number — no wall-clock string parsing
+            r = manifest_restore(path, as_of=float(m.group(3)))
+        _reregister_current(spark, view_name, path)
+        return {"statement": "restore", **r}
+
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s+(.+)$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources import (
+            sinks,
+        )
+
+        view_name, path = _resolve_sql_table(m.group(1))
+        body = m.group(2).strip()
+        mm = re.match(
+            r"ADD\s+CONSTRAINT\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
+            r"CHECK\s*\((.+)\)\s*$",
+            body,
+            re.I | re.S,
+        )
+        if mm:
+            name = _unquote_ident(mm.group(1))
+            sinks.manifest_add_constraint(
+                spark, path, name, mm.group(2).strip()
+            )
+            out = {"statement": "add-constraint", "name": name}
+        else:
+            mm = re.match(
+                r"DROP\s+CONSTRAINT\s+(`[^`]+`|[A-Za-z_]\w*)\s*$",
+                body,
+                re.I,
+            )
+            if mm:
+                name = _unquote_ident(mm.group(1))
+                sinks.manifest_drop_constraint(path, name)
+                out = {"statement": "drop-constraint", "name": name}
+            else:
+                mm = re.match(
+                    r"RENAME\s+COLUMN\s+(`[^`]+`|[A-Za-z_]\w*)\s+TO\s+"
+                    r"(`[^`]+`|[A-Za-z_]\w*)\s*$",
+                    body,
+                    re.I,
+                )
+                if mm:
+                    old = _unquote_ident(mm.group(1))
+                    new = _unquote_ident(mm.group(2))
+                    sinks.manifest_rename_column(path, old, new)
+                    out = {
+                        "statement": "rename-column",
+                        "old": old,
+                        "new": new,
+                    }
+                else:
+                    mm = re.match(
+                        r"DROP\s+COLUMN\s+(`[^`]+`|[A-Za-z_]\w*)\s*$",
+                        body,
+                        re.I,
+                    )
+                    if not mm:
+                        raise ValueError(
+                            "unsupported ALTER TABLE clause (have: ADD "
+                            "CONSTRAINT name CHECK (expr), DROP "
+                            "CONSTRAINT name, RENAME COLUMN a TO b, "
+                            f"DROP COLUMN c): {body!r}"
+                        )
+                    col = _unquote_ident(mm.group(1))
+                    sinks.manifest_drop_column(path, col)
+                    out = {"statement": "drop-column", "column": col}
+        _reregister_current(spark, view_name, path)
+        return out
+
     return None
 
 
-def _refresh_followed_views(spark, stmt: str) -> None:
-    """Re-bind every ``follow_head`` view the statement references whose
-    table head moved since the view's current binding. Reference
-    detection is a word-boundary name match OUTSIDE quoted regions — a
-    false positive (the name used as a column, say) merely triggers a
-    harmless head-version compare; a miss is impossible for a real table
+def _reregister_current(spark, view_name: str, path: str) -> None:
+    """Re-bind a view at the table's state, preserving its registered
+    follow-head flag and prune preference — the post-DML/maintenance
+    refresh every mutating dispatcher branch uses."""
+    t = _SQL_TABLES.get(view_name.lower())
+    follow = t[2] if t else False
+    pref = t[4] if t and len(t) > 4 else True
+    manifest_sql_register(
+        spark, view_name, path, follow_head=follow, prune=pref
+    )
+
+
+def _rebind_referenced_views(spark, stmt: str) -> None:
+    """Give every registered manifest view the statement references a
+    binding that is SOUND for this statement, then mark it used.
+
+    Two rebind triggers:
+    - the binding is DIRTY (a previous statement ran against it — its
+      JVM-side scan cache may hold that statement's pruned plan, which
+      Spark would serve to any scan here that pushes no filters; see
+      ManifestBatchReader.prune) or, for follow_head views, the table
+      head moved (one O(delta-chain) directory listing, no file-list
+      hydration — an unchanged quiescent table on a clean binding pays
+      only metadata stats);
+    - the statement references the view MORE THAN ONCE: two scans of
+      one relation instance can mix filter contexts through that same
+      shared cache WITHIN the statement, so the binding is registered
+      with prune='false' for this statement (every predicate still
+      applied by Spark — correct, just unpruned) and marked dirty so
+      the next single-reference statement restores a pruning binding.
+
+    Reference detection is a word-boundary name match OUTSIDE quoted
+    regions — a false positive (the name used as a column, say) merely
+    triggers a harmless rebind; a miss is impossible for a real table
     reference because SQL table identifiers are exactly the registered
-    word. The compare is :func:`sinks._resolve_version`'s directory
-    listing — O(delta-chain entries), no file-list hydration — so a
-    SELECT against an unchanged table pays only metadata stat calls."""
+    word. Parenthesized regions are KEPT (subqueries reference views),
+    which is why this is a regex strip rather than _scan_top (that also
+    drops paren bodies)."""
     import re
 
-    followed = [
-        (view, path)
-        for view, path, follow, bound_v in _SQL_TABLES.values()
-        if follow
-    ]
-    if not followed:
+    if not _SQL_TABLES:
         return
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
         _resolve_version,
     )
 
-    # strip single/double-quoted literals so a view name inside a string
-    # is not treated as a reference; parenthesized regions are KEPT
-    # (subqueries reference views), which is why this is a regex strip
-    # rather than _scan_top (that also drops paren bodies)
     text = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ", stmt)
-    for view, path in followed:
-        if not re.search(
-            r"(?<![\w`])" + re.escape(view) + r"(?![\w`])", text, re.I
-        ):
+    for key, t in list(_SQL_TABLES.items()):
+        view, path, follow, bound_v = t[0], t[1], t[2], t[3]
+        pref = t[4] if len(t) > 4 else True
+        n_refs = len(
+            re.findall(
+                r"(?<![\w`])" + re.escape(view) + r"(?![\w`])", text, re.I
+            )
+        )
+        if not n_refs:
             continue
-        bound_v = _SQL_TABLES[view.lower()][3]
-        head_v = _resolve_version(path, None)
-        if head_v != bound_v:
-            manifest_sql_register(spark, view, path, follow_head=True)
+        want_prune = pref and n_refs == 1
+        moved = follow and _resolve_version(path, None) != bound_v
+        if key in _VIEW_DIRTY or moved or want_prune != pref:
+            if follow:
+                manifest_sql_register(
+                    spark, view, path, follow_head=True, prune=want_prune
+                )
+            else:
+                manifest_sql_register(
+                    spark,
+                    view,
+                    path,
+                    version=bound_v if bound_v > 0 else None,
+                    prune=want_prune,
+                )
+            if want_prune != pref:
+                # the no-prune binding is for THIS statement only: keep
+                # the registered preference and force a rebind next time
+                nt = _SQL_TABLES[key]
+                _SQL_TABLES[key] = (nt[0], nt[1], nt[2], nt[3], pref)
+        # this statement may push filters through the binding — the
+        # next statement referencing the view must start from a fresh
+        # relation (or one whose cache provably matches its context)
+        _VIEW_DIRTY.add(key)
 
 
 def manifest_sql(spark, statement: str, mode: str | None = None):
@@ -1334,10 +1532,13 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     - utility statements (Delta parity): ``DESCRIBE HISTORY v`` (a
       DataFrame, newest first), ``OPTIMIZE v [ZORDER BY (c1, …)]``,
       ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]``,
-      ``ANALYZE TABLE v COMPUTE STATISTICS FOR COLUMNS c1, …``, and
+      ``ANALYZE TABLE v COMPUTE STATISTICS FOR COLUMNS c1, …``,
       ``CREATE TABLE name LOCATION 'path' PARTITIONED BY (cols) AS
       SELECT …`` (CTAS through the Arrow writer, registered
-      ``follow_head``) — see :func:`_dispatch_util_statement`
+      ``follow_head``), ``RESTORE [TABLE] v TO VERSION|TIMESTAMP AS OF
+      n``, and ``ALTER TABLE v ADD CONSTRAINT name CHECK (expr) | DROP
+      CONSTRAINT name | RENAME COLUMN a TO b | DROP COLUMN c`` — see
+      :func:`_dispatch_util_statement`
 
     Anything else (SELECT, SHOW, …) falls through to ``spark.sql``
     unchanged — after re-binding any referenced ``follow_head`` views
@@ -1365,18 +1566,21 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     )
 
     stmt = statement.strip().rstrip(";").strip()
+    # EVERY statement first: any verb can scan registered views (a
+    # SELECT fall-through, a MERGE USING source, an INSERT source, a
+    # CTAS body) — each referenced view gets a binding that is sound
+    # for this statement's filter contexts
+    _rebind_referenced_views(spark, stmt)
     util = _dispatch_util_statement(spark, stmt)
     if util is not None:
         return util
     verb_m = re.match(r"(DELETE|UPDATE|MERGE|INSERT)\b", stmt, re.I)
     if not verb_m:
-        _refresh_followed_views(spark, stmt)
         return spark.sql(statement)
     verb = verb_m.group(1).upper()
 
     def refresh(view_name: str, path: str) -> None:
-        follow = _SQL_TABLES.get(view_name.lower(), ("", "", False, 0))[2]
-        manifest_sql_register(spark, view_name, path, follow_head=follow)
+        _reregister_current(spark, view_name, path)
 
     if verb == "DELETE":
         m = re.match(
@@ -1480,7 +1684,12 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
                     f"the source query produces {len(src.columns)}"
                 )
             listed = {c.lower() for c in cols}
-            missing_p = [p for p in pcols_t if p.lower() not in listed]
+            gen_t = t_content.get("generated_cols") or {}
+            missing_p = [
+                p
+                for p in pcols_t
+                if p.lower() not in listed and p not in gen_t
+            ]
             if missing_p:
                 raise ValueError(
                     f"INSERT column list must include the partition "
@@ -1506,6 +1715,51 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
                 for i, f in pairs
             ]
         )
+        # feature routing: writer DataSource v1 refuses CHECK constraints
+        # (needs the observe pass), column mapping, generated partition
+        # columns, and non-parquet tables — those route through the
+        # full-featured Python engines (manifest_insert /
+        # manifest_replace_partitions) so SQL INSERT works on EVERY
+        # table state SQL DDL can produce; plain tables keep the
+        # DataSource path (same plan the df.write API exercises)
+        featured = bool(
+            t_content.get("constraints")
+            or t_content.get("col_ids")
+            or t_content.get("generated_cols")
+            or t_content.get("fmt", "parquet") != "parquet"
+        )
+        if featured:
+            from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                manifest_insert,
+                manifest_replace_partitions,
+            )
+
+            t_fmt = t_content.get("fmt", "parquet")
+            if overwrite:
+                values = [
+                    tuple(r)
+                    for r in aligned.select(*pcols_t).distinct().collect()
+                ]
+                r = manifest_replace_partitions(
+                    aligned,
+                    path,
+                    pcols_t if len(pcols_t) > 1 else pcols_t[0],
+                    values,
+                    fmt=t_fmt,
+                )
+                refresh(view_name, path)
+                return {
+                    "statement": "insert",
+                    "mode": "dynamic-overwrite",
+                    **r,
+                }
+            r = manifest_insert(aligned, path, fmt=t_fmt)
+            refresh(view_name, path)
+            return {
+                "statement": "insert",
+                "mode": "append",
+                "rows_inserted": r["inserted"],
+            }
         writer = aligned.write.format("manifest").option("path", path)
         if overwrite:
             writer = writer.mode("overwrite").option(

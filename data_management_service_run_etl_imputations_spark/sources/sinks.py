@@ -3132,6 +3132,107 @@ def manifest_upsert_partitioned(
     return {"updated": n_updated, "inserted": n_batch - n_updated}
 
 
+def manifest_insert(
+    incoming: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    extra_meta: dict | None = None,
+    sort_cols: list[str] | None = None,
+    txn: "tuple[str, int] | None" = None,
+) -> dict[str, int]:
+    """ATOMIC append-only INSERT through the transactional write tail —
+    :func:`manifest_upsert_partitioned` minus the key probe and merge:
+    every incoming row lands as a NEW file in its partition, every
+    existing file carries by reference (nothing is rewritten, dup keys
+    are NOT collapsed — SQL ``INSERT INTO`` semantics). This is the
+    full-featured twin of the writer DataSource's append
+    (``df.write.format("manifest")``): unlike writer v1 it enforces
+    CHECK constraints (the same ``DataFrame.observe`` pass as every
+    engine — a violating batch aborts before staging), computes
+    generated partition columns, and writes column-mapped tables
+    (``col_ids`` — ids for evolved names are assigned in the commit
+    build). The SQL dispatcher routes ``INSERT INTO`` here whenever the
+    table carries one of those features; plain tables keep the
+    DataSource path.
+
+    Lazy planning mirrors the upsert: on a checkpoint-anchored chain the
+    plan hydrates only the incoming batch's partitions and the commit
+    publishes an actions diff — steady ingestion into a 10⁷-file table
+    never hydrates the O(files) driver dict (same gates: stats/bloom
+    sidecars and column mapping go eager, their maintenance prunes
+    against the full live set).
+
+    ``txn=(app_id, version)`` gives the same idempotent-replay contract
+    as the upsert. Schema evolution is the upsert's: a batch may ADD
+    columns (old rows read null); a narrow batch never regresses the
+    committed schema. Returns ``{"inserted": n}``.
+    """
+    spark = incoming.sparkSession
+    files_plan = None
+    v = _latest_version(path)
+    if v == 0:
+        raise ValueError(
+            f"manifest table at {path} does not exist — INSERT appends "
+            "to an existing table (create via manifest_upsert_partitioned "
+            "or the writer DataSource)"
+        )
+    resolved = _pruned_resolve(path, v)
+    if resolved is not None:
+        meta = resolved[0]
+        if (
+            not meta.get("stats_ref")
+            and not meta.get("col_ids")
+            and not meta.get("bloom_ref")
+        ):
+            content, files_plan = resolved
+            version = v
+    if files_plan is None:
+        version, content = _latest_manifest(path)
+    if txn is not None and _txn_applied(content, txn):
+        return {"inserted": 0, "skipped": True}
+    if txn is not None:
+        extra_meta = {**(extra_meta or {}), **_txn_meta(content, txn)}
+    gen = content.get("generated_cols") or {}
+    if gen:
+        incoming = _apply_generated(incoming, gen)
+    pcols = _partition_cols(content)
+    partition_col = pcols if len(pcols) > 1 else pcols[0]
+
+    touched = incoming.select(*pcols).distinct().collect()
+    touched_keys = [_part_key_tuple(tuple(r), pcols) for r in touched]
+    if files_plan is not None:
+        content = {
+            **content,
+            "files": _load_files_pruned(path, files_plan, touched_keys),
+        }
+    files: dict = content.get("files", {})
+    # nothing is rewritten: every live file of a touched partition
+    # carries by reference next to the freshly staged ones
+    carry_files = {
+        k: list(files.get(k, [])) for k in touched_keys if files.get(k)
+    }
+    merged = incoming
+    if content.get("schema"):
+        merged = spark.createDataFrame([], content["schema"]).unionByName(
+            merged, allowMissingColumns=True
+        )
+    n = _stage_and_commit(
+        path,
+        merged,
+        touched_keys,
+        partition_col,
+        fmt,
+        version,
+        content,
+        extra_meta,
+        op="insert",
+        sort_cols=sort_cols,
+        carry_files=carry_files,
+        lazy_actions=files_plan is not None,
+    )
+    return {"inserted": n}
+
+
 def _stage_and_commit(
     path: str,
     merged: DataFrame,

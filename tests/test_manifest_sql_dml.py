@@ -672,3 +672,214 @@ def test_sql_create_table_as_refusals(spark, table_path, view):
             f"CREATE TABLE t2 LOCATION '/tmp/x_{uuid.uuid4().hex[:6]}' "
             f"PARTITIONED BY (nope) AS SELECT k, day, v FROM {view}",
         )
+
+
+def test_sql_restore_version_as_of(spark, table_path, view):
+    v0 = manifest_history(table_path)[-1]["version"]
+    manifest_sql(spark, f"DELETE FROM {view} WHERE k < 10")
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 20
+    )
+    r = manifest_sql(spark, f"RESTORE TABLE {view} TO VERSION AS OF {v0}")
+    assert r["statement"] == "restore" and r["restored_version"] == v0
+    # view re-bound to the restored head: the deleted rows are back
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 30
+    )
+    # history preserved: restore is a NEW head, not a rewind
+    assert manifest_history(table_path)[-1]["version"] > v0 + 1
+
+
+def test_sql_restore_timestamp_as_of(spark, table_path, view):
+    ts0 = manifest_history(table_path)[-1]["committed_at"]
+    manifest_sql(spark, f"UPDATE {view} SET v = v + 100 WHERE k = 1")
+    r = manifest_sql(spark, f"RESTORE {view} TO TIMESTAMP AS OF {ts0}")
+    assert r["statement"] == "restore"
+    got = manifest_sql(spark, f"SELECT v FROM {view} WHERE k = 1").collect()
+    assert got[0].v == 1.0
+
+
+def test_sql_alter_constraint_roundtrip(spark, table_path, view):
+    r = manifest_sql(
+        spark, f"ALTER TABLE {view} ADD CONSTRAINT v_nonneg CHECK (v >= 0)"
+    )
+    assert r == {"statement": "add-constraint", "name": "v_nonneg"}
+    # the constraint is live: a violating INSERT aborts before commit
+    with pytest.raises(Exception, match="v_nonneg"):
+        manifest_sql(
+            spark,
+            f"INSERT INTO {view} VALUES "
+            f"(CAST(900 AS LONG), 'd0', CAST(-1.0 AS DOUBLE))",
+        )
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 30
+    )
+    r = manifest_sql(spark, f"ALTER TABLE {view} DROP CONSTRAINT v_nonneg")
+    assert r["statement"] == "drop-constraint"
+    manifest_sql(
+        spark,
+        f"INSERT INTO {view} VALUES "
+        f"(CAST(900 AS LONG), 'd0', CAST(-1.0 AS DOUBLE))",
+    )
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 31
+    )
+
+
+def test_sql_alter_rename_and_drop_column(spark, table_path, view):
+    r = manifest_sql(spark, f"ALTER TABLE {view} RENAME COLUMN v TO score")
+    assert r == {"statement": "rename-column", "old": "v", "new": "score"}
+    # view re-registered with the new schema; old files read re-labeled
+    got = manifest_sql(
+        spark, f"SELECT sum(score) AS s FROM {view}"
+    ).collect()[0].s
+    assert got == float(sum(range(30)))
+    r = manifest_sql(spark, f"ALTER TABLE {view} DROP COLUMN score")
+    assert r == {"statement": "drop-column", "column": "score"}
+    cols = manifest_sql(spark, f"SELECT * FROM {view}").columns
+    assert cols == ["k", "day"]
+
+
+def test_sql_alter_unsupported_clause_refused(spark, table_path, view):
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        manifest_sql(
+            spark, f"ALTER TABLE {view} SET TBLPROPERTIES ('a'='b')"
+        )
+    with pytest.raises(ValueError, match="not a registered manifest view"):
+        manifest_sql(spark, "RESTORE TABLE nope TO VERSION AS OF 0")
+
+
+def test_sql_insert_into_column_mapped_table(spark, table_path, view):
+    manifest_sql(spark, f"ALTER TABLE {view} RENAME COLUMN v TO score")
+    r = manifest_sql(
+        spark,
+        f"INSERT INTO {view} VALUES "
+        f"(CAST(700 AS LONG), 'd1', CAST(7.0 AS DOUBLE))",
+    )
+    assert r["statement"] == "insert" and r["rows_inserted"] == 1
+    got = manifest_sql(
+        spark, f"SELECT score FROM {view} WHERE k = 700"
+    ).collect()
+    assert got[0].score == 7.0
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 31
+    )
+
+
+def test_sql_insert_overwrite_constrained_table(spark, table_path, view):
+    manifest_sql(
+        spark, f"ALTER TABLE {view} ADD CONSTRAINT v_cap CHECK (v < 1000)"
+    )
+    # dynamic overwrite replaces exactly partition d0, enforcing the CHECK
+    r = manifest_sql(
+        spark,
+        f"INSERT OVERWRITE {view} VALUES "
+        f"(CAST(1 AS LONG), 'd0', CAST(500.0 AS DOUBLE))",
+    )
+    assert r["statement"] == "insert" and r["mode"] == "dynamic-overwrite"
+    assert r["partitions_written"] == 1
+    assert (
+        manifest_sql(
+            spark, f"SELECT count(*) AS c FROM {view} WHERE day = 'd0'"
+        ).collect()[0].c
+        == 1
+    )
+    # the other partitions survive untouched
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 21
+    )
+    with pytest.raises(Exception, match="v_cap"):
+        manifest_sql(
+            spark,
+            f"INSERT OVERWRITE {view} VALUES "
+            f"(CAST(2 AS LONG), 'd0', CAST(2000.0 AS DOUBLE))",
+        )
+
+
+def test_sql_unfiltered_read_after_filtered_read_not_pruned(
+    spark, table_path, view
+):
+    # Spark reuses the view's reader instance across queries and does
+    # NOT call pushFilters when a query has no pushable filters — the
+    # planner must CONSUME pushdown state per round, or this count
+    # returns the previous query's pruned subset (10) instead of 30
+    assert (
+        manifest_sql(
+            spark, f"SELECT count(*) AS c FROM {view} WHERE day = 'd0'"
+        ).collect()[0].c
+        == 10
+    )
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 30
+    )
+    # and a DIFFERENT filter right after is planned from ITS filters
+    assert (
+        manifest_sql(
+            spark, f"SELECT count(*) AS c FROM {view} WHERE day = 'd1'"
+        ).collect()[0].c
+        == 10
+    )
+
+
+def test_sql_mixed_filter_contexts_one_statement(spark, table_path, view):
+    # a statement referencing the view twice (one scan filtered, one
+    # not) is registered prune='false' for the round — the shared JVM
+    # scan cache can otherwise serve the pruned plan to the unfiltered
+    # scan WITHIN the statement
+    r = manifest_sql(
+        spark,
+        f"SELECT (SELECT count(*) FROM {view}) AS total, "
+        f"(SELECT count(*) FROM {view} WHERE day='d0') AS dd",
+    ).collect()[0]
+    assert (r.total, r.dd) == (30, 10)
+    # the next single-reference statement restores a pruning binding
+    from data_management_service_run_etl_imputations_spark.sources import (
+        manifest_batch as mb,
+    )
+
+    assert mb._SQL_TABLES[view.lower()][4] is True
+    assert (
+        manifest_sql(
+            spark, f"SELECT count(*) AS c FROM {view} WHERE day = 'd1'"
+        ).collect()[0].c
+        == 10
+    )
+
+
+def test_raw_sql_binding_with_prune_false_is_reusable(spark, table_path):
+    import uuid as _uuid
+
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        manifest_sql_register as reg,
+    )
+
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(30)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, day STRING, v DOUBLE").coalesce(
+            2
+        ),
+        table_path,
+        ["k"],
+        "day",
+    )
+    name = f"msqlraw_{_uuid.uuid4().hex[:8]}"
+    reg(spark, name, table_path, prune=False)
+    # raw spark.sql (no dispatcher, no rebinds): filtered then
+    # unfiltered on ONE long-lived binding stays correct because the
+    # no-prune reader never bakes a filter context into the cached scan
+    assert (
+        spark.sql(
+            f"SELECT count(*) AS c FROM {name} WHERE day = 'd0'"
+        ).collect()[0].c
+        == 10
+    )
+    assert (
+        spark.sql(f"SELECT count(*) AS c FROM {name}").collect()[0].c == 30
+    )
