@@ -297,16 +297,23 @@ def dedup_embedding_cosine_strict(spark: SparkSession, sf_dir: str) -> DataFrame
     SQL. Cell-pair pruning at both thresholds is recorded by
     ``scripts/scale_probe.py`` via the operator's ``stats_out`` hook."""
     emb = load_table(spark, sf_dir, "embeddings")
-    offset = emb.agg((F.max("vec_id") + F.lit(1)).alias("__off"))
-    planted = (
-        emb.filter(F.col("vec_id") < 25)
-        .crossJoin(F.broadcast(offset))
-        .select(
-            (F.col("vec_id") + F.col("__off")).alias("vec_id"), "embedding"
-        )
+    # One tiny plan-time agg yields BOTH the plant offset and the exact
+    # corpus size; the offset becomes a literal (no broadcast-exchange
+    # subquery re-executed per job) and the size skips the operator's
+    # cardinality probe — together they cut the query from 4 jobs to 2.
+    head = emb.agg(
+        (F.max("vec_id") + F.lit(1)).alias("off"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    off = int(head["off"]) if head["off"] is not None else 0
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    return embedding_near_duplicates_blocked(corpus, threshold=0.9)
+    n_plant = min(25, int(head["n"]))  # vec_ids are 0..n-1 at every SF
+    return embedding_near_duplicates_blocked(
+        corpus, threshold=0.9, n_rows=int(head["n"]) + n_plant
+    )
 
 
 @register(

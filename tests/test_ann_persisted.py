@@ -261,3 +261,63 @@ def test_index_delete_roundtrip_and_reinsert(spark, emb, index_root):
         index_root, k=5, n_probe=12, refine_factor=12,
     )
     assert 100000 in {r["neighbor_id"] for r in out2.collect()}
+
+
+def test_refit_from_own_vectors_after_drift(spark, emb, index_root):
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_delete,
+        ann_index_insert,
+        ann_index_refit,
+    )
+
+    ann_index_build(
+        emb, index_root, n_centroids=8, m_subspaces=8, ks_codes=16
+    )
+    n0 = emb.count()
+    # drift: insert a shifted population and delete a few originals
+    shifted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(3.0)).alias(
+            "embedding"
+        ),
+    ).limit(50)
+    ann_index_insert(shifted, index_root)
+    ann_index_delete(spark, index_root, [0, 1, 2])
+    r = ann_index_refit(spark, index_root)
+    assert r["n_vectors"] == n0 + 50 - 3
+    vec = manifest_read(spark, index_root + "/vectors")
+    # full-content replace: every live id exactly once, deleted ids gone
+    assert vec.count() == n0 + 50 - 3
+    assert (
+        vec.groupBy("neighbor_id").count().filter("count > 1").count() == 0
+    )
+    assert vec.filter(F.col("neighbor_id").isin([0, 1, 2])).count() == 0
+    # parameters preserved by default and the index still answers
+    meta = manifest_read(spark, index_root + "/meta")
+    params = meta.filter("kind = 'params'").collect()[0]["centroid"]
+    assert int(params[3]) == 8
+    # query ids NOT in the index (self-matches are excluded by design)
+    # carrying vec 10/11's embeddings: probing every cell with a wide
+    # re-rank shortlist must surface the exact-match stored rows
+    q = emb.filter("vec_id IN (10, 11)").select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    got = ann_index_query(q, index_root, k=5, n_probe=8, refine_factor=16)
+    assert got.filter("query_id = 900010 AND neighbor_id = 10").count() == 1
+
+
+def test_same_path_rebuild_leaves_no_stale_rows(spark, emb, index_root):
+    ann_index_build(
+        emb, index_root, n_centroids=8, m_subspaces=8, ks_codes=16
+    )
+    # second build on the SAME path with different cell geometry — a
+    # key-merging commit would leave cross-cell movers duplicated
+    ann_index_build(
+        emb, index_root, n_centroids=4, m_subspaces=8, ks_codes=16, seed=7
+    )
+    vec = manifest_read(spark, index_root + "/vectors")
+    assert vec.count() == emb.count()
+    assert (
+        vec.groupBy("neighbor_id").count().filter("count > 1").count() == 0
+    )
+    assert vec.select("cell").distinct().count() <= 4
