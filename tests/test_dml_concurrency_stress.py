@@ -1,8 +1,9 @@
 """Randomized threaded stress over the FULL DML surface — upsert,
-MERGE (update/delete clauses), DELETE WHERE and UPDATE WHERE in both
-merge-on-read and copy-on-write modes, plus concurrent CLONE — against
-BOTH commit backends (POSIX exclusive-link and the object-store
-conditional-PUT twin), finished by a RESTORE check.
+append-only INSERT, MERGE (update/delete clauses), DELETE WHERE and
+UPDATE WHERE in both merge-on-read and copy-on-write modes, plus
+concurrent CLONE — against BOTH commit backends (POSIX exclusive-link
+and the object-store conditional-PUT twin), finished by a RESTORE
+check.
 
 Soundness model: each writer thread owns a disjoint key range (its own
 partition), applies a random op sequence to its keys, and folds the
@@ -33,6 +34,7 @@ from data_management_service_run_etl_imputations_spark.sources.sinks import (
     manifest_clone,
     manifest_delete_where,
     manifest_history,
+    manifest_insert,
     manifest_merge,
     manifest_read,
     manifest_restore,
@@ -81,9 +83,24 @@ def _writer(spark, path, t, seed, model, errors):
         for step in range(OPS_PER_THREAD):
             op = rng.choice(
                 ["upsert", "merge_up", "merge_del", "del_mor", "del_cow",
-                 "upd_mor", "upd_cow"]
+                 "upd_mor", "upd_cow", "insert"]
             )
             some = sorted(rng.sample(keys, 2))
+            if op == "insert":
+                # append-only engine racing the other threads' commits;
+                # fresh keys per step keep the dict model sound (insert
+                # never merges — a duplicate key would be two rows)
+                batch = [
+                    (lo + 30 + 2 * step, day, float(3000 * t + step)),
+                    (lo + 31 + 2 * step, day, float(3000 * t + step)),
+                ]
+                with_commit_retry(
+                    lambda b=batch: manifest_insert(_df(spark, b), path),
+                    max_attempts=20,
+                )
+                for k, d, v in batch:
+                    model[k] = (k, d, v)
+                continue
             if op == "upsert":
                 val = float(1000 * t + step)
                 batch = [(k, day, val) for k in some]
