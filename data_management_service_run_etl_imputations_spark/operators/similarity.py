@@ -960,6 +960,16 @@ def _ann_fit_encode_commit(
     )
     vectors_path = f"{index_path}/vectors"
     v, content = _latest_manifest(vectors_path)
+    # EPOCH pinning: vectors and meta are two tables, so a refit is two
+    # commits and cannot be atomic across them. The fit stamps a fresh
+    # epoch into BOTH — the vectors manifest (riding the data commit,
+    # carried forward by insert/delete/compact commits) and the meta
+    # params row — and ann_index_query refuses to mix them: a query
+    # landing between the two commits (or after a crash between them)
+    # resolves the newest vectors version whose epoch matches the meta
+    # it read, so it serves the previous CONSISTENT index state instead
+    # of decoding new codes against old codebooks.
+    epoch = int(content.get("ann_epoch", 0)) + 1 if v > 0 else 1
     if v > 0:
         # full-content replace: old cells not re-staged must DROP (their
         # vectors re-assigned elsewhere or were deleted), so the wanted
@@ -971,10 +981,20 @@ def _ann_fit_encode_commit(
             for k in content.get("partitions", {})
         }
         wanted = sorted(old_cells | set(range(n_centroids)))
-        manifest_replace_partitions(coded, vectors_path, "cell", wanted)
+        manifest_replace_partitions(
+            coded,
+            vectors_path,
+            "cell",
+            wanted,
+            extra_meta={"ann_epoch": epoch},
+        )
     else:
         manifest_upsert_partitioned(
-            coded, vectors_path, ["neighbor_id"], "cell"
+            coded,
+            vectors_path,
+            ["neighbor_id"],
+            "cell",
+            extra_meta={"ann_epoch": epoch},
         )
 
     meta_rows = [
@@ -992,7 +1012,13 @@ def _ann_fit_encode_commit(
             -1,
             -1,
             -1,
-            [float(dims), float(m_subspaces), float(ks_codes), float(n_centroids)],
+            [
+                float(dims),
+                float(m_subspaces),
+                float(ks_codes),
+                float(n_centroids),
+                float(epoch),  # pairs this codebook set with its codes
+            ],
         )
     )
     meta = spark.createDataFrame(
@@ -1193,8 +1219,49 @@ def ann_index_query(
     probed = sorted(
         r["cell"] for r in q_cells.select("cell").distinct().collect()
     )
+    # EPOCH consistency (see _ann_fit_encode_commit): never decode a
+    # vectors version's codes with a DIFFERENT fit's codebooks. The
+    # common path is one head compare; the walk-back only runs in the
+    # window between a refit's two commits (or after a crash there),
+    # where it serves the previous consistent index state.
+    meta_epoch = int(params[4]) if len(params) > 4 else None
+    pin_version = None
+    if meta_epoch is not None:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _latest_manifest,
+            _materialize,
+        )
+
+        head_v, head_c = _latest_manifest(f"{index_path}/vectors")
+        head_e = head_c.get("ann_epoch")
+        if head_e is not None and int(head_e) != meta_epoch:
+            if int(head_e) < meta_epoch:
+                raise RuntimeError(
+                    f"ANN index at {index_path} is torn the wrong way: "
+                    f"meta epoch {meta_epoch} > vectors epoch {head_e} "
+                    "(a one-sided restore?) — re-run ann_index_refit "
+                    "or restore both tables to a matching pair"
+                )
+            v = head_v - 1
+            while v >= 1:
+                e = _materialize(f"{index_path}/vectors", v).get(
+                    "ann_epoch"
+                )
+                if e is None or int(e) == meta_epoch:
+                    break
+                v -= 1
+            if v < 1:
+                raise RuntimeError(
+                    f"ANN index at {index_path}: no vectors version "
+                    f"matches meta epoch {meta_epoch} (vacuumed?) — "
+                    "re-run ann_index_refit"
+                )
+            pin_version = v
     vectors = manifest_read(
-        spark, f"{index_path}/vectors", partition_filter={"cell": probed}
+        spark,
+        f"{index_path}/vectors",
+        partition_filter={"cell": probed},
+        version=pin_version,
     )
     codes_long = vectors.select(
         "neighbor_id",
@@ -1380,8 +1447,20 @@ def ann_index_insert(
         insert_not_matched=False,
     )
     replaced = d.get("deleted", 0)
+    # stamp the epoch of the META this batch was ENCODED with: if a
+    # concurrent refit replaced the table between our meta read and
+    # this commit, the epoch regresses and ann_index_query refuses
+    # loudly instead of silently mixing old-fit codes into a new-fit
+    # index (legacy pre-epoch indexes carry no stamp)
+    ins_meta = (
+        {"ann_epoch": int(params[4])} if len(params) > 4 else None
+    )
     r = manifest_upsert_partitioned(
-        codes, f"{index_path}/vectors", ["neighbor_id"], "cell"
+        codes,
+        f"{index_path}/vectors",
+        ["neighbor_id"],
+        "cell",
+        extra_meta=ins_meta,
     )
     # after the delete pass every batch row inserts fresh; "replaced"
     # reports how many of those superseded a pre-existing id

@@ -562,6 +562,17 @@ _SQL_TABLES: "dict[str, tuple[str, str, bool, int, bool]]" = {}
 # the next manifest_sql statement referencing it re-binds first
 _VIEW_DIRTY: set = set()
 
+# serializes registry bookkeeping (register + per-statement rebinds):
+# without it two threads dispatching statements on one view could
+# interleave rebinds and clobber each other's prune state. NOTE this
+# protects the REGISTRY only — two genuinely concurrent statements on
+# one prune=True binding can still interleave pushFilters/partitions
+# in the plan worker; a multi-threaded SQL workload over one shared
+# view should register it prune=False (cache-sound by construction).
+import threading as _threading
+
+_SQL_REG_LOCK = _threading.RLock()
+
 
 def manifest_sql_register(
     spark,
@@ -617,31 +628,32 @@ def manifest_sql_register(
     )
 
     spark.dataSource.register(ManifestTableDataSource)
-    bound_v = _resolve_version(
-        path,
-        int(version) if version is not None else None,
-        as_of=float(as_of) if as_of is not None else None,
-    )
-    reader = spark.read.format("manifest").option("path", path)
-    if bound_v > 0:
-        # pin the DataFrame explicitly to the version we recorded —
-        # closes the race where a commit lands between our resolution
-        # and the DataSource's own (the view and _SQL_TABLES would
-        # disagree about what "current" means)
-        reader = reader.option("version", str(bound_v))
-    if not prune:
-        reader = reader.option("prune", "false")
-    df = reader.load()
-    df.createOrReplaceTempView(view_name)
-    _SQL_TABLES[view_name.lower()] = (
-        view_name,
-        path,
-        follow_head,
-        bound_v,
-        prune,
-    )
-    # a fresh binding has an empty scan cache — clean by construction
-    _VIEW_DIRTY.discard(view_name.lower())
+    with _SQL_REG_LOCK:
+        bound_v = _resolve_version(
+            path,
+            int(version) if version is not None else None,
+            as_of=float(as_of) if as_of is not None else None,
+        )
+        reader = spark.read.format("manifest").option("path", path)
+        if bound_v > 0:
+            # pin the DataFrame explicitly to the version we recorded —
+            # closes the race where a commit lands between our resolution
+            # and the DataSource's own (the view and _SQL_TABLES would
+            # disagree about what "current" means)
+            reader = reader.option("version", str(bound_v))
+        if not prune:
+            reader = reader.option("prune", "false")
+        df = reader.load()
+        df.createOrReplaceTempView(view_name)
+        _SQL_TABLES[view_name.lower()] = (
+            view_name,
+            path,
+            follow_head,
+            bound_v,
+            prune,
+        )
+        # a fresh binding has an empty scan cache — clean by construction
+        _VIEW_DIRTY.discard(view_name.lower())
     return df
 
 
@@ -1267,6 +1279,10 @@ def _dispatch_util_statement(spark, stmt: str):
         stmt,
         re.I | re.S,
     )
+    # ANALYZE TABLE is likewise a core Spark verb — ours only for
+    # registered manifest views, otherwise spark.sql handles it
+    if m and _unquote_ident(m.group(1)).lower() not in _SQL_TABLES:
+        m = None
     if m:
         from data_management_service_run_etl_imputations_spark.sources.skipping import (
             manifest_collect_stats,
@@ -1355,7 +1371,12 @@ def _dispatch_util_statement(spark, stmt: str):
         stmt,
         re.I | re.S,
     )
-    if m:
+    # ALTER TABLE is a core Spark verb: only statements naming a
+    # REGISTERED manifest view are ours — anything else falls through
+    # to spark.sql unchanged (the documented contract), unlike the
+    # engine-specific verbs above (DESCRIBE HISTORY, OPTIMIZE, VACUUM,
+    # RESTORE) which have no vanilla-Spark meaning and refuse loudly
+    if m and _unquote_ident(m.group(1)).lower() in _SQL_TABLES:
         from data_management_service_run_etl_imputations_spark.sources import (
             sinks,
         )
@@ -1469,6 +1490,17 @@ def _rebind_referenced_views(spark, stmt: str) -> None:
     )
 
     text = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ", stmt)
+    with _SQL_REG_LOCK:
+        _rebind_referenced_views_locked(spark, text)
+
+
+def _rebind_referenced_views_locked(spark, text: str) -> None:
+    import re
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _resolve_version,
+    )
+
     for key, t in list(_SQL_TABLES.items()):
         view, path, follow, bound_v = t[0], t[1], t[2], t[3]
         pref = t[4] if len(t) > 4 else True
@@ -1501,8 +1533,12 @@ def _rebind_referenced_views(spark, stmt: str) -> None:
                 _SQL_TABLES[key] = (nt[0], nt[1], nt[2], nt[3], pref)
         # this statement may push filters through the binding — the
         # next statement referencing the view must start from a fresh
-        # relation (or one whose cache provably matches its context)
-        _VIEW_DIRTY.add(key)
+        # relation (or one whose cache provably matches its context).
+        # prune=False bindings never bake a filter context into the
+        # cached scan, so they stay clean forever (no per-statement
+        # rebind tax on a no-prune workload)
+        if pref:
+            _VIEW_DIRTY.add(key)
 
 
 def manifest_sql(spark, statement: str, mode: str | None = None):
@@ -1736,12 +1772,31 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
 
             t_fmt = t_content.get("fmt", "parquet")
             if overwrite:
+                # dynamic overwrite replaces the partitions PRESENT IN
+                # THE STAGED DATA: apply generated partition columns
+                # first (the engine overwrites caller values with the
+                # recorded expression, so pre-generation values would
+                # name the wrong partitions) and checkpoint so one
+                # evaluation of the source feeds both the partition
+                # list and the staging write (a nondeterministic
+                # source must not disagree with itself)
+                staged_src = aligned
+                gen_over = t_content.get("generated_cols") or {}
+                if gen_over:
+                    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                        _apply_generated,
+                    )
+
+                    staged_src = _apply_generated(aligned, gen_over)
+                staged_src = staged_src.localCheckpoint()
                 values = [
                     tuple(r)
-                    for r in aligned.select(*pcols_t).distinct().collect()
+                    for r in staged_src.select(*pcols_t)
+                    .distinct()
+                    .collect()
                 ]
                 r = manifest_replace_partitions(
-                    aligned,
+                    staged_src,
                     path,
                     pcols_t if len(pcols_t) > 1 else pcols_t[0],
                     values,

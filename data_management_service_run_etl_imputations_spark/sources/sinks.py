@@ -4801,6 +4801,7 @@ def manifest_replace_partitions(
     partition_values: list,
     fmt: str = "parquet",
     txn: "tuple[str, int] | None" = None,
+    extra_meta: dict | None = None,
 ) -> dict[str, int]:
     """Publish ``df`` as the COMPLETE new content of the listed
     partitions — the delete-capable primitive under the refresh above
@@ -4845,6 +4846,18 @@ def manifest_replace_partitions(
         f"{path}/{stage}"
     )
     staged_dirs = _staged_partition_dirs(path, stage, fmt, len(pcols))
+    stray = set(staged_dirs) - set(wanted)
+    if stray:
+        # same guard as _stage_and_commit: the staged data landing in a
+        # partition the caller did not list means the caller computed
+        # partition_values from a DIFFERENT evaluation or state than
+        # the staged frame (e.g. before generated-column application) —
+        # the old silent behavior dropped those rows on the floor
+        raise RuntimeError(
+            f"replace-partitions at {path} staged unexpected partition "
+            f"dirs {sorted(stray)[:3]} outside the listed set — "
+            "partition_values disagree with the staged data"
+        )
     written = dropped = 0
     dir_schemas: dict = dict(content.get("dir_schemas", {}))
     for k in wanted:
@@ -4924,6 +4937,9 @@ def manifest_replace_partitions(
                 _collect_stats(spark, path, new_rels, cols, new_content)
             )
             new_content["stats_ref"] = _write_stats_sidecar(path, stats)
+    if extra_meta:
+        # caller keys ride the same atomic commit (the upsert contract)
+        new_content.update(extra_meta)
     if txn is not None:
         new_content.update(_txn_meta(content, txn))
     _publish_manifest(

@@ -321,3 +321,43 @@ def test_same_path_rebuild_leaves_no_stale_rows(spark, emb, index_root):
         vec.groupBy("neighbor_id").count().filter("count > 1").count() == 0
     )
     assert vec.select("cell").distinct().count() <= 4
+
+
+def test_query_never_mixes_codes_with_wrong_codebooks(spark, emb, index_root):
+    """A refit is two commits (vectors, then meta). A reader landing
+    between them — simulated by restoring the META table to the
+    pre-refit fit — must serve the PREVIOUS consistent index pair, not
+    decode new codes against old codebooks."""
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_refit,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+        manifest_history,
+        manifest_restore,
+    )
+
+    ann_index_build(
+        emb, index_root, n_centroids=8, m_subspaces=8, ks_codes=16
+    )
+    q = emb.filter("vec_id IN (10, 11)").select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+
+    def rows():
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann_index_query(
+                q, index_root, k=5, n_probe=8, refine_factor=16
+            ).collect()
+        )
+
+    before = rows()
+    meta_v0 = manifest_history(f"{index_root}/meta")[-1]["version"]
+    ann_index_refit(spark, index_root, seed=9)
+    _, vec_head = _latest_manifest(f"{index_root}/vectors")
+    assert int(vec_head["ann_epoch"]) == 2
+    # meta rolled back to epoch 1 while vectors head is epoch 2: the
+    # torn window. The query must walk back to the epoch-1 vectors.
+    manifest_restore(f"{index_root}/meta", version=meta_v0)
+    assert rows() == before

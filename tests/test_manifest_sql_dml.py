@@ -883,3 +883,51 @@ def test_raw_sql_binding_with_prune_false_is_reusable(spark, table_path):
     assert (
         spark.sql(f"SELECT count(*) AS c FROM {name}").collect()[0].c == 30
     )
+
+
+def test_sql_alter_unregistered_table_falls_through(spark):
+    # ALTER TABLE is a core Spark verb: a statement naming a table that
+    # is NOT a registered manifest view must reach spark.sql unchanged
+    # (and fail with SPARK's error there, not our registry refusal)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        manifest_sql(
+            spark, "ALTER TABLE definitely_not_registered ADD COLUMNS (x INT)"
+        )
+    with pytest.raises(pyspark.errors.AnalysisException):
+        manifest_sql(
+            spark,
+            "ANALYZE TABLE definitely_not_registered COMPUTE STATISTICS "
+            "FOR COLUMNS x",
+        )
+
+
+def test_sql_insert_overwrite_generated_partition_table(spark, table_path):
+    """INSERT OVERWRITE on a hidden-partitioned table: the replaced
+    partitions must be computed AFTER generated-column application —
+    the pre-generation frame names the wrong (NULL) partitions and the
+    engine's stray-dir guard would reject the staged data."""
+    import uuid as _uuid
+
+    rows = [(i, f"2024-01-0{1 + i % 3}", float(i)) for i in range(9)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, ts STRING, v DOUBLE"),
+        table_path,
+        ["k"],
+        "day",
+        generated_cols={"day": "substring(ts, 1, 10)"},
+    )
+    name = f"msqlgen_{_uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path)
+    r = manifest_sql(
+        spark,
+        f"INSERT OVERWRITE {name} (k, ts, v) VALUES "
+        f"(CAST(100 AS LONG), '2024-01-01', CAST(1.5 AS DOUBLE))",
+    )
+    assert r["partitions_written"] == 1
+    got = manifest_read(spark, table_path)
+    # 2024-01-01 replaced by the single row; other days untouched
+    assert got.filter("day = '2024-01-01'").count() == 1
+    assert got.count() == 7
+    assert got.filter("k = 100").collect()[0].day == "2024-01-01"
