@@ -1455,6 +1455,54 @@ def _reregister_current(spark, view_name: str, path: str) -> None:
     )
 
 
+def _rewrite_time_travel(spark, stmt: str) -> str:
+    """Delta-parity SQL time travel: rewrite ``v VERSION AS OF n`` /
+    ``v TIMESTAMP AS OF epoch`` references to registered manifest views
+    into freshly-registered pinned bindings (``v__asof_vN`` /
+    ``v__asof_tE``), so ``manifest_sql("SELECT … FROM v VERSION AS OF
+    3 …")`` reads version 3 while plain ``v`` references in the same
+    statement keep reading the current binding. Quoted string literals
+    are never rewritten (the scan alternates quoted/unquoted segments).
+    The timestamp is the manifest's native ``committed_at`` epoch
+    seconds — the same number DESCRIBE HISTORY shows."""
+    import re
+
+    if not _SQL_TABLES or not re.search(
+        r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", stmt, re.I
+    ):
+        return stmt
+
+    def rewrite_segment(seg: str) -> str:
+        for key, t in list(_SQL_TABLES.items()):
+            view, path = t[0], t[1]
+            pat = re.compile(
+                r"(?<![\w`])"
+                + re.escape(view)
+                + r"\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[\w.]+)",
+                re.I,
+            )
+
+            def sub(m):
+                val = m.group(2).strip("'")
+                if m.group(1).upper() == "VERSION":
+                    v = int(val)
+                    name = f"{view}__asof_v{v}"
+                    manifest_sql_register(spark, name, path, version=v)
+                else:
+                    ts = float(val)
+                    name = f"{view}__asof_t{str(ts).replace('.', '_')}"
+                    manifest_sql_register(spark, name, path, as_of=ts)
+                return name
+
+            seg = pat.sub(sub, seg)
+        return seg
+
+    parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\")", stmt)
+    return "".join(
+        p if i % 2 else rewrite_segment(p) for i, p in enumerate(parts)
+    )
+
+
 def _rebind_referenced_views(spark, stmt: str) -> None:
     """Give every registered manifest view the statement references a
     binding that is SOUND for this statement, then mark it used.
@@ -1576,6 +1624,12 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       CONSTRAINT name | RENAME COLUMN a TO b | DROP COLUMN c`` — see
       :func:`_dispatch_util_statement`
 
+    Non-DML statements also get SQL TIME TRAVEL: ``… FROM v VERSION AS
+    OF n`` / ``v TIMESTAMP AS OF epoch`` references rewrite to pinned
+    bindings (Delta's syntax; the epoch is ``committed_at`` from
+    DESCRIBE HISTORY), so one statement can join the current snapshot
+    against an old one. DML verbs refuse time-travel aliases loudly.
+
     Anything else (SELECT, SHOW, …) falls through to ``spark.sql``
     unchanged — after re-binding any referenced ``follow_head`` views
     whose table head moved (see :func:`manifest_sql_register`), so a
@@ -1602,7 +1656,16 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     )
 
     stmt = statement.strip().rstrip(";").strip()
-    # EVERY statement first: any verb can scan registered views (a
+    verb_m = re.match(r"(DELETE|UPDATE|MERGE|INSERT)\b", stmt, re.I)
+    if not verb_m:
+        # time-travel references become pinned bindings BEFORE the
+        # rebind pass, so the rewritten names participate in
+        # per-statement soundness like any other registered view.
+        # DML verbs deliberately skip the rewrite: "DELETE FROM v
+        # VERSION AS OF 3" must fail its parse loudly, not silently
+        # mutate the current head through a time-travel alias.
+        stmt = _rewrite_time_travel(spark, stmt)
+    # EVERY statement next: any verb can scan registered views (a
     # SELECT fall-through, a MERGE USING source, an INSERT source, a
     # CTAS body) — each referenced view gets a binding that is sound
     # for this statement's filter contexts
@@ -1610,9 +1673,8 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     util = _dispatch_util_statement(spark, stmt)
     if util is not None:
         return util
-    verb_m = re.match(r"(DELETE|UPDATE|MERGE|INSERT)\b", stmt, re.I)
     if not verb_m:
-        return spark.sql(statement)
+        return spark.sql(stmt)
     verb = verb_m.group(1).upper()
 
     def refresh(view_name: str, path: str) -> None:

@@ -931,3 +931,41 @@ def test_sql_insert_overwrite_generated_partition_table(spark, table_path):
     assert got.filter("day = '2024-01-01'").count() == 1
     assert got.count() == 7
     assert got.filter("k = 100").collect()[0].day == "2024-01-01"
+
+
+def test_sql_time_travel_version_and_timestamp(spark, table_path, view):
+    hist0 = manifest_history(table_path)[-1]
+    v0, ts0 = hist0["version"], hist0["committed_at"]
+    manifest_sql(spark, f"DELETE FROM {view} WHERE k < 20")
+    # current binding sees the delete; VERSION AS OF reads the old snapshot
+    r = manifest_sql(
+        spark,
+        f"SELECT (SELECT count(*) FROM {view}) AS cur, "
+        f"(SELECT count(*) FROM {view} VERSION AS OF {v0}) AS old",
+    ).collect()[0]
+    assert (r.cur, r.old) == (10, 30)
+    assert (
+        manifest_sql(
+            spark,
+            f"SELECT count(*) AS c FROM {view} TIMESTAMP AS OF {ts0}",
+        ).collect()[0].c
+        == 30
+    )
+    # a join of now vs then — the classic time-travel diff
+    gone = manifest_sql(
+        spark,
+        f"SELECT count(*) AS c FROM {view} VERSION AS OF {v0} a "
+        f"LEFT ANTI JOIN {view} b ON a.k = b.k",
+    ).collect()[0].c
+    assert gone == 20
+
+
+def test_sql_time_travel_not_rewritten_in_literals_or_dml(
+    spark, table_path, view
+):
+    got = manifest_sql(
+        spark, f"SELECT '{view} VERSION AS OF 1' AS tag"
+    ).collect()[0].tag
+    assert got == f"{view} VERSION AS OF 1"
+    with pytest.raises(ValueError, match="unexpected trailing clause"):
+        manifest_sql(spark, f"DELETE FROM {view} VERSION AS OF 1")
