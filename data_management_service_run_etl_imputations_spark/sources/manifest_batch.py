@@ -1181,6 +1181,12 @@ def _dispatch_util_statement(spark, stmt: str):
     - ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]`` →
       :func:`sinks.manifest_vacuum` (default keep_versions=1, matching
       the Python API).
+    - ``DESCRIBE DETAIL v`` → one-row DataFrame of table facts (format,
+      location, version, partition columns/counts, file count, bytes,
+      pending delete entries, constraints, schema) from manifest
+      metadata alone; ``SHOW PARTITIONS v`` → (partition, num_files)
+      rows, zero file listing (core-Spark verb: ours only for
+      registered views, anything else falls through).
     - ``RESTORE [TABLE] v TO VERSION AS OF n`` /
       ``TO TIMESTAMP AS OF epoch`` → :func:`sinks.manifest_restore`
       (metadata-only re-commit of the earlier snapshot as a new head).
@@ -1343,6 +1349,73 @@ def _dispatch_util_statement(spark, stmt: str):
             "rows_inserted": om.get("rows_appended"),
             "files_added": om.get("files_added"),
         }
+
+    m = re.match(
+        r"DESCRIBE\s+DETAIL\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*$", stmt, re.I
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _latest_manifest,
+            _partition_cols,
+        )
+
+        _, path = _resolve_sql_table(m.group(1))
+        v, content = _latest_manifest(path)
+        files = content.get("files", {})
+        n_files = sum(len(fs) for fs in files.values())
+        size = sum(
+            e[1] for fs in files.values() for e in fs if len(e) > 1
+        )
+        row = (
+            "manifest",
+            path,
+            v,
+            _partition_cols(content),
+            len(content.get("partitions", {})),
+            n_files,
+            size,
+            len(content.get("deletes") or []),
+            json.dumps(content.get("constraints") or {}, sort_keys=True),
+            content.get("schema"),
+        )
+        return spark.createDataFrame(
+            [row],
+            "format STRING, location STRING, version INT, "
+            "partition_columns ARRAY<STRING>, num_partitions INT, "
+            "num_files INT, size_in_bytes LONG, pending_delete_entries "
+            "INT, constraints STRING, schema STRING",
+        )
+
+    m = re.match(
+        r"SHOW\s+PARTITIONS\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*$", stmt, re.I
+    )
+    if m and _unquote_ident(m.group(1)).lower() in _SQL_TABLES:
+        # SHOW PARTITIONS is core Spark SQL — ours only for registered
+        # manifest views (pure manifest metadata, zero file listing)
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            _latest_manifest,
+            _partition_cols,
+        )
+
+        _, path = _resolve_sql_table(m.group(1))
+        _, content = _latest_manifest(path)
+        pcols = _partition_cols(content)
+
+        def comps(k: str) -> list:
+            return [k] if len(pcols) == 1 else json.loads(k)
+
+        rows = [
+            (
+                "/".join(
+                    f"{c}={v}" for c, v in zip(pcols, comps(k))
+                ),
+                len(content.get("files", {}).get(k, [])),
+            )
+            for k in sorted(content.get("partitions", {}))
+        ]
+        return spark.createDataFrame(
+            rows, "partition STRING, num_files INT"
+        )
 
     m = re.match(
         r"RESTORE\s+(?:TABLE\s+)?(`[^`]+`|[A-Za-z_][\w.]*)\s+TO\s+"

@@ -322,6 +322,7 @@ def main() -> None:
             from data_management_service_run_etl_imputations_spark.sources.sinks import (
                 manifest_delete_where,
                 manifest_history,
+                manifest_insert,
                 manifest_update_where,
             )
 
@@ -350,6 +351,16 @@ def main() -> None:
                         root,
                         ["k"],
                         "day",
+                    ),
+                ),
+                (
+                    "insert",
+                    lambda: manifest_insert(
+                        spark.createDataFrame(
+                            [(n_parts * 20 + 60, "d0004", 4.0)],
+                            "k LONG, day STRING, v DOUBLE",
+                        ),
+                        root,
                     ),
                 ),
             ):

@@ -969,3 +969,18 @@ def test_sql_time_travel_not_rewritten_in_literals_or_dml(
     assert got == f"{view} VERSION AS OF 1"
     with pytest.raises(ValueError, match="unexpected trailing clause"):
         manifest_sql(spark, f"DELETE FROM {view} VERSION AS OF 1")
+
+
+def test_sql_describe_detail_and_show_partitions(spark, table_path, view):
+    d = manifest_sql(spark, f"DESCRIBE DETAIL {view}").collect()[0]
+    assert d.format == "manifest" and d.location == table_path
+    assert d.partition_columns == ["day"] and d.num_partitions == 3
+    assert d.num_files >= 3 and d.size_in_bytes > 0
+    p = manifest_sql(spark, f"SHOW PARTITIONS {view}").collect()
+    assert [r.partition for r in p] == ["day=d0", "day=d1", "day=d2"]
+    assert all(r.num_files >= 1 for r in p)
+    # core-Spark verb falls through for unregistered tables
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        manifest_sql(spark, "SHOW PARTITIONS definitely_not_registered")
