@@ -1228,7 +1228,6 @@ def ann_index_query(
     pin_version = None
     if meta_epoch is not None:
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
-            _latest_manifest,
             _latest_version,
             _materialize,
             _pruned_resolve,
@@ -1237,18 +1236,21 @@ def ann_index_query(
         head_v = _latest_version(f"{index_path}/vectors")
         # meta-only resolve when the chain anchors at a checkpoint —
         # the epoch compare must not hydrate the O(files) driver dict
-        # the partition-pruned vector read below avoids
-        resolved = (
-            _pruned_resolve(f"{index_path}/vectors", head_v)
-            if head_v > 0
-            else None
-        )
-        head_c = (
-            resolved[0]
-            if resolved is not None
-            else _latest_manifest(f"{index_path}/vectors")[1]
-        )
-        head_e = head_c.get("ann_epoch")
+        # the partition-pruned vector read below avoids. The fallback
+        # materializes head_v ITSELF (never a re-resolved "latest"):
+        # a refit committing between the two lookups must not make
+        # head_c newer than head_v, or the walk-back below would skip
+        # the newest epoch-consistent version.
+        if head_v > 0:
+            resolved = _pruned_resolve(f"{index_path}/vectors", head_v)
+            head_c = (
+                resolved[0]
+                if resolved is not None
+                else _materialize(f"{index_path}/vectors", head_v)
+            )
+            head_e = head_c.get("ann_epoch")
+        else:  # no vectors table: the read below raises its own error
+            head_e = None
         if head_e is not None and int(head_e) != meta_epoch:
             if int(head_e) < meta_epoch:
                 raise RuntimeError(

@@ -1150,6 +1150,25 @@ def _resolve_sql_table(ident: str) -> "tuple[str, str]":
     return _SQL_TABLES[name][:2]
 
 
+def _bound_manifest(ident: str, path: str) -> "tuple[int, dict]":
+    """(version, content) of the manifest AS THE BINDING SEES IT: the
+    registered bound version — a pinned view (or a time-travel alias)
+    must describe ITS snapshot, not the moving head, so DESCRIBE DETAIL
+    / SHOW PARTITIONS agree with what SELECT through the same view
+    reads. Follow-head bindings were re-resolved to the current head by
+    the statement's rebind pass, so they describe head as expected."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+        _materialize,
+    )
+
+    t = _SQL_TABLES.get(_unquote_ident(ident).lower())
+    bound_v = t[3] if t else 0
+    if bound_v > 0:
+        return bound_v, _materialize(path, bound_v)
+    return _latest_manifest(path)
+
+
 def _parse_assignments(set_part: str) -> "dict[str, str]":
     assignments: dict[str, str] = {}
     import re
@@ -1355,12 +1374,11 @@ def _dispatch_util_statement(spark, stmt: str):
     )
     if m:
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
-            _latest_manifest,
             _partition_cols,
         )
 
         _, path = _resolve_sql_table(m.group(1))
-        v, content = _latest_manifest(path)
+        v, content = _bound_manifest(m.group(1), path)
         files = content.get("files", {})
         n_files = sum(len(fs) for fs in files.values())
         size = sum(
@@ -1393,12 +1411,11 @@ def _dispatch_util_statement(spark, stmt: str):
         # SHOW PARTITIONS is core Spark SQL — ours only for registered
         # manifest views (pure manifest metadata, zero file listing)
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
-            _latest_manifest,
             _partition_cols,
         )
 
         _, path = _resolve_sql_table(m.group(1))
-        _, content = _latest_manifest(path)
+        _, content = _bound_manifest(m.group(1), path)
         pcols = _partition_cols(content)
 
         def comps(k: str) -> list:
@@ -1528,52 +1545,80 @@ def _reregister_current(spark, view_name: str, path: str) -> None:
     )
 
 
+_ASOF_CAP_PER_VIEW = 8  # evict the oldest alias bindings past this
+
+
+def _register_asof(spark, view: str, path: str, kind: str, val: str) -> str:
+    """Register (or reuse) a pinned time-travel binding for ``view`` and
+    return its name. Alias bindings are capped per base view: past
+    ``_ASOF_CAP_PER_VIEW`` the oldest is dropped (a DataFrame already
+    returned for it keeps working — it holds the analyzed plan, not the
+    temp-view name), so a long-lived session issuing many distinct
+    AS-OF queries cannot grow the registry and the per-statement rebind
+    scan without bound."""
+    if kind == "VERSION":
+        name = f"{view}__asof_v{int(val)}"
+        manifest_sql_register(spark, name, path, version=int(val))
+    else:
+        ts = float(val)
+        name = f"{view}__asof_t{str(ts).replace('.', '_').replace('-', 'm')}"
+        manifest_sql_register(spark, name, path, as_of=ts)
+    prefix = f"{view.lower()}__asof_"
+    aliases = [
+        k
+        for k in _SQL_TABLES
+        if k.startswith(prefix) and k != name.lower()
+    ]
+    while len(aliases) >= _ASOF_CAP_PER_VIEW:
+        old = aliases.pop(0)  # dict preserves insertion order
+        victim = _SQL_TABLES.pop(old)[0]
+        _VIEW_DIRTY.discard(old)
+        try:
+            spark.catalog.dropTempView(victim)
+        except Exception:  # noqa: BLE001 — already gone
+            pass
+    return name
+
+
 def _rewrite_time_travel(spark, stmt: str) -> str:
     """Delta-parity SQL time travel: rewrite ``v VERSION AS OF n`` /
     ``v TIMESTAMP AS OF epoch`` references to registered manifest views
-    into freshly-registered pinned bindings (``v__asof_vN`` /
-    ``v__asof_tE``), so ``manifest_sql("SELECT … FROM v VERSION AS OF
-    3 …")`` reads version 3 while plain ``v`` references in the same
-    statement keep reading the current binding. Quoted string literals
-    are never rewritten (the scan alternates quoted/unquoted segments).
-    The timestamp is the manifest's native ``committed_at`` epoch
-    seconds — the same number DESCRIBE HISTORY shows."""
+    into pinned bindings (``v__asof_vN`` / ``v__asof_tE``), so
+    ``manifest_sql("SELECT … FROM v VERSION AS OF 3 …")`` reads version
+    3 while plain ``v`` references in the same statement keep reading
+    the current binding. One regex pass per view whose alternation
+    consumes quoted string literals FIRST, so a literal containing
+    "v VERSION AS OF 1" is never rewritten while a QUOTED value after
+    ``AS OF`` ('1712345678.5') still is. The lookbehind excludes ``.``
+    so a qualified reference to someone else's table whose last segment
+    collides with a view name (``cat.v VERSION AS OF 5``) is left
+    alone. The timestamp is the manifest's native ``committed_at``
+    epoch seconds — the same number DESCRIBE HISTORY shows."""
     import re
 
     if not _SQL_TABLES or not re.search(
         r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", stmt, re.I
     ):
         return stmt
+    for key, t in list(_SQL_TABLES.items()):
+        view, path = t[0], t[1]
+        pat = re.compile(
+            r"'(?:[^']|'')*'|\"[^\"]*\"|(?<![\w`.])"
+            + re.escape(view)
+            + r"\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[\w.-]+)",
+            re.I,
+        )
 
-    def rewrite_segment(seg: str) -> str:
-        for key, t in list(_SQL_TABLES.items()):
-            view, path = t[0], t[1]
-            pat = re.compile(
-                r"(?<![\w`])"
-                + re.escape(view)
-                + r"\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[\w.]+)",
-                re.I,
+        def sub(m):
+            if m.group(1) is None:
+                return m.group(0)  # a quoted literal — untouched
+            val = m.group(2).strip("'")
+            return _register_asof(
+                spark, view, path, m.group(1).upper(), val
             )
 
-            def sub(m):
-                val = m.group(2).strip("'")
-                if m.group(1).upper() == "VERSION":
-                    v = int(val)
-                    name = f"{view}__asof_v{v}"
-                    manifest_sql_register(spark, name, path, version=v)
-                else:
-                    ts = float(val)
-                    name = f"{view}__asof_t{str(ts).replace('.', '_')}"
-                    manifest_sql_register(spark, name, path, as_of=ts)
-                return name
-
-            seg = pat.sub(sub, seg)
-        return seg
-
-    parts = re.split(r"('(?:[^']|'')*'|\"[^\"]*\")", stmt)
-    return "".join(
-        p if i % 2 else rewrite_segment(p) for i, p in enumerate(parts)
-    )
+        stmt = pat.sub(sub, stmt)
+    return stmt
 
 
 def _rebind_referenced_views(spark, stmt: str) -> None:
@@ -1730,13 +1775,38 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
 
     stmt = statement.strip().rstrip(";").strip()
     verb_m = re.match(r"(DELETE|UPDATE|MERGE|INSERT)\b", stmt, re.I)
-    if not verb_m:
-        # time-travel references become pinned bindings BEFORE the
-        # rebind pass, so the rewritten names participate in
-        # per-statement soundness like any other registered view.
-        # DML verbs deliberately skip the rewrite: "DELETE FROM v
-        # VERSION AS OF 3" must fail its parse loudly, not silently
-        # mutate the current head through a time-travel alias.
+    # Time-travel references become pinned bindings BEFORE the rebind
+    # pass, so the rewritten names participate in per-statement
+    # soundness like any other registered view. The TARGET of a
+    # mutating or utility verb refuses time travel LOUDLY (a "VACUUM v
+    # VERSION AS OF 3" must never vacuum the head through an alias);
+    # everything after the target — a MERGE USING source, an INSERT
+    # source query — rewrites normally (Delta supports time-travel
+    # sources in DML).
+    tgt_m = re.match(
+        r"(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|"
+        r"INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|OPTIMIZE|VACUUM|"
+        r"RESTORE(?:\s+TABLE)?|ALTER\s+TABLE|ANALYZE\s+TABLE|"
+        r"DESCRIBE\s+(?:HISTORY|DETAIL)|SHOW\s+PARTITIONS)\s+"
+        r"(`[^`]+`|[A-Za-z_][\w.]*)",
+        stmt,
+        re.I,
+    )
+    if tgt_m:
+        if re.match(
+            r"\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b",
+            stmt[tgt_m.end():],
+            re.I,
+        ):
+            raise ValueError(
+                "time travel cannot target the table of a mutating or "
+                "utility statement — only read references support "
+                "VERSION/TIMESTAMP AS OF"
+            )
+        stmt = stmt[: tgt_m.end()] + _rewrite_time_travel(
+            spark, stmt[tgt_m.end():]
+        )
+    else:
         stmt = _rewrite_time_travel(spark, stmt)
     # EVERY statement next: any verb can scan registered views (a
     # SELECT fall-through, a MERGE USING source, an INSERT source, a

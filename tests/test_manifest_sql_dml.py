@@ -967,8 +967,71 @@ def test_sql_time_travel_not_rewritten_in_literals_or_dml(
         spark, f"SELECT '{view} VERSION AS OF 1' AS tag"
     ).collect()[0].tag
     assert got == f"{view} VERSION AS OF 1"
-    with pytest.raises(ValueError, match="unexpected trailing clause"):
-        manifest_sql(spark, f"DELETE FROM {view} VERSION AS OF 1")
+    # mutating/utility TARGETS refuse time travel loudly
+    for bad in (
+        f"DELETE FROM {view} VERSION AS OF 1",
+        f"VACUUM {view} VERSION AS OF 1",
+        f"OPTIMIZE {view} VERSION AS OF 1",
+        f"ALTER TABLE {view} VERSION AS OF 1 DROP COLUMN v",
+    ):
+        with pytest.raises(ValueError, match="cannot target"):
+            manifest_sql(spark, bad)
+
+
+def test_sql_time_travel_source_in_dml_and_quoted_value(
+    spark, table_path, view
+):
+    v0 = manifest_history(table_path)[-1]["version"]
+    ts0 = manifest_history(table_path)[-1]["committed_at"]
+    manifest_sql(spark, f"DELETE FROM {view} WHERE k < 25")
+    # time travel in a DML SOURCE (Delta-supported): re-insert the
+    # deleted rows from the old snapshot
+    r = manifest_sql(
+        spark,
+        f"INSERT INTO {view} SELECT * FROM {view} VERSION AS OF {v0} "
+        f"WHERE k < 5",
+    )
+    assert r["rows_inserted"] == 5
+    assert (
+        manifest_sql(spark, f"SELECT count(*) AS c FROM {view}").collect()[0].c
+        == 10
+    )
+    # QUOTED timestamp value after AS OF still rewrites
+    assert (
+        manifest_sql(
+            spark,
+            f"SELECT count(*) AS c FROM {view} TIMESTAMP AS OF '{ts0}'",
+        ).collect()[0].c
+        == 30
+    )
+    # a qualified reference to someone ELSE's table is left alone
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        manifest_sql(
+            spark, f"SELECT * FROM nope.{view} VERSION AS OF {v0}"
+        ).collect()
+
+
+def test_sql_describe_detail_pinned_binding_sees_its_snapshot(
+    spark, table_path, view
+):
+    # CoW delete: the emptied partition physically leaves the manifest
+    # (a MoR delete would keep it, masked by a pending entry)
+    manifest_sql(spark, f"DELETE FROM {view} WHERE day = 'd2'", mode="cow")
+    hist = manifest_history(table_path)
+    v0 = hist[0]["version"]  # the original upsert
+    import uuid as _uuid
+
+    pinned = f"msqlpin_{_uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, pinned, table_path, version=v0)
+    d = manifest_sql(spark, f"DESCRIBE DETAIL {pinned}").collect()[0]
+    assert d.version == v0 and d.num_partitions == 3
+    p = manifest_sql(spark, f"SHOW PARTITIONS {pinned}").collect()
+    assert [r.partition for r in p] == ["day=d0", "day=d1", "day=d2"]
+    # while the head view describes the post-delete state
+    d2 = manifest_sql(spark, f"DESCRIBE DETAIL {view}").collect()[0]
+    assert d2.num_partitions == 2
 
 
 def test_sql_describe_detail_and_show_partitions(spark, table_path, view):
