@@ -1047,3 +1047,31 @@ def test_sql_describe_detail_and_show_partitions(spark, table_path, view):
 
     with pytest.raises(pyspark.errors.AnalysisException):
         manifest_sql(spark, "SHOW PARTITIONS definitely_not_registered")
+
+
+def test_sql_insert_into_generated_partition_table(spark, table_path):
+    """Column-list INSERT INTO a hidden-partitioned table may omit the
+    generated partition column (it is computed, never supplied); the
+    featured route sends it through manifest_insert, which applies the
+    recorded expression."""
+    import uuid as _uuid
+
+    rows = [(i, f"2024-02-0{1 + i % 2}", float(i)) for i in range(6)]
+    manifest_upsert_partitioned(
+        spark.createDataFrame(rows, "k LONG, ts STRING, v DOUBLE"),
+        table_path,
+        ["k"],
+        "day",
+        generated_cols={"day": "substring(ts, 1, 10)"},
+    )
+    name = f"msqlgin_{_uuid.uuid4().hex[:8]}"
+    manifest_sql_register(spark, name, table_path)
+    r = manifest_sql(
+        spark,
+        f"INSERT INTO {name} (k, ts, v) VALUES "
+        f"(CAST(50 AS LONG), '2024-02-03', CAST(5.0 AS DOUBLE))",
+    )
+    assert r["rows_inserted"] == 1
+    got = manifest_read(spark, table_path).filter("k = 50").collect()[0]
+    assert got.day == "2024-02-03"
+    assert manifest_read(spark, table_path).count() == 7
