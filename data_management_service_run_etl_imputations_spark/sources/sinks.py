@@ -699,6 +699,29 @@ def _latest_version(path: str) -> int:
     return best
 
 
+def _oldest_version(path: str) -> int:
+    """Lowest commit version whose manifest file still EXISTS (0 = no
+    table). After a VACUUM this is the retention floor: versions below
+    it cannot be materialized anymore (their commit files are gone), so
+    a reader needing one must fail loudly — the streaming source uses
+    this to refuse resuming past vacuumed history instead of skipping
+    commits."""
+    import os
+
+    d = _manifest_dir(path)
+    best = 0
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                try:
+                    v = int(name[:-5])
+                except ValueError:
+                    continue
+                if best == 0 or v < best:
+                    best = v
+    return best
+
+
 def _read_latest_hint(commit_dir: str) -> int | None:
     import os
 
@@ -1055,7 +1078,29 @@ def _load_table_files(
         return df.select("*", *pos_cols) if pos_cols else df
 
     if len(groups) <= 1:
-        return load(rels)
+        df = load(rels)
+        if not content.get("schema"):
+            return df
+        want = _struct_field_names(content["schema"])
+        have = [c for c in df.columns if c not in (_POS_FILE, _POS_IDX)]
+        if have == want:
+            return df
+        # single group but its files PREDATE a metadata-only schema
+        # change (ADD COLUMN commits no data): align to the CURRENT
+        # table schema — added columns null-fill, widened types cast up
+        # (same alignment the multi-group path always does)
+        tgt = spark.createDataFrame([], content["schema"]).schema
+        return df.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in tgt.fields
+            ],
+            *([_POS_FILE, _POS_IDX] if with_pos else []),
+        )
     target = spark.createDataFrame([], content["schema"]).schema
     aligned = []
     for group_rels in groups.values():
@@ -1643,10 +1688,19 @@ def _single_pcol(partition_col) -> "str | None":
 
 
 def _partition_cols(content: dict) -> list[str]:
-    """The table's partition columns from the manifest (either form)."""
-    if content.get("partition_cols"):
-        return list(content["partition_cols"])
-    return [content["partition_col"]]
+    """The table's partition columns from the manifest (any form):
+    ``partition_cols`` (multi, or ``[]`` for an UNPARTITIONED table),
+    else the legacy single ``partition_col``. An unpartitioned table is
+    one whose whole data set lives under the single synthetic key
+    ``"[]"`` (the canonical JSON of the empty component tuple) — every
+    partition-keyed structure (files dict, checkpoint sidecar, staged
+    dirs) works unchanged with that one key, and partition pruning is
+    simply a no-op."""
+    pcs = content.get("partition_cols")
+    if pcs is not None:
+        return list(pcs)
+    pc = content.get("partition_col")
+    return [] if pc is None else [pc]
 
 
 def _part_key_tuple(values, pcols: list[str]) -> str:
@@ -1707,6 +1761,14 @@ def _staged_partition_dirs(
     out: dict[str, tuple[str, list]] = {}
     root = os.path.join(path, *stage.split("/"))
     if not os.path.isdir(root):
+        return out
+    if n_levels == 0:
+        # UNPARTITIONED table: Spark staged flat files directly under the
+        # stage dir (partitionBy() with zero columns); the whole stage is
+        # the single synthetic partition keyed "[]"
+        entries = _list_dir_files(path, stage, fmt)
+        if entries:
+            out["[]"] = (stage, entries)
         return out
 
     def walk(d: str, rel: str, comps: list[str], level: int) -> None:
@@ -2555,7 +2617,7 @@ def _delete_where_cow(
         path,
         survivors,
         touched_keys,
-        pcols if len(pcols) > 1 else pcols[0],
+        pcols if len(pcols) != 1 else pcols[0],
         content.get("fmt", "parquet"),
         version,
         content,
@@ -2767,7 +2829,7 @@ def manifest_update_where(
             path,
             staged,
             touched_keys,
-            pcols if len(pcols) > 1 else pcols[0],
+            pcols if len(pcols) != 1 else pcols[0],
             fmt,
             version,
             content,
@@ -2836,7 +2898,7 @@ def manifest_update_where(
         path,
         updated,
         touched_keys,
-        pcols if len(pcols) > 1 else pcols[0],
+        pcols if len(pcols) != 1 else pcols[0],
         fmt,
         version,
         content,
@@ -2916,7 +2978,7 @@ def _auto_compact(
     already won, and the next write (or nightly OPTIMIZE) retries."""
     import json
 
-    vals = [json.loads(k) if len(pcols) > 1 else k for k in touched_keys]
+    vals = [json.loads(k) if len(pcols) != 1 else k for k in touched_keys]
     try:
         manifest_compact(
             spark, path, partition_values=vals, fmt=fmt,
@@ -3196,7 +3258,7 @@ def manifest_insert(
     if gen:
         incoming = _apply_generated(incoming, gen)
     pcols = _partition_cols(content)
-    partition_col = pcols if len(pcols) > 1 else pcols[0]
+    partition_col = pcols if len(pcols) != 1 else pcols[0]
 
     touched = incoming.select(*pcols).distinct().collect()
     touched_keys = [_part_key_tuple(tuple(r), pcols) for r in touched]
@@ -3404,7 +3466,7 @@ def _stage_and_commit(
             "dir_schemas": {
                 d: sc for d, sc in dir_schemas.items() if d in live_dirs
             },
-            **({"partition_cols": pcols} if len(pcols) > 1 else {}),
+            **({"partition_cols": pcols} if len(pcols) != 1 else {}),
             **(extra_meta or {}),
         }
         # metadata keys this writer does not manage (streaming batch
@@ -4414,8 +4476,31 @@ def manifest_compact(
     with_copies = _with_part_copies(df, pcols)
     if target_file_mb is None:
         # one output file per partition: repartition BY the partition
-        # value, so every partition's rows land in exactly one task
-        staged = with_copies.repartition(*[F.col(c) for c in copies])
+        # value, so every partition's rows land in exactly one task.
+        # Unpartitioned table (no copy columns): the whole table IS the
+        # one partition — a single task writes the one output file.
+        staged = (
+            with_copies.repartition(*[F.col(c) for c in copies])
+            if copies
+            else with_copies.repartition(1)
+        )
+    elif not copies:
+        # unpartitioned bounded-size fan-out: one partition, salt only
+        import math as _math
+
+        tgt = max(1, int(target_file_mb)) << 20
+        sz = sum(e[1] for k in selected for e in files.get(k, []))
+        fan = _math.ceil(sz / tgt) or 1
+        staged = (
+            with_copies.withColumn(
+                "__salt", F.pmod(F.xxhash64(*data_cols), F.lit(fan))
+            )
+            .repartition(
+                max(fan, spark.sparkContext.defaultParallelism),
+                F.col("__salt"),
+            )
+            .drop("__salt")
+        )
     else:
         # bounded-size fan-out: per-partition output file count from the
         # manifest's recorded byte sizes (zero data read), joined in as
@@ -4881,7 +4966,7 @@ def manifest_replace_partitions(
         "files": files,
         "fmt": fmt,
         "partition_col": _single_pcol(partition_col),
-        **({"partition_cols": pcols} if len(pcols) > 1 else {}),
+        **({"partition_cols": pcols} if len(pcols) != 1 else {}),
         "schema": out_schema,
         "schema_json": out_schema_json,
         "stats_ref": content.get("stats_ref"),
@@ -5836,6 +5921,172 @@ def manifest_drop_column(path: str, name: str) -> None:
     )
     _rekey_index_sidecars(path, content, name, None)
     _publish_manifest(path, version + 1, content, op=f"drop-column({name})")
+
+
+_SQL_TYPE_ALIASES = {
+    "string": "string",
+    "varchar": "string",
+    "boolean": "boolean",
+    "bool": "boolean",
+    "tinyint": "byte",
+    "byte": "byte",
+    "smallint": "short",
+    "short": "short",
+    "int": "integer",
+    "integer": "integer",
+    "bigint": "long",
+    "long": "long",
+    "float": "float",
+    "real": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def _sql_type_to_json(sql_type: str):
+    """SQL type name → Spark schema-JSON type value. Sessionless for the
+    scalar types plus ``decimal(p,s)`` and ``array<...>`` (DDL can run
+    from plain Python workers); nested/exotic types fall back to the
+    active SparkSession's DDL parser, refusing loudly without one."""
+    import re
+
+    s = sql_type.strip().lower()
+    if s in _SQL_TYPE_ALIASES:
+        return _SQL_TYPE_ALIASES[s]
+    m = re.fullmatch(r"(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return f"decimal({int(m.group(1))},{int(m.group(2))})"
+    m = re.fullmatch(r"array\s*<(.+)>", s, re.S)
+    if m:
+        return {
+            "type": "array",
+            "elementType": _sql_type_to_json(m.group(1)),
+            "containsNull": True,
+        }
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"unsupported column type {sql_type!r} (sessionless parsing "
+            "covers scalars, decimal(p,s) and array<...>; start a "
+            "SparkSession for nested types)"
+        )
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(f"__c {sql_type}")[0].dataType.jsonValue()
+
+
+def manifest_add_column(path: str, name: str, sql_type: str) -> None:
+    """ADD COLUMN — METADATA-ONLY commit (Delta parity): the field joins
+    the table schema nullable; no data file moves, nothing is staged.
+    Files written before the ADD simply lack the column, and every read
+    path null-fills it when aligning files to the current schema
+    (:func:`_load_table_files` and the batch DataSource's per-file
+    alignment); files written after carry real values. The write path
+    needs no migration either — the staged schema equals the evolved
+    table schema from the next INSERT on.
+
+    On a column-mapped table the new column takes a FRESH id (so if the
+    name was EVER dropped before, the dead files' bytes can never
+    resurrect under it); an unmapped table stays unmapped — a pure
+    schema append keeps reader protocol 1 and the lazy-insert fast path,
+    and is sufficient because an unmapped table has never renamed or
+    dropped a column (by-name alignment is exact). Refuses an existing
+    name (case-insensitive, matching Spark's resolution)."""
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"no manifest table at {path}")
+    content = dict(content)
+    import json as _json
+
+    names = [f["name"] for f in _json.loads(content["schema_json"])["fields"]]
+    if name.lower() in {n.lower() for n in names}:
+        raise ValueError(f"column {name!r} already exists at {path}")
+    jt = _sql_type_to_json(sql_type)
+    if content.get("col_ids"):
+        col_ids = dict(content["col_ids"])
+        nxt = content.get(
+            "next_col_id", max(col_ids.values(), default=0) + 1
+        )
+        col_ids[name] = nxt
+        content["col_ids"] = col_ids
+        content["next_col_id"] = nxt + 1
+    _rewrite_schema_fields(
+        content,
+        lambda fs: [
+            *fs,
+            {"name": name, "type": jt, "nullable": True, "metadata": {}},
+        ],
+    )
+    _publish_manifest(
+        path, version + 1, content, op=f"add-column({name})"
+    )
+
+
+def manifest_create_table(
+    path: str,
+    columns: "list[tuple[str, str]]",
+    partition_cols=None,
+) -> None:
+    """CREATE TABLE (empty): publish version 1 with the declared schema
+    and partition spec and ZERO data files — a metadata-only birth, the
+    SQL-DDL twin of create-on-first-write. ``columns`` is
+    ``[(name, sql_type), ...]``; ``partition_cols`` a name/list, or
+    None/[] for an UNPARTITIONED table. Reads of the empty table return
+    zero rows with the declared schema; the first INSERT appends
+    normally (the writer sees version 1 and the recorded spec). Refuses
+    an existing table — CREATE is not idempotent here (use INSERT for
+    loads)."""
+    version = _latest_version(path)
+    if version != 0:
+        raise ValueError(
+            f"manifest table at {path} already exists (v{version})"
+        )
+    pcols = _pcols(partition_cols) if partition_cols else []
+    names = [n for n, _ in columns]
+    if len({n.lower() for n in names}) != len(names):
+        raise ValueError(f"duplicate column in CREATE TABLE: {names}")
+    missing = [p for p in pcols if p not in names]
+    if missing:
+        raise ValueError(
+            f"PARTITIONED BY column(s) {missing} are not declared "
+            f"(have {names})"
+        )
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": n,
+                    "type": _sql_type_to_json(t),
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for n, t in columns
+            ],
+        }
+    )
+    content = {
+        "partitions": {},
+        "files": {},
+        "fmt": "parquet",
+        "partition_col": pcols[0] if len(pcols) == 1 else None,
+        **({"partition_cols": pcols} if len(pcols) != 1 else {}),
+        "schema": st.simpleString(),
+        "schema_json": st.json(),
+        "stats_ref": None,
+        "stats_cols": [],
+        "bloom_ref": None,
+        "deletes": [],
+        "dir_schemas": {},
+    }
+    _publish_manifest(path, 1, content, op="create-table")
 
 
 def manifest_count(

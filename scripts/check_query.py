@@ -20,9 +20,21 @@ TABLES = (
 
 
 def _norm(pdf):
+    import datetime
+
+    import pandas as pd
+
     for c in pdf.columns:
         if pdf[c].dtype.kind == "f":
             pdf[c] = pdf[c].round(6)
+        elif pdf[c].dtype == object:
+            # mirror driver_sim.canon EXACTLY: date objects normalize to
+            # datetime so a DATE column compares equal to an oracle
+            # TIMESTAMP at midnight (drift between the two canonicalizers
+            # is a false-red generator)
+            sample = pdf[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+                pdf[c] = pd.to_datetime(pdf[c])
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     if len(pdf):
         pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(

@@ -239,10 +239,15 @@ def main() -> None:
         print(json.dumps({"blocking_probe": st}))
 
     # Partition-pruned checkpoint reads (VERDICT r07 #4): grow a
-    # checkpointed manifest table 10× in partitions and read ONE fixed
-    # partition each time — the file-list rows the driver deserializes
-    # must stay flat (the filter is pushed into the checkpoint scan),
-    # while the full-materialization baseline grows with the table.
+    # checkpointed manifest table 10× then 100× in partitions and read
+    # ONE fixed partition each time — the file-list rows the driver
+    # deserializes must stay flat (the filter is pushed into the
+    # checkpoint scan), while the full-materialization baseline grows
+    # with the table. Every entry also records the PYTHON DRIVER's
+    # resident memory (VmRSS — the process that materializes manifests
+    # and holds checkpoint meta; VERDICT r9 #3: the driver-memory
+    # ceiling was unmeasured) so a meta-hydration leak shows up as RSS
+    # growing with partition count instead of staying flat.
     import shutil as _shutil
     import uuid as _uuid
 
@@ -253,10 +258,17 @@ def main() -> None:
         manifest_upsert_partitioned,
     )
 
+    def _rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+        return -1.0
+
     ckpt_probe = []
     root = os.path.join(args.work, f"ckpt_{_uuid.uuid4().hex[:8]}")
     try:
-        for n_parts in (40, 400):
+        for n_parts in (40, 400, 4000):
             rows = spark.range(n_parts * 20).select(
                 F.col("id").alias("k"),
                 F.format_string("d%04d", (F.col("id") % n_parts)).alias("day"),
@@ -275,6 +287,7 @@ def main() -> None:
                 "partitions_total": n_parts,
                 "rows_read": n,
                 "sec": round(time.perf_counter() - t0, 3),
+                "rss_mb": _rss_mb(),
                 **{
                     k: CKPT_PRUNED_LAST[k]
                     for k in ("partitions_selected", "file_rows_loaded")
@@ -306,6 +319,7 @@ def main() -> None:
                 "head_off_checkpoint": 3,
                 "rows_read": n2,
                 "sec": round(time.perf_counter() - t0, 3),
+                "rss_mb": _rss_mb(),
                 **{
                     k: CKPT_PRUNED_LAST[k]
                     for k in ("partitions_selected", "file_rows_loaded")
@@ -372,6 +386,7 @@ def main() -> None:
                     "op": op_name,
                     "partitions_total": n_parts,
                     "sec": sec,
+                    "rss_mb": _rss_mb(),
                     "lazy_plan": m.get("lazy_plan"),
                     "lazy_commit": m.get("lazy_commit"),
                     "probe_partitions_kept": m.get(
@@ -380,8 +395,76 @@ def main() -> None:
                 }
                 ckpt_probe.append(entry3)
                 print(json.dumps({"lazy_dml_commit": entry3}))
+            # SQL scan readInfo at the drifted head (r10): the batch
+            # DataSource plans through the same checkpoint + log-suffix
+            # resolve — a partition-filtered SELECT through the SQL
+            # surface must stay flat-cost as partitions grow 100x
+            from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+                manifest_sql,
+                manifest_sql_register,
+            )
+
+            sqlv = f"probe_sql_{n_parts}"
+            t0 = time.perf_counter()
+            manifest_sql_register(spark, sqlv, root)
+            n3 = manifest_sql(
+                spark,
+                f"SELECT count(*) AS n FROM {sqlv} WHERE day = 'd0007'",
+            ).first()["n"]
+            entry4 = {
+                "op": "sql_scan",
+                "partitions_total": n_parts,
+                "rows_read": int(n3),
+                "sec": round(time.perf_counter() - t0, 3),
+                "rss_mb": _rss_mb(),
+            }
+            ckpt_probe.append(entry4)
+            print(json.dumps({"sql_scan_readinfo": entry4}))
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+    # ANN auto-refit policy telemetry (VERDICT r9 #7): churn the
+    # persisted IVF-PQ index with a drifted insert population (the
+    # second half of the clustered-synthetic mixture — 50 clusters the
+    # build never saw), then let the maintenance entry point measure
+    # recall@k on a deterministic probe sample and trigger at most one
+    # refit. Records recall before/after so drift-and-recovery is a
+    # tracked number, not an assumption.
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_build,
+        ann_index_insert,
+        ann_index_maintain,
+    )
+
+    ann_root = os.path.join(args.work, f"ann_{_uuid.uuid4().hex[:8]}")
+    try:
+        base_ids = [int(i) for i in range(20000) if i % 100 < 50]
+        drift_ids = [int(i) for i in range(20000) if i % 100 >= 50]
+        emb_pd = emb_c.toPandas()
+        base = emb_c.sparkSession.createDataFrame(
+            emb_pd[emb_pd.vec_id.isin(base_ids)],
+        )
+        drift = emb_c.sparkSession.createDataFrame(
+            emb_pd[emb_pd.vec_id.isin(drift_ids)],
+        )
+        t0 = time.perf_counter()
+        ann_index_build(base, ann_root, n_centroids=16, m_subspaces=8,
+                        ks_codes=16)
+        ann_index_insert(drift, ann_root)
+        t_churn = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        maintain = ann_index_maintain(
+            spark, ann_root, recall_bound=0.9, probe_sample=32, k=10,
+            n_probe=2, refine_factor=2,
+        )
+        ann_probe = {
+            **maintain,
+            "sec_churn": t_churn,
+            "sec_maintain": round(time.perf_counter() - t0, 3),
+        }
+        print(json.dumps({"ann_maintain": ann_probe}))
+    finally:
+        _shutil.rmtree(ann_root, ignore_errors=True)
 
     summary = {
         "metric": "scale_probe_total",
@@ -391,6 +474,7 @@ def main() -> None:
         "queries": results,
         "dedup_blocking": blocking,
         "ckpt_pruned_read": ckpt_probe,
+        "ann_maintain": ann_probe,
     }
     print(json.dumps(summary))
     if args.emit_json:
