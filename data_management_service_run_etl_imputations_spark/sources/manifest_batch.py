@@ -1246,9 +1246,11 @@ def _dispatch_util_statement(spark, stmt: str):
       (metadata-only re-commit of the earlier snapshot as a new head).
     - ``ALTER TABLE v ADD CONSTRAINT name CHECK (expr)`` /
       ``DROP CONSTRAINT name`` / ``ADD COLUMN c TYPE`` (or
-      ``ADD COLUMNS (a T, b T)``) / ``RENAME COLUMN a TO b`` /
-      ``DROP COLUMN c`` → the corresponding :mod:`sinks` engines
-      (column ops are metadata-only; ADD null-fills old files on read).
+      ``ADD COLUMNS (a T, b T)``) / ``ALTER COLUMN c TYPE t``
+      (information-preserving widening only) / ``RENAME COLUMN a TO b``
+      / ``DROP COLUMN c`` → the corresponding :mod:`sinks` engines
+      (column ops are metadata-only; ADD null-fills old files on read,
+      widened types cast up).
     - ``CREATE TABLE name (col TYPE, …) LOCATION 'path' [PARTITIONED BY
       (cols)]`` → :func:`sinks.manifest_create_table` (empty metadata-only
       v1); CTAS and CREATE both treat PARTITIONED BY as OPTIONAL — absent
@@ -1597,6 +1599,26 @@ def _dispatch_util_statement(spark, stmt: str):
             if not added:
                 raise ValueError("ADD COLUMN names no columns")
             out = {"statement": "add-column", "columns": added}
+        elif re.match(r"(?:ALTER|CHANGE)\s+COLUMN\b", body, re.I):
+            # ALTER TABLE v ALTER COLUMN c TYPE t — metadata-only type
+            # WIDENING (manifest_widen_column); lossy changes refuse
+            mm = re.match(
+                r"(?:ALTER|CHANGE)\s+COLUMN\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
+                r"(?:TYPE\s+)?(.+?)\s*$",
+                body,
+                re.I | re.S,
+            )
+            if not mm:
+                raise ValueError(
+                    f"cannot parse ALTER COLUMN clause: {body!r}"
+                )
+            cname = _unquote_ident(mm.group(1))
+            sinks.manifest_widen_column(path, cname, mm.group(2))
+            out = {
+                "statement": "alter-column",
+                "column": cname,
+                "type": mm.group(2).strip(),
+            }
         else:
             mm = re.match(
                 r"DROP\s+CONSTRAINT\s+(`[^`]+`|[A-Za-z_]\w*)\s*$",
@@ -1634,6 +1656,7 @@ def _dispatch_util_statement(spark, stmt: str):
                             "unsupported ALTER TABLE clause (have: ADD "
                             "CONSTRAINT name CHECK (expr), DROP "
                             "CONSTRAINT name, ADD COLUMN c TYPE, "
+                            "ALTER COLUMN c TYPE t, "
                             "RENAME COLUMN a TO b, "
                             f"DROP COLUMN c): {body!r}"
                         )
@@ -1881,7 +1904,8 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       ``RESTORE [TABLE] v TO VERSION|TIMESTAMP AS OF
       n``, and ``ALTER TABLE v ADD CONSTRAINT name CHECK (expr) | DROP
       CONSTRAINT name | ADD COLUMN c TYPE | ADD COLUMNS (…) |
-      RENAME COLUMN a TO b | DROP COLUMN c`` — see
+      ALTER COLUMN c TYPE t | RENAME COLUMN a TO b | DROP COLUMN c`` —
+      see
       :func:`_dispatch_util_statement`
 
     Non-DML statements also get SQL TIME TRAVEL: ``… FROM v VERSION AS

@@ -1081,15 +1081,20 @@ def _load_table_files(
         df = load(rels)
         if not content.get("schema"):
             return df
-        want = _struct_field_names(content["schema"])
-        have = [c for c in df.columns if c not in (_POS_FILE, _POS_IDX)]
+        tgt = spark.createDataFrame([], content["schema"]).schema
+        want = [(f.name, f.dataType.simpleString()) for f in tgt.fields]
+        have = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if f.name not in (_POS_FILE, _POS_IDX)
+        ]
         if have == want:
             return df
         # single group but its files PREDATE a metadata-only schema
-        # change (ADD COLUMN commits no data): align to the CURRENT
-        # table schema — added columns null-fill, widened types cast up
-        # (same alignment the multi-group path always does)
-        tgt = spark.createDataFrame([], content["schema"]).schema
+        # change (ADD COLUMN commits no data; ALTER COLUMN widens a
+        # type): align to the CURRENT table schema — added columns
+        # null-fill, widened types cast up (same alignment the
+        # multi-group path always does)
         return df.select(
             *[
                 (
@@ -6024,6 +6029,98 @@ def manifest_add_column(path: str, name: str, sql_type: str) -> None:
     )
     _publish_manifest(
         path, version + 1, content, op=f"add-column({name})"
+    )
+
+
+# information-preserving primitive widenings (the Iceberg/Delta set):
+# every old value is exactly representable in the new type, so reads
+# that cast old files up can never corrupt — anything else is refused
+_WIDEN_OK = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def manifest_widen_column(path: str, name: str, sql_type: str) -> None:
+    """ALTER COLUMN — METADATA-ONLY type WIDENING (Iceberg's
+    ``update_column`` / Delta's type-widening feature): the field's type
+    changes in the table schema; no data file moves. Old files keep
+    their narrow physical type and every read path casts them up to the
+    current schema (the same alignment schema-group reads have always
+    done for write-path widening — ``dir_schemas`` still records each
+    directory's true write schema, so group keys differ and the
+    multi-group path casts; the single-group path compares (name, type)
+    and aligns too). Only information-preserving widenings are allowed
+    (integral up-casts, float→double, decimal precision growth at equal
+    scale) — a lossy change is a rewrite, not an ALTER. Refuses the
+    partition column (layout identity: partition keys are rendered from
+    values) and columns a pending merge-on-read delete entry matches on
+    (the sidecar's physical key type would no longer equal the data's
+    logical type at mask time)."""
+    import re as _re
+
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"no manifest table at {path}")
+    content = dict(content)
+    import json as _json
+
+    fields = _json.loads(content["schema_json"])["fields"]
+    cur = next((f for f in fields if f["name"] == name), None)
+    if cur is None:
+        raise ValueError(
+            f"no column {name!r} at {path} "
+            f"(have {[f['name'] for f in fields]})"
+        )
+    new_t = _sql_type_to_json(sql_type)
+    old_t = cur["type"]
+    ok = (old_t, new_t) in _WIDEN_OK
+    if not ok and isinstance(old_t, str) and isinstance(new_t, str):
+        mo = _re.fullmatch(r"decimal\((\d+),(\d+)\)", old_t)
+        mn = _re.fullmatch(r"decimal\((\d+),(\d+)\)", new_t)
+        if mo and mn:
+            ok = (
+                int(mn.group(1)) >= int(mo.group(1))
+                and mn.group(2) == mo.group(2)
+                and new_t != old_t
+            )
+    if old_t == new_t:
+        raise ValueError(f"column {name!r} is already {sql_type}")
+    if not ok:
+        raise ValueError(
+            f"refusing lossy/unsupported type change {old_t!r} -> "
+            f"{new_t!r} for column {name!r} — only "
+            "information-preserving widenings are metadata-only "
+            "(integral up-casts, float->double, decimal precision "
+            "growth at equal scale); anything else needs a rewrite"
+        )
+    if name in _partition_cols(content):
+        raise ValueError(
+            f"cannot widen partition column {name!r} — partition keys "
+            "are rendered from values; rewrite the table instead"
+        )
+    for e in content.get("deletes") or []:
+        if name in e["cols"]:
+            raise ValueError(
+                f"cannot widen column {name!r}: a pending merge-on-read "
+                "delete entry matches on it — compact first"
+            )
+    _rewrite_schema_fields(
+        content,
+        lambda fs: [
+            {**f, "type": new_t} if f["name"] == name else f for f in fs
+        ],
+    )
+    _publish_manifest(
+        path,
+        version + 1,
+        content,
+        op=f"widen-column({name}:{old_t}->{new_t})",
     )
 
 

@@ -438,24 +438,45 @@ def main() -> None:
 
     ann_root = os.path.join(args.work, f"ann_{_uuid.uuid4().hex[:8]}")
     try:
-        base_ids = [int(i) for i in range(20000) if i % 100 < 50]
-        drift_ids = [int(i) for i in range(20000) if i % 100 >= 50]
-        emb_pd = emb_c.toPandas()
-        base = emb_c.sparkSession.createDataFrame(
-            emb_pd[emb_pd.vec_id.isin(base_ids)],
-        )
-        drift = emb_c.sparkSession.createDataFrame(
-            emb_pd[emb_pd.vec_id.isin(drift_ids)],
-        )
+        # drift geometry where a refit genuinely recovers: the index is
+        # built on 4 Gaussian clusters (8 cells tile them), then SIX
+        # clusters the quantizers never saw arrive — recall under tight
+        # probe budgets dips below the bound, and re-fitting centroids +
+        # codebooks on the drifted population restores it. (A mixture
+        # with far more clusters than cells is NOT recoverable by refit
+        # and belongs to parameter sizing, not maintenance policy.)
+        import random as _random
+
+        def _clusters(ids, per=60, dims=32, seed=7):
+            rng = _random.Random(seed)
+            centers = {
+                c: [rng.gauss(0, 1) for _ in range(16)] for c in range(16)
+            }
+            rows = []
+            for c in ids:
+                rngc = _random.Random(seed * 7919 + c)
+                full = centers[c] + [
+                    rngc.gauss(0, 1) for _ in range(dims - 16)
+                ]
+                for i in range(per):
+                    vid = c * 10000 + i
+                    r2 = _random.Random(seed * 100003 + vid)
+                    rows.append(
+                        (vid, [x + r2.gauss(0, 0.05) for x in full])
+                    )
+            return spark.createDataFrame(
+                rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+            )
+
         t0 = time.perf_counter()
-        ann_index_build(base, ann_root, n_centroids=16, m_subspaces=8,
-                        ks_codes=16)
-        ann_index_insert(drift, ann_root)
+        ann_index_build(_clusters(range(4)), ann_root, n_centroids=8,
+                        m_subspaces=8, ks_codes=16)
+        ann_index_insert(_clusters(range(4, 10)), ann_root)
         t_churn = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         maintain = ann_index_maintain(
-            spark, ann_root, recall_bound=0.9, probe_sample=32, k=10,
-            n_probe=2, refine_factor=2,
+            spark, ann_root, recall_bound=0.9, probe_sample=24, k=10,
+            n_probe=2, refine_factor=4,
         )
         ann_probe = {
             **maintain,

@@ -339,3 +339,90 @@ def test_unpartitioned_python_api_surface(spark, table_path):
     assert fs["errors"] == []
     manifest_vacuum(table_path, keep_versions=1)
     assert manifest_read(spark, table_path).count() == 20
+
+
+class TestWidenColumn:
+    def test_widen_roundtrip_sql(self, spark, table_path):
+        """ALTER COLUMN TYPE widens metadata-only: old int files read
+        back as long, new long rows insert, aggregation spans both."""
+        manifest_upsert_partitioned(
+            spark.createDataFrame(
+                [(1, "d", 10), (2, "d", 20)], "k LONG, day STRING, v INT"
+            ),
+            table_path,
+            ["k"],
+            "day",
+        )
+        v = _fresh("widen")
+        manifest_sql_register(spark, v, table_path)
+        r = manifest_sql(spark, f"ALTER TABLE {v} ALTER COLUMN v TYPE BIGINT")
+        assert r == {"statement": "alter-column", "column": "v", "type": "BIGINT"}
+        h = manifest_history(table_path)[-1]
+        assert h["op"].startswith("widen-column(v:")
+        schema = manifest_sql(spark, f"SELECT * FROM {v}").schema
+        assert schema["v"].dataType.simpleString() == "bigint"
+        # a value only LONG can hold lands next to the old int rows
+        manifest_sql(
+            spark, f"INSERT INTO {v} VALUES (3, 'd', 9123456789012345678)"
+        )
+        total = manifest_sql(
+            spark, f"SELECT sum(v) AS s FROM {v}"
+        ).first()["s"]
+        assert total == 10 + 20 + 9123456789012345678
+        # Python read path agrees (single schema-group alignment)
+        py = manifest_read(spark, table_path)
+        assert py.schema["v"].dataType.simpleString() == "bigint"
+        assert py.count() == 3
+
+    def test_widen_refusals(self, spark, table_path):
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_widen_column,
+        )
+
+        manifest_upsert_partitioned(
+            spark.createDataFrame(
+                [(1, "d", 10, 1.5)], "k LONG, day STRING, v INT, f DOUBLE"
+            ),
+            table_path,
+            ["k"],
+            "day",
+        )
+        with pytest.raises(ValueError, match="already"):
+            manifest_widen_column(table_path, "v", "int")  # no-op guarded
+        with pytest.raises(ValueError, match="already"):
+            manifest_widen_column(table_path, "f", "double")
+        with pytest.raises(ValueError, match="lossy"):
+            manifest_widen_column(table_path, "f", "float")  # narrowing
+
+    def test_widen_partition_column_refused(self, spark, table_path):
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_widen_column,
+        )
+
+        manifest_upsert_partitioned(
+            spark.createDataFrame([(1, 7, 1.0)], "k LONG, bucket INT, v DOUBLE"),
+            table_path,
+            ["k"],
+            "bucket",
+        )
+        with pytest.raises(ValueError, match="partition column"):
+            manifest_widen_column(table_path, "bucket", "bigint")
+
+    def test_widen_decimal_precision(self, spark, table_path):
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_widen_column,
+        )
+
+        manifest_upsert_partitioned(
+            spark.createDataFrame(
+                [(1, "d", 10)], "k LONG, day STRING, v INT"
+            ).selectExpr("k", "day", "CAST(v AS DECIMAL(5,2)) AS v"),
+            table_path,
+            ["k"],
+            "day",
+        )
+        manifest_widen_column(table_path, "v", "decimal(12,2)")
+        got = manifest_read(spark, table_path)
+        assert got.schema["v"].dataType.simpleString() == "decimal(12,2)"
+        with pytest.raises(ValueError, match="lossy"):
+            manifest_widen_column(table_path, "v", "decimal(12,4)")  # scale
