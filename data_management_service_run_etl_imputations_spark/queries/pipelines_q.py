@@ -211,4 +211,12 @@ def pipeline_imputaciones_manifest(spark: SparkSession, sf_dir: str) -> DataFram
         raise AssertionError(
             f"S7 manifest load not idempotent: first={r1} second={r2}"
         )
+    # the returned frame scans the table path directly — the ephemeral
+    # view binding is done; unregister keeps the session registry
+    # bounded across bench reps
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        manifest_sql_unregister,
+    )
+
+    manifest_sql_unregister(spark, view)
     return manifest_read(spark, path)

@@ -1578,11 +1578,15 @@ def manifest_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).localCheckpoint()
     finally:
-        for v in (view, src_view):
-            try:
-                spark.catalog.dropTempView(v)
-            except Exception:  # noqa: BLE001 — view may not exist
-                pass
+        from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+            manifest_sql_unregister,
+        )
+
+        manifest_sql_unregister(spark, view)
+        try:
+            spark.catalog.dropTempView(src_view)
+        except Exception:  # noqa: BLE001 — view may not exist
+            pass
         shutil.rmtree(target, ignore_errors=True)
 
 
@@ -1638,9 +1642,13 @@ def sql_ddl_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT k, name, note FROM {view}"
         ).localCheckpoint()
     finally:
-        for v in (view, nat):
-            try:
-                spark.catalog.dropTempView(v)
-            except Exception:  # noqa: BLE001 — view may not exist
-                pass
+        from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+            manifest_sql_unregister,
+        )
+
+        manifest_sql_unregister(spark, view)
+        try:
+            spark.catalog.dropTempView(nat)
+        except Exception:  # noqa: BLE001 — view may not exist
+            pass
         shutil.rmtree(target, ignore_errors=True)

@@ -657,6 +657,34 @@ def manifest_sql_register(
     return df
 
 
+def manifest_sql_unregister(spark, view_name: str) -> bool:
+    """Remove a view's registry binding and temp view, INCLUDING every
+    time-travel alias binding derived from it (``view__asof_*``).
+    Returns True when the view was registered. The inverse of
+    :func:`manifest_sql_register` — a long-lived session that registers
+    many ephemeral views (one per job/notebook cell) should unregister
+    them so the per-statement rebind scan and the time-travel rewrite
+    pass stay bounded by the LIVE view count, not the session's
+    history."""
+    key = view_name.lower()
+    victims: list[str] = []
+    with _SQL_REG_LOCK:
+        t = _SQL_TABLES.pop(key, None)
+        _VIEW_DIRTY.discard(key)
+        if t is not None:
+            victims.append(t[0])
+        prefix = f"{key}__asof_"
+        for k in [k for k in _SQL_TABLES if k.startswith(prefix)]:
+            victims.append(_SQL_TABLES.pop(k)[0])
+            _VIEW_DIRTY.discard(k)
+    for v in victims:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:  # noqa: BLE001 — already gone
+            pass
+    return t is not None
+
+
 # --- write half: df.write.format("manifest").mode("append") ----------------
 #
 # INSERT-only append through the DataFrame writer API — the SQL-user
@@ -2434,3 +2462,23 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
     )
     refresh(view_name, path)
     return {"statement": "merge", **r}
+
+
+def manifest_sql_script(spark, script: str, mode: str | None = None) -> list:
+    """Execute a multi-statement SQL SCRIPT: split on TOP-LEVEL
+    semicolons (quote- and paren-aware — a ``;`` inside a string
+    literal or a subquery never splits), route each statement through
+    :func:`manifest_sql` in order, and return the per-statement results
+    (DataFrames for reads, op-count dicts for DML/utility verbs).
+
+    No transaction spans statements: each DML verb commits its own
+    manifest version independently, exactly as running the statements
+    one at a time — the same contract Delta gives a SQL script. A
+    failing statement raises immediately; earlier statements' commits
+    stand (partial-script recovery is the caller's re-run, which the
+    engines' idempotence hooks — txn tokens, MERGE — support)."""
+    outs = []
+    for stmt in _split_top(script, ";"):
+        if stmt.strip():
+            outs.append(manifest_sql(spark, stmt, mode=mode))
+    return outs

@@ -163,3 +163,45 @@ class TestHostileLiterals:
         got = manifest_sql(spark, union).collect()
         assert len(got) == 9
         assert all(r["n"] == 5 for r in got)
+
+
+class TestScriptAndUnregister:
+    def test_script_splits_on_top_level_semicolons_only(self, spark, view):
+        from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+            manifest_sql_script,
+        )
+
+        v, path = view
+        outs = manifest_sql_script(
+            spark,
+            f"""
+            INSERT INTO {v} VALUES (300, 'd0', 'semi ; inside');
+            UPDATE {v} SET txt = 'a;b;c' WHERE k = 300;
+            SELECT count(*) AS n FROM {v} WHERE txt = 'a;b;c';
+            """,
+        )
+        assert outs[0]["rows_inserted"] == 1
+        assert outs[1]["updated_rows"] == 1
+        assert outs[2].first()["n"] == 1
+
+    def test_unregister_removes_view_and_asof_aliases(self, spark, view):
+        from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+            _SQL_TABLES,
+            manifest_sql,
+            manifest_sql_unregister,
+        )
+
+        v, path = view
+        manifest_sql(spark, f"DELETE FROM {v} WHERE k = 1")
+        # create an AS-OF alias binding
+        manifest_sql(spark, f"SELECT count(*) AS n FROM {v} VERSION AS OF 1")
+        assert any(k.startswith(f"{v.lower()}__asof_") for k in _SQL_TABLES)
+        assert manifest_sql_unregister(spark, v) is True
+        assert v.lower() not in _SQL_TABLES
+        assert not any(
+            k.startswith(f"{v.lower()}__asof_") for k in _SQL_TABLES
+        )
+        # idempotent; the view is genuinely gone from SQL
+        assert manifest_sql_unregister(spark, v) is False
+        with pytest.raises(Exception):
+            manifest_sql(spark, f"DELETE FROM {v} WHERE k = 2")
