@@ -83,6 +83,33 @@ def main() -> None:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The round driver tails stdout with a BOUNDED buffer: the r9/r10
+    # records came back "parsed": null because the samples/p50 blocks grew
+    # the single line past it and front-truncated the JSON.  Contract
+    # (restored, r01-r08 shape): stdout's FINAL line is the compact record
+    # only; full diagnostics go to a sidecar file next to bench.py.
+    detail = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "p50": per_p50,
+        "samples": per_samples,
+        "reps": reps,
+        "reps_per_query": per_reps,
+        "reps_subsec": reps_subsec,
+        "host_load": {
+            "start_1m": round(load_start, 2),
+            "end_1m": round(os.getloadavg()[0], 2),
+        },
+        "estimator": "min",
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# full diagnostics (samples/p50/reps/host_load): {detail_path}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -90,17 +117,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
-                "p50": per_p50,
-                "samples": per_samples,
-                "reps": reps,
-                "reps_per_query": per_reps,
-                "reps_subsec": reps_subsec,
-                "host_load": {
-                    "start_1m": round(load_start, 2),
-                    "end_1m": round(os.getloadavg()[0], 2),
-                },
-                "estimator": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
