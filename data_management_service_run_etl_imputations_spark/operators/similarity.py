@@ -1640,7 +1640,7 @@ def ann_index_maintain(
         F.col("c_vec").alias("embedding"),
     )
 
-    def _measure() -> "tuple[float, int]":
+    def _measure() -> "tuple[float | None, int]":
         r = ann_index_recall(
             probes,
             index_path,
@@ -1652,11 +1652,22 @@ def ann_index_maintain(
             F.avg("recall").alias("m"), F.count(F.lit(1)).alias("n")
         ).first()
         return (
-            float(r["m"]) if r["m"] is not None else 1.0,
+            float(r["m"]) if r["m"] is not None else None,
             int(r["n"]),
         )
 
     recall, n_probes = _measure()
+    if n_probes == 0 or recall is None:
+        # an empty vectors table (or an empty probe sample) is a
+        # DISTINCT outcome, not health: defaulting the null mean to 1.0
+        # let a hollowed-out index pass maintenance silently (ADVICE
+        # r10 low). No refit either — there is nothing to fit.
+        return {
+            "recall": None,
+            "n_probes": n_probes,
+            "refit": False,
+            "recall_after": None,
+        }
     out = {
         "recall": round(recall, 6),
         "n_probes": n_probes,

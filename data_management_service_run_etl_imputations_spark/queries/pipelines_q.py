@@ -23,6 +23,10 @@ from data_management_service_run_etl_imputations_spark.plans.fixtures import (
 )
 from data_management_service_run_etl_imputations_spark.queries import register
 
+# PID-keyed table paths with an atexit cleanup already registered — one
+# handler per process, however many bench reps re-run the query
+_CLEANUP_PATHS: set = set()
+
 _FIXTURE_CTES = ",\n    ".join(
     [
         fixture_values_cte(
@@ -151,7 +155,14 @@ def pipeline_fichajes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_imputaciones_manifest", oracle=_IMPUTACIONES_ORACLE)
+@register(
+    "pipeline_imputaciones_manifest",
+    oracle=_IMPUTACIONES_ORACLE,
+    # headline (r10 "Next round" #8): the SQL dispatcher's plan/commit
+    # path — MERGE INTO on a manifest table, twice — is now a major
+    # fraction of the codebase; bench watches it for regressions
+    headline=True,
+)
 def pipeline_imputaciones_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's S7 LOAD made transactional (VERDICT r9 "Next
     round" #8): sub-pipeline A's output loads into a MANIFEST table
@@ -190,6 +201,14 @@ def pipeline_imputaciones_manifest(spark: SparkSession, sf_dir: str) -> DataFram
         tempfile.gettempdir(), f"pipeline_manifest_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
+    if path not in _CLEANUP_PATHS:
+        # the table must outlive THIS call (the returned frame scans it
+        # lazily), so deletion happens at process exit — one handler per
+        # PID-keyed path, not one per bench rep
+        import atexit
+
+        _CLEANUP_PATHS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     view = f"pim_{uuid.uuid4().hex[:8]}"
     src = f"pims_{uuid.uuid4().hex[:8]}"
     out.createOrReplaceTempView(src)
@@ -199,24 +218,28 @@ def pipeline_imputaciones_manifest(spark: SparkSession, sf_dir: str) -> DataFram
         "fecha",
     )
     manifest_sql_register(spark, view, path)
-    merge = (
-        f"MERGE INTO {view} t USING {src} s "
-        "ON t.empleado_id = s.empleado_id AND t.fecha = s.fecha "
-        "AND t.tarea = s.tarea "
-        "WHEN NOT MATCHED THEN INSERT *"
-    )
-    r1 = manifest_sql(spark, merge)
-    r2 = manifest_sql(spark, merge)  # idempotent re-run
-    if r2["inserted"] != 0 or r1["inserted"] == 0:
-        raise AssertionError(
-            f"S7 manifest load not idempotent: first={r1} second={r2}"
-        )
-    # the returned frame scans the table path directly — the ephemeral
-    # view binding is done; unregister keeps the session registry
-    # bounded across bench reps
     from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
         manifest_sql_unregister,
     )
 
-    manifest_sql_unregister(spark, view)
+    try:
+        merge = (
+            f"MERGE INTO {view} t USING {src} s "
+            "ON t.empleado_id = s.empleado_id AND t.fecha = s.fecha "
+            "AND t.tarea = s.tarea "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        r1 = manifest_sql(spark, merge)
+        r2 = manifest_sql(spark, merge)  # idempotent re-run
+        if r2["inserted"] != 0 or r1["inserted"] == 0:
+            raise AssertionError(
+                f"S7 manifest load not idempotent: first={r1} second={r2}"
+            )
+    finally:
+        # the returned frame scans the table path directly — BOTH
+        # ephemeral bindings (the registry view and the source temp
+        # view) are done; dropping them keeps the session registry and
+        # catalog bounded across bench reps even when the merge raises
+        manifest_sql_unregister(spark, view)
+        spark.catalog.dropTempView(src)
     return manifest_read(spark, path)

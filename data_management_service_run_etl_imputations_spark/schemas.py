@@ -157,6 +157,18 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count of one testdata table from PARQUET FOOTERS alone — no
+    SparkSession, no scan job, no data pages read. The metadata-count
+    twin of :func:`load_table`, for plan-time decisions that need
+    |corpus| (e.g. the dedup verify stage's output-sensitive candidate
+    gating) without paying a count() evaluation. Works for single files
+    and directory-of-part-files layouts alike."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/{name}.parquet", format="parquet").count_rows()
+
+
 # --- reference fixture tables (FIXTURES.md) -------------------------------
 # Inputs of the reference's two sub-pipelines; every column is one the
 # reference reads or writes (citations in FIXTURES.md).

@@ -1,0 +1,187 @@
+"""Cross-session table catalog: a persisted name→path registry at the
+WAREHOUSE level, so a fresh SparkSession can reach every manifest table
+by SQL name without re-registering each path by hand.
+
+The reference leans on SQL Server's persistent catalog for every read
+(``function_app.py:192-196`` resolves table names server-side); the
+engine's session-level ``manifest_sql_register`` had no durable
+counterpart — this module is that counterpart.
+
+Storage model — the same optimistic-concurrency commit primitive as the
+table manifests themselves: the catalog is a directory
+``<warehouse>/_catalog/`` of immutable ``<version>.json`` full snapshots
+(the registry is tiny — names and paths only, never file lists), each
+published with :func:`sinks.get_commit_backend`'s ``put_if_absent``.
+Two sessions racing to register get exactly one winner; the loser
+re-reads and re-merges (:func:`sinks.with_commit_retry`), so
+register/unregister are linearizable without any cross-process lock.
+Full snapshots keep reads O(1) version files (no delta chain): a
+catalog with 10⁵ tables is a few MB of JSON, read once per attach.
+
+Relocatability: a table path UNDER the warehouse directory is stored
+RELATIVE, so moving/mounting the warehouse elsewhere keeps the catalog
+valid; paths outside the warehouse are stored absolute (external
+tables, Delta's EXTERNAL semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+_CATALOG_SUBDIR = "_catalog"
+
+# The warehouse a session attached with manifest_catalog_attach — the
+# SQL dispatcher (manifest_batch) consults this so CREATE/DROP TABLE
+# statements keep the persisted registry in sync with the session one.
+# Process-global by design: a SparkSession is process-global in the
+# local/driver model too, and the attach verb is explicit.
+_ATTACHED: dict = {"warehouse": None}
+_ATTACH_LOCK = threading.RLock()
+
+
+def _catalog_dir(warehouse_dir: str) -> str:
+    return os.path.join(warehouse_dir, _CATALOG_SUBDIR)
+
+
+def _latest_catalog(warehouse_dir: str) -> "tuple[int, dict]":
+    """(version, {name: stored_path}) of the newest snapshot; (0, {})
+    for a warehouse with no catalog yet."""
+    d = _catalog_dir(warehouse_dir)
+    if not os.path.isdir(d):
+        return 0, {}
+    versions = [
+        int(n[:-5])
+        for n in os.listdir(d)
+        if n.endswith(".json") and n[:-5].isdigit()
+    ]
+    if not versions:
+        return 0, {}
+    v = max(versions)
+    with open(os.path.join(d, f"{v}.json")) as fh:
+        return v, json.load(fh)
+
+
+def _store_path(warehouse_dir: str, path: str) -> str:
+    """Relative when under the warehouse (relocatable), else absolute."""
+    wh = os.path.abspath(warehouse_dir)
+    ap = os.path.abspath(path)
+    if ap == wh or ap.startswith(wh + os.sep):
+        return os.path.relpath(ap, wh)
+    return ap
+
+
+def _resolve_path(warehouse_dir: str, stored: str) -> str:
+    if os.path.isabs(stored):
+        return stored
+    return os.path.join(os.path.abspath(warehouse_dir), stored)
+
+
+def _publish(warehouse_dir: str, version: int, tables: dict) -> None:
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        CommitConflict,
+        get_commit_backend,
+    )
+
+    d = _catalog_dir(warehouse_dir)
+    os.makedirs(d, exist_ok=True)
+    target = os.path.join(d, f"{version}.json")
+    if not get_commit_backend().put_if_absent(
+        target, json.dumps(tables, sort_keys=True).encode()
+    ):
+        raise CommitConflict(
+            f"catalog version {version} already committed at {d}; "
+            "re-read the latest catalog and retry"
+        )
+
+
+def catalog_tables(warehouse_dir: str) -> dict[str, str]:
+    """{name: resolved_table_path} of the newest catalog snapshot."""
+    _, tables = _latest_catalog(warehouse_dir)
+    return {
+        n: _resolve_path(warehouse_dir, p) for n, p in sorted(tables.items())
+    }
+
+
+def catalog_set(warehouse_dir: str, name: str, path: str) -> int:
+    """Register (or re-point) ``name`` → ``path`` durably. Returns the
+    committed catalog version. Conflict-safe: a racing writer forces a
+    re-read + re-merge, never a lost update."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        with_commit_retry,
+    )
+
+    key = name.lower()
+
+    def op():
+        v, tables = _latest_catalog(warehouse_dir)
+        tables = dict(tables)
+        tables[key] = _store_path(warehouse_dir, path)
+        _publish(warehouse_dir, v + 1, tables)
+        return v + 1
+
+    return with_commit_retry(op)
+
+
+def catalog_remove(warehouse_dir: str, name: str) -> bool:
+    """Remove ``name`` from the durable catalog. True when it existed."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        with_commit_retry,
+    )
+
+    key = name.lower()
+
+    def op():
+        v, tables = _latest_catalog(warehouse_dir)
+        if key not in tables:
+            return False
+        tables = {k: p for k, p in tables.items() if k != key}
+        _publish(warehouse_dir, v + 1, tables)
+        return True
+
+    return with_commit_retry(op)
+
+
+def attached_warehouse() -> "str | None":
+    """The warehouse this session attached, or None. The SQL dispatcher
+    uses it to mirror CREATE/DROP TABLE into the durable catalog."""
+    with _ATTACH_LOCK:
+        return _ATTACHED["warehouse"]
+
+
+def manifest_catalog_detach() -> "str | None":
+    """Stop mirroring SQL DDL into the attached warehouse (session
+    views stay registered). Returns the previously attached dir."""
+    with _ATTACH_LOCK:
+        prev = _ATTACHED["warehouse"]
+        _ATTACHED["warehouse"] = None
+    return prev
+
+
+def manifest_catalog_attach(
+    spark,
+    warehouse_dir: str,
+    follow_head: bool = True,
+    prune: bool = True,
+) -> dict[str, str]:
+    """Attach a warehouse: read the durable catalog and register every
+    table as a SQL view in THIS session (follow_head by default — an
+    attached table tracks its moving head per-statement, the behavior a
+    catalog table has in Delta). Subsequent ``CREATE TABLE``/
+    ``DROP TABLE`` statements through :func:`manifest_sql` keep the
+    durable catalog in sync; ``SHOW TABLES`` lists it. Returns
+    {name: path} of the attached tables. Attaching an empty/new
+    warehouse is valid (creates the registry on first CREATE)."""
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        manifest_sql_register,
+    )
+
+    tables = catalog_tables(warehouse_dir)
+    for name, path in tables.items():
+        manifest_sql_register(
+            spark, name, path, follow_head=follow_head, prune=prune
+        )
+    with _ATTACH_LOCK:
+        _ATTACHED["warehouse"] = os.path.abspath(warehouse_dir)
+    return tables

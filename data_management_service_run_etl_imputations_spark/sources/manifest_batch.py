@@ -1153,6 +1153,50 @@ def _split_top(text: str, sep: str) -> list[str]:
     return outs
 
 
+def _strip_sql_comments(text: str) -> str:
+    """Remove SQL comments (``-- …`` to end of line, ``/* … */``)
+    OUTSIDE string literals and backticked identifiers — so a ``;``
+    inside a comment can never split a script statement, and a ``--``
+    inside a string (``'a--b'``) is never mistaken for one. Block
+    comments are replaced by one space (token separator preserved);
+    line comments keep their terminating newline. An unterminated
+    block comment refuses loudly — silently eating the rest of the
+    script would drop statements."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            j = i + 1
+            while j < n:
+                if text[j] == q:
+                    if q == "'" and j + 1 < n and text[j + 1] == q:
+                        j += 2  # doubled-quote escape
+                        continue
+                    break
+                j += 1
+            out.append(text[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if ch == "-" and text[i : i + 2] == "--":
+            nl = text.find("\n", i)
+            i = n if nl < 0 else nl  # the newline itself survives
+            continue
+        if ch == "/" and text[i : i + 2] == "/*":
+            end = text.find("*/", i + 2)
+            if end < 0:
+                raise ValueError(
+                    "unterminated /* */ comment in SQL script"
+                )
+            out.append(" ")
+            i = end + 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _unquote_ident(ident: str) -> str:
     ident = ident.strip()
     if ident.startswith("`") and ident.endswith("`"):
@@ -1251,6 +1295,21 @@ def _parse_assignments(set_part: str) -> "dict[str, str]":
     return assignments
 
 
+def _mirror_catalog_set(view_name: str, path: str) -> None:
+    """Mirror a CREATE/REPLACE into the ATTACHED durable catalog (no-op
+    when no warehouse is attached) — keeps the cross-session registry in
+    sync with the session one without the caller opting in per
+    statement."""
+    from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+        attached_warehouse,
+        catalog_set,
+    )
+
+    wh = attached_warehouse()
+    if wh:
+        catalog_set(wh, view_name, path)
+
+
 def _dispatch_util_statement(spark, stmt: str):
     """Maintenance/metadata statements over registered manifest views —
     the Delta utility-SQL parity layer. Returns ``None`` when ``stmt``
@@ -1287,8 +1346,18 @@ def _dispatch_util_statement(spark, stmt: str):
     Statements that mutate the table or its schema re-register the view
     afterward (preserving its follow-head flag) — the snapshot-pinned
     view contract would otherwise hide the statement's own effect.
+
+    Table-lifecycle verbs (round 11): ``CREATE OR REPLACE TABLE name
+    LOCATION 'p' [PARTITIONED BY (…)] AS q`` (atomic head swap via
+    :func:`sinks.manifest_replace_table`), ``TRUNCATE TABLE v``
+    (whole-table metadata delete, history preserved), ``DROP TABLE
+    [IF EXISTS] v [PURGE]`` (unregister + durable-catalog removal;
+    PURGE deletes the directory), ``SHOW TABLES`` (session registry ∪
+    attached catalog), ``ATTACH WAREHOUSE 'dir'`` / ``DETACH
+    WAREHOUSE`` (cross-session catalog, :mod:`catalog_store`).
     """
     import json
+    import os
     import re
 
     m = re.match(
@@ -1435,6 +1504,7 @@ def _dispatch_util_statement(spark, stmt: str):
         )
 
         om = manifest_history(path)[-1].get("op_metrics", {})
+        _mirror_catalog_set(view_name, path)
         return {
             "statement": "create-table-as",
             "rows_inserted": om.get("rows_appended"),
@@ -1478,11 +1548,168 @@ def _dispatch_util_statement(spark, stmt: str):
         ]
         manifest_create_table(path, cols, pcols or None)
         manifest_sql_register(spark, view_name, path, follow_head=True)
+        _mirror_catalog_set(view_name, path)
         return {
             "statement": "create-table",
             "columns": [c for c, _ in cols],
             "partitioned_by": pcols,
         }
+
+    # CREATE OR REPLACE TABLE <name> LOCATION '<path>' [PARTITIONED BY
+    # (cols)] AS SELECT … — atomic replace: data staged first, ONE
+    # manifest commit is the head swap (sinks.manifest_replace_table).
+    # Valid on a nonexistent table too (plain CREATE then). Refuses to
+    # RE-POINT a registered name at a different location — that silent
+    # aliasing is how a replace destroys the wrong table.
+    m = re.match(
+        r"CREATE\s+OR\s+REPLACE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
+        r"LOCATION\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s+"
+        r"AS\s+(.+)$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_replace_table,
+        )
+
+        view_name = _unquote_ident(m.group(1))
+        path = m.group(2)
+        reg = _SQL_TABLES.get(view_name.lower())
+        if reg is not None and os.path.abspath(reg[1]) != os.path.abspath(
+            path
+        ):
+            raise ValueError(
+                f"CREATE OR REPLACE TABLE {view_name}: name is registered "
+                f"at {reg[1]!r}, not {path!r} — re-pointing a name at a "
+                "different location must be explicit (DROP TABLE first)"
+            )
+        pcols = [
+            _unquote_ident(c)
+            for c in (m.group(3) or "").split(",")
+            if c.strip()
+        ]
+        src = spark.sql(m.group(4).strip())
+        r = manifest_replace_table(src, path, pcols or None)
+        manifest_sql_register(spark, view_name, path, follow_head=True)
+        _mirror_catalog_set(view_name, path)
+        return {"statement": "replace-table", **r}
+
+    # TRUNCATE TABLE <name> — whole-table delete as ONE metadata commit;
+    # history preserved (time travel / RESTORE until VACUUM). Core Spark
+    # verb: ours only for registered manifest views.
+    m = re.match(
+        r"TRUNCATE\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*$", stmt, re.I
+    )
+    if m and _unquote_ident(m.group(1)).lower() in _SQL_TABLES:
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_truncate,
+        )
+
+        view_name, path = _resolve_sql_table(m.group(1))
+        r = manifest_truncate(path)
+        _reregister_current(spark, view_name, path)
+        return {"statement": "truncate", **r}
+
+    # DROP TABLE [IF EXISTS] <name> [PURGE] — completes the lifecycle a
+    # SQL user can start with CREATE: unregister the session view (and
+    # its time-travel aliases), remove the name from the attached
+    # durable catalog, and with PURGE delete the table directory
+    # itself (external-table semantics otherwise: data stays on disk,
+    # Delta's DROP on an external table). Core Spark verb: ours only
+    # for names we know (registered or in the attached catalog).
+    m = re.match(
+        r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(\s+PURGE)?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            attached_warehouse,
+            catalog_remove,
+            catalog_tables,
+        )
+
+        name = _unquote_ident(m.group(2))
+        key = name.lower()
+        wh = attached_warehouse()
+        reg = _SQL_TABLES.get(key)
+        cat = catalog_tables(wh) if wh else {}
+        if reg is None and key not in cat:
+            # not ours (DROP TABLE is a core verb) — fall through to
+            # spark.sql, which honors IF EXISTS and raises loudly
+            # otherwise, same policy as ALTER/ANALYZE TABLE above
+            m = None
+    if m:
+        name = _unquote_ident(m.group(2))
+        path = reg[1] if reg is not None else cat[key]
+        manifest_sql_unregister(spark, name)
+        if wh:
+            catalog_remove(wh, name)
+        purged = False
+        if m.group(3):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            purged = True
+        return {
+            "statement": "drop-table",
+            "dropped": True,
+            "purged": purged,
+            "location": path,
+        }
+
+    # SHOW TABLES — the session registry ∪ the attached durable catalog.
+    # (Native spark.sql('SHOW TABLES') remains reachable directly; this
+    # dispatcher surfaces the MANIFEST tables a SQL user can query.)
+    if re.match(r"SHOW\s+TABLES\s*$", stmt, re.I):
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            attached_warehouse,
+            catalog_tables,
+        )
+
+        wh = attached_warehouse()
+        cat = catalog_tables(wh) if wh else {}
+        rows = []
+        with _SQL_REG_LOCK:
+            reg_items = {
+                k: t for k, t in _SQL_TABLES.items()
+                if "__asof_" not in k  # aliases are statement plumbing
+            }
+        for k, t in sorted(reg_items.items()):
+            in_cat = k in cat
+            rows.append((t[0], t[1], True, in_cat, t[3], t[2]))
+        for k in sorted(set(cat) - set(reg_items)):
+            rows.append((k, cat[k], False, True, None, None))
+        return spark.createDataFrame(
+            rows,
+            "table STRING, location STRING, registered BOOLEAN, "
+            "cataloged BOOLEAN, bound_version INT, follow_head BOOLEAN",
+        )
+
+    # ATTACH WAREHOUSE '<dir>' / DETACH WAREHOUSE — the SQL spelling of
+    # catalog_store.manifest_catalog_attach/detach, so a SQL-only user
+    # can resume a prior session's tables by name.
+    m = re.match(r"ATTACH\s+WAREHOUSE\s+'([^']+)'\s*$", stmt, re.I)
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            manifest_catalog_attach,
+        )
+
+        tables = manifest_catalog_attach(spark, m.group(1))
+        return {
+            "statement": "attach-warehouse",
+            "warehouse": m.group(1),
+            "tables": sorted(tables),
+        }
+    if re.match(r"DETACH\s+WAREHOUSE\s*$", stmt, re.I):
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            manifest_catalog_detach,
+        )
+
+        prev = manifest_catalog_detach()
+        return {"statement": "detach-warehouse", "warehouse": prev}
 
     m = re.match(
         r"DESCRIBE\s+DETAIL\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*$", stmt, re.I
@@ -1981,6 +2208,7 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
         r"(?:DELETE\s+FROM|UPDATE|MERGE\s+INTO|"
         r"INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|OPTIMIZE|VACUUM|"
         r"RESTORE(?:\s+TABLE)?|ALTER\s+TABLE|ANALYZE\s+TABLE|"
+        r"TRUNCATE\s+TABLE|DROP\s+TABLE(?:\s+IF\s+EXISTS)?|"
         r"DESCRIBE\s+(?:HISTORY|DETAIL)|SHOW\s+PARTITIONS)\s+"
         r"(`[^`]+`|[A-Za-z_][\w.]*)",
         stmt,
@@ -2465,9 +2693,11 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
 
 
 def manifest_sql_script(spark, script: str, mode: str | None = None) -> list:
-    """Execute a multi-statement SQL SCRIPT: split on TOP-LEVEL
-    semicolons (quote- and paren-aware — a ``;`` inside a string
-    literal or a subquery never splits), route each statement through
+    """Execute a multi-statement SQL SCRIPT: strip comments (``-- …``
+    and ``/* … */``, string-literal-aware — see
+    :func:`_strip_sql_comments`), split on TOP-LEVEL semicolons
+    (quote- and paren-aware — a ``;`` inside a string literal, a
+    comment, or a subquery never splits), route each statement through
     :func:`manifest_sql` in order, and return the per-statement results
     (DataFrames for reads, op-count dicts for DML/utility verbs).
 
@@ -2478,7 +2708,7 @@ def manifest_sql_script(spark, script: str, mode: str | None = None) -> list:
     stand (partial-script recovery is the caller's re-run, which the
     engines' idempotence hooks — txn tokens, MERGE — support)."""
     outs = []
-    for stmt in _split_top(script, ";"):
+    for stmt in _split_top(_strip_sql_comments(script), ";"):
         if stmt.strip():
             outs.append(manifest_sql(spark, stmt, mode=mode))
     return outs

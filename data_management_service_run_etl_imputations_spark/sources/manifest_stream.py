@@ -222,6 +222,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         # without the cache that is O(backlog^2) manifest
         # materializations (ADVICE r7 low)
         self._added_count: dict[int, int] = {}
+        # VACUUM-guard amortization (ADVICE r10 low): the full
+        # _oldest_version directory listing runs once, on the FIRST
+        # planned batch after (re)start; later batches verify with a
+        # single stat of the batch's lowest needed commit file (vacuum
+        # removes a contiguous version prefix, so that file existing
+        # implies the whole needed range exists)
+        self._vacuum_floor_checked = False
         # arrow schema for executor-side alignment, shipped per partition
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_type
@@ -308,22 +315,36 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         # wrong diff. Refuse LOUDLY with the recovery options instead
         # (Delta's failOnDataLoss stance, not kafka's data-loss skip).
         if hi > lo:
+            import os
+
             from data_management_service_run_etl_imputations_spark.sources.sinks import (
+                _manifest_dir,
                 _oldest_version,
             )
 
-            oldest = _oldest_version(self.path)
             need_from = max(lo, 1)
-            if oldest and need_from < oldest:
-                raise RuntimeError(
-                    f"manifest_feed at {self.path}: this batch needs "
-                    f"versions {need_from}..{hi} but VACUUM removed "
-                    f"history below v{oldest} (oldest surviving "
-                    "manifest). Resuming would skip committed changes; "
-                    "restart the stream with a FRESH checkpoint (and "
-                    f"start_version >= {oldest}), or re-run VACUUM with "
-                    "longer retention before the next restart"
-                )
+            probe = os.path.join(
+                _manifest_dir(self.path), f"{need_from}.json"
+            )
+            # amortized guard: after the first full listing, one stat
+            # per trigger — vacuum removes a contiguous prefix, so the
+            # lowest needed commit file existing implies the whole
+            # (lo, hi] range exists. The full listing re-runs only when
+            # that file is actually missing (to report the precise
+            # surviving floor in the error).
+            if not (self._vacuum_floor_checked and os.path.exists(probe)):
+                oldest = _oldest_version(self.path)
+                self._vacuum_floor_checked = True
+                if oldest and need_from < oldest:
+                    raise RuntimeError(
+                        f"manifest_feed at {self.path}: this batch needs "
+                        f"versions {need_from}..{hi} but VACUUM removed "
+                        f"history below v{oldest} (oldest surviving "
+                        "manifest). Resuming would skip committed changes; "
+                        "restart the stream with a FRESH checkpoint (and "
+                        f"start_version >= {oldest}), or re-run VACUUM with "
+                        "longer retention before the next restart"
+                    )
         self._note_floor(hi)
         if self.mode == "cdf":
             parts = self._cdf_partitions(lo, hi)

@@ -6186,6 +6186,141 @@ def manifest_create_table(
     _publish_manifest(path, 1, content, op="create-table")
 
 
+def manifest_truncate(path: str) -> dict[str, int]:
+    """TRUNCATE TABLE: commit a new head version with ZERO live files —
+    schema, partition spec, constraints, and idempotency markers all
+    survive; the data does not. Metadata-only (no file deletion): every
+    prior version stays time-travel readable and RESTORE-able until
+    VACUUM reclaims it — exactly Delta's TRUNCATE semantics (logged
+    removes, physical cleanup deferred to vacuum). Reads of the
+    truncated head return zero rows with the recorded schema; the next
+    INSERT appends normally.
+
+    Cost note: encoding "remove every partition" in the incremental
+    commit language is inherently O(#partitions) del-keys (the same
+    shape as Delta logging one remove per file); this is a rare admin
+    verb, not a hot path. Returns op metrics
+    ``{"partitions_removed", "files_removed", "rows_removed"}``
+    (rows from recorded parquet footer counts where available)."""
+    version, content = _latest_manifest(path)
+    if version == 0:
+        raise ValueError(f"manifest table at {path} does not exist")
+    files = content.get("files", {})
+    n_files = sum(len(fs) for fs in files.values())
+    n_rows = sum(
+        e[2]
+        for fs in files.values()
+        for e in fs
+        if len(e) > 2 and e[2] is not None
+    )
+    new_content = dict(content)
+    new_content["partitions"] = {}
+    new_content["files"] = {}
+    new_content["deletes"] = []
+    new_content["dir_schemas"] = {}
+    if new_content.get("dir_col_ids"):
+        new_content["dir_col_ids"] = {}
+    # sidecars index rows that no longer exist — drop the references
+    # (the sidecar files themselves are vacuum's job, like data dirs)
+    new_content["stats_ref"] = None
+    new_content["bloom_ref"] = None
+    metrics = {
+        "partitions_removed": len(content.get("partitions", {})),
+        "files_removed": n_files,
+        "rows_removed": n_rows,
+    }
+    _publish_manifest(
+        path, version + 1, new_content, op="truncate", op_metrics=metrics
+    )
+    return metrics
+
+
+def manifest_replace_table(
+    df: DataFrame,
+    path: str,
+    partition_cols=None,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """CREATE OR REPLACE TABLE … AS: publish ``df`` as the COMPLETE new
+    content of the table in ONE commit — the atomic head swap. The new
+    schema and partition spec come from this call (a REPLACE redefines
+    the table, Delta semantics), so constraints/generated columns of the
+    old definition are dropped with it; streaming batch markers and
+    batch txn tokens CARRY OVER (max-merged like RESTORE) because
+    exactly-once relies on their monotonicity — a replace must never
+    cause a sink to re-apply an already-committed batch. History is
+    preserved: the old snapshot stays time-travel readable until vacuum.
+    Works on a NONEXISTENT path too (plain CREATE, version 1).
+
+    Atomicity: data is staged under an immutable ``data/<uuid>`` prefix
+    first; the single manifest commit that references it IS the swap —
+    readers of the old head never see a partial state, and a concurrent
+    committer loses with a loud :class:`CommitConflict`."""
+    import uuid
+
+    version, content = _latest_manifest(path)
+    pcols = _pcols(partition_cols) if partition_cols else []
+    missing = [p for p in pcols if p not in df.columns]
+    if missing:
+        raise ValueError(
+            f"PARTITIONED BY column(s) {missing} are not produced by the "
+            f"replacement data (have {df.columns})"
+        )
+    stage = f"data/{uuid.uuid4().hex[:12]}"
+    out_schema = df.schema.simpleString()
+    out_schema_json = df.schema.json()
+    if pcols:
+        staged = _with_part_copies(df, pcols).localCheckpoint()
+        copies = _part_copy_cols(pcols)
+        staged.write.mode("overwrite").partitionBy(*copies).format(fmt).save(
+            f"{path}/{stage}"
+        )
+    else:
+        df.write.mode("overwrite").format(fmt).save(f"{path}/{stage}")
+    staged_dirs = _staged_partition_dirs(path, stage, fmt, len(pcols))
+    parts = {k: rel for k, (rel, _) in staged_dirs.items()}
+    files = {k: listed for k, (_, listed) in staged_dirs.items()}
+    new_content = {
+        "partitions": parts,
+        "files": files,
+        "fmt": fmt,
+        "partition_col": pcols[0] if len(pcols) == 1 else None,
+        **({"partition_cols": pcols} if len(pcols) != 1 else {}),
+        "schema": out_schema,
+        "schema_json": out_schema_json,
+        "stats_ref": None,
+        "stats_cols": [],
+        "bloom_ref": None,
+        "deletes": [],
+        "dir_schemas": {rel: out_schema for rel in parts.values()},
+    }
+    for k in ("stream_batches", "txns"):
+        if content.get(k):
+            new_content[k] = dict(content[k])
+    n_rows = sum(
+        e[2]
+        for fs in files.values()
+        for e in fs
+        if len(e) > 2 and e[2] is not None
+    )
+    metrics = {
+        "rows_written": n_rows,
+        "files_added": sum(len(fs) for fs in files.values()),
+        "partitions_written": len(parts),
+    }
+    _publish_manifest(
+        path,
+        version + 1,
+        new_content,
+        op="replace-table" if version else "create-table-as",
+        op_metrics=metrics,
+    )
+    if version:
+        spark = df.sparkSession
+        _maybe_auto_checkpoint(spark, path, version + 1)
+    return metrics
+
+
 def manifest_count(
     path: str,
     partition_values: list | None = None,

@@ -117,3 +117,21 @@ def test_churn_cycles_recall_stays_bounded(spark, index_root):
         achieved = r["recall_after"] if r["refit"] else r["recall"]
         assert achieved >= bound, f"cycle {cycle}: {r}"
     assert refits <= 1, f"churn paid {refits} refits"
+
+
+def test_emptied_index_is_distinct_outcome_not_healthy(spark, index_root):
+    """ADVICE r10: an index whose vectors were all deleted must NOT
+    report recall 1.0 ('healthy') from a null aggregate — it reports
+    recall None / n_probes 0 with no refit attempted."""
+    df = _clusters(spark, range(2), per=20)
+    ann_index_build(
+        df, index_root, n_centroids=4, m_subspaces=8, ks_codes=16
+    )
+    ann_index_delete(
+        spark, index_root, [r["vec_id"] for r in df.select("vec_id").collect()]
+    )
+    r = ann_index_maintain(spark, index_root, recall_bound=0.5, **KW)
+    assert r["recall"] is None
+    assert r["n_probes"] == 0
+    assert r["refit"] is False
+    assert r["recall_after"] is None

@@ -184,6 +184,38 @@ class TestScriptAndUnregister:
         assert outs[1]["updated_rows"] == 1
         assert outs[2].first()["n"] == 1
 
+    def test_script_comments_with_semicolons(self, spark, view):
+        """ADVICE r10: a ';' inside '-- …' or '/* … */' must not split a
+        statement — and '--' INSIDE a string literal is not a comment."""
+        from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+            manifest_sql_script,
+        )
+
+        v, path = view
+        outs = manifest_sql_script(
+            spark,
+            f"""
+            -- leading comment; with a semicolon
+            INSERT INTO {v} /* block; comment */ VALUES (400, 'd0', 'x--y');
+            /* multi;
+               line; block */
+            SELECT count(*) AS n -- trailing; note
+            FROM {v} WHERE txt = 'x--y';
+            """,
+        )
+        assert len(outs) == 2
+        assert outs[0]["rows_inserted"] == 1
+        assert outs[1].first()["n"] == 1
+
+    def test_script_unterminated_block_comment_refuses(self, spark, view):
+        from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+            manifest_sql_script,
+        )
+
+        v, path = view
+        with pytest.raises(ValueError, match="unterminated"):
+            manifest_sql_script(spark, f"SELECT 1 /* oops; FROM {v}")
+
     def test_unregister_removes_view_and_asof_aliases(self, spark, view):
         from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
             _SQL_TABLES,
