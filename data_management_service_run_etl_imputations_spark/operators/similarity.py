@@ -1136,6 +1136,181 @@ def ann_index_refit(
     return {**r, "n_vectors": n_vectors}
 
 
+def ann_index_refit_cells(
+    spark,
+    index_path: str,
+    cells: "list[int] | None" = None,
+    displacement_threshold: float = 0.05,
+) -> dict:
+    """CELL-LOCAL index maintenance (VERDICT r10 "Next round" #4): repair
+    coarse-tiling drift by rewriting ONLY the drifted cells, never the
+    corpus. At 100 TB a drift confined to churned cells must not pay a
+    corpus-wide re-fit + re-encode — this is the scale-correct first
+    response to a recall breach; :func:`ann_index_refit` remains the
+    answer when the PQ codebooks themselves no longer fit the data.
+
+    What it does (one constrained Lloyd step):
+
+    1. DETECT: per-cell member mean vs the stored centroid — one
+       column-pruned pass (cell, c_vec) with map-side partial
+       aggregation into n_centroids×dims groups; driver state is
+       bounded by the centroid table, never the corpus. A cell whose
+       centroid displaced more than ``displacement_threshold`` (L2, on
+       the unit sphere — converged-fit jitter is an order of magnitude
+       below 0.05) is drifted. Pass ``cells`` explicitly to skip
+       detection (e.g. cells named by insert-churn telemetry).
+    2. RE-CENTER: each drifted cell's centroid moves to its current
+       member mean (exactly the Lloyd update, restricted to drifted
+       cells; empty cells keep their centroid).
+    3. RE-ASSIGN: only the drifted cells' members are re-assigned to
+       the nearest centroid of the UPDATED set (broadcast centroid
+       join — cost ∝ drifted members × n_centroids). PQ codes do NOT
+       change: this index PQ-encodes raw vector slices against GLOBAL
+       codebooks, so a row's codes are assignment-independent and
+       cross-cell movers carry them verbatim — zero re-encoding.
+    4. REWRITE: one partition replace covering drifted ∪ receiving
+       cells (movers' destinations carry their existing rows plus the
+       movers) — rewrite cost ∝ affected cells' rows, not corpus — and
+       one meta commit updating the coarse centroids + epoch. The same
+       two-commit epoch protocol as a full refit: vectors first, then
+       meta; :func:`ann_index_query` between the commits keeps serving
+       the previous consistent epoch.
+
+    Returns ``{"drifted_cells", "rewritten_cells", "n_rows_rewritten",
+    "n_moved", "displacement"}``; detection finding nothing returns
+    with empty lists and NO commit."""
+    import numpy as np
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _latest_manifest,
+        manifest_read,
+        manifest_replace_partitions,
+    )
+
+    vectors_path = f"{index_path}/vectors"
+    meta_path = f"{index_path}/meta"
+    meta = manifest_read(spark, meta_path).collect()  # bounded: centroids
+    params = list(
+        next(r for r in meta if r["kind"] == _ANN_PARAMS_KIND)["centroid"]
+    )
+    coarse = {
+        int(r["cell"]): np.asarray(r["centroid"], dtype=float)
+        for r in meta
+        if r["kind"] == "coarse"
+    }
+    live = manifest_read(spark, vectors_path).localCheckpoint()
+
+    # per-cell member means — n_centroids×dims groups after map-side
+    # combine; the collect is centroid-table-sized, never corpus-sized
+    mean_rows = (
+        live.select("cell", F.posexplode("c_vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    dims = max((r["pos"] for r in mean_rows), default=-1) + 1
+    means: dict[int, np.ndarray] = {}
+    for r in mean_rows:
+        means.setdefault(int(r["cell"]), np.zeros(dims))[r["pos"]] = r["m"]
+    displacement = {
+        c: float(np.linalg.norm(coarse[c] - m))
+        for c, m in means.items()
+        if c in coarse
+    }
+    if cells is None:
+        drifted = sorted(
+            c for c, d in displacement.items() if d > displacement_threshold
+        )
+    else:
+        drifted = sorted(int(c) for c in cells)
+    out = {
+        "drifted_cells": drifted,
+        "rewritten_cells": [],
+        "n_rows_rewritten": 0,
+        "n_moved": 0,
+        "displacement": {c: round(d, 6) for c, d in displacement.items()},
+    }
+    if not drifted:
+        return out
+
+    new_cents = dict(coarse)
+    for c in drifted:
+        if c in means:  # an emptied cell keeps its centroid
+            new_cents[c] = means[c]
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in sorted(new_cents.items())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w_cell = Window.partitionBy("neighbor_id").orderBy("d2", "cell")
+    reassigned = (
+        live.filter(F.col("cell").isin([int(c) for c in drifted]))
+        .withColumnRenamed("cell", "old_cell")
+        .join(F.broadcast(cent_df))
+        .withColumn("d2", l2(F.col("c_vec"), F.col("centroid")))
+        .withColumn("rk", F.row_number().over(w_cell))
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "c_vec", "codes", "cell", "old_cell")
+        .localCheckpoint()  # feeds the replace AND the mover counts
+    )
+    receiving = sorted(
+        int(r["cell"])
+        for r in reassigned.select("cell").distinct().collect()
+    )  # bounded by n_centroids
+    affected = sorted(set(drifted) | set(receiving))
+    carried = live.filter(
+        F.col("cell").isin([c for c in affected if c not in set(drifted)])
+    ).select("neighbor_id", "c_vec", "codes", "cell")
+    replacement = carried.unionByName(
+        reassigned.select("neighbor_id", "c_vec", "codes", "cell")
+    )
+
+    v, content = _latest_manifest(vectors_path)
+    epoch = int(content.get("ann_epoch", 0)) + 1
+    r = manifest_replace_partitions(
+        replacement,
+        vectors_path,
+        "cell",
+        affected,
+        extra_meta={"ann_epoch": epoch},
+    )
+    n_moved = reassigned.filter(F.col("cell") != F.col("old_cell")).count()
+    n_rewritten = reassigned.count() + carried.count()
+
+    # meta: updated coarse centroids + epoch-bumped params row; the pq
+    # partition is untouched (codes did not change)
+    if len(params) > 4:
+        params[4] = float(epoch)
+    else:
+        params.append(float(epoch))
+    meta_rows = [
+        ("coarse", c, -1, -1, [float(x) for x in cent])
+        for c, cent in sorted(new_cents.items())
+    ]
+    meta_rows.append((_ANN_PARAMS_KIND, -1, -1, -1, params))
+    meta_new = spark.createDataFrame(
+        meta_rows,
+        "kind STRING, cell INT, sub INT, code INT, centroid ARRAY<DOUBLE>",
+    )
+    manifest_replace_partitions(
+        meta_new.coalesce(1), meta_path, "kind", ["coarse", _ANN_PARAMS_KIND]
+    )
+    out.update(
+        rewritten_cells=affected,
+        n_rows_rewritten=n_rewritten,
+        n_moved=n_moved,
+        partitions_written=r.get("partitions_written"),
+    )
+    return out
+
+
 def ann_index_query(
     queries: DataFrame,
     index_path: str,
@@ -1592,6 +1767,8 @@ def ann_index_maintain(
     n_probe: int = 4,
     refine_factor: int = 4,
     seed: int = 42,
+    strategy: str = "auto",
+    displacement_threshold: float = 0.05,
 ) -> dict:
     """AUTO-REFIT policy closing the telemetry loop (VERDICT r9 "Next
     round" #7): measure recall@k on a probe sample drawn from the
@@ -1610,10 +1787,21 @@ def ann_index_maintain(
     exactly what :func:`ann_index_recall` would report with the index's
     population as the corpus.
 
+    Repair strategy (r10 "Next round" #4): ``"auto"`` (default) answers
+    a breach with the CELL-LOCAL rewrite first
+    (:func:`ann_index_refit_cells` — drift detection, re-center,
+    re-assign, rewrite ∝ drifted cells) and escalates to at most ONE
+    full :func:`ann_index_refit` only if recall is still below the
+    bound (codebook-level drift) or nothing was detected as drifted;
+    ``"cell_local"`` never escalates (the caller owns the fallback);
+    ``"full"`` is the corpus-wide refit directly.
+
     Returns ``{"recall": mean, "n_probes": n, "refit": bool,
     "recall_after": mean-or-None}`` — ``recall_after`` is re-measured
     on the SAME probe ids after a triggered refit, making the
-    improvement (or a genuine data pathology) visible to the caller."""
+    improvement (or a genuine data pathology) visible to the caller;
+    plus ``refit_strategy`` ('cell_local'|'full') and ``cell_refit``
+    telemetry when a breach was handled."""
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
         manifest_read,
     )
@@ -1674,11 +1862,43 @@ def ann_index_maintain(
         "refit": False,
         "recall_after": None,
     }
+    if strategy not in ("auto", "cell_local", "full"):
+        raise ValueError(
+            f"strategy must be auto|cell_local|full, got {strategy!r}"
+        )
     if recall < recall_bound:
+        # escalation ladder (r10 "Next round" #4): the cell-scoped
+        # rewrite first — cost ∝ drifted cells, the scale-correct
+        # response at 100 TB — then AT MOST ONE full refit when the
+        # breach is codebook-level (or strategy='full' was forced).
+        # 'cell_local' never escalates: the caller owns the fallback.
+        if strategy in ("auto", "cell_local"):
+            cr = ann_index_refit_cells(
+                spark,
+                index_path,
+                displacement_threshold=displacement_threshold,
+            )
+            out["cell_refit"] = {
+                kk: cr[kk]
+                for kk in ("drifted_cells", "rewritten_cells", "n_moved",
+                           "n_rows_rewritten")
+            }
+            if cr["rewritten_cells"]:
+                after, _ = _measure()
+                out.update(
+                    refit=True,
+                    refit_strategy="cell_local",
+                    recall_after=round(after, 6),
+                )
+                if after >= recall_bound or strategy == "cell_local":
+                    return out
+            elif strategy == "cell_local":
+                return out  # nothing drifted: measurement only
         refit = ann_index_refit(spark, index_path, seed=seed)
         after, _ = _measure()
         out.update(
             refit=True,
+            refit_strategy="full",
             recall_after=round(after, 6),
             n_vectors=refit["n_vectors"],
         )

@@ -487,6 +487,45 @@ def main() -> None:
     finally:
         _shutil.rmtree(ann_root, ignore_errors=True)
 
+    # --- cell-local refit cost ∝ drifted cells, not corpus (r10 #4) ----
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        ann_index_refit,
+        ann_index_refit_cells,
+    )
+
+    annc_root = os.path.join(args.work, f"annc_{_uuid.uuid4().hex[:8]}")
+    try:
+        # CONCENTRATED churn: two unseen clusters land in a subset of
+        # the 8 cells; the rest of the corpus is untouched. The claim
+        # under test: the cell-local pass rewrites only the affected
+        # cells' rows, and costs a fraction of the full refit on the
+        # SAME drifted index.
+        ann_index_build(_clusters(range(4), per=120), annc_root,
+                        n_centroids=8, m_subspaces=8, ks_codes=16)
+        ann_index_insert(_clusters([4, 5], per=60), annc_root)
+        corpus_rows = 4 * 120 + 2 * 60
+        t0 = time.perf_counter()
+        cell = ann_index_refit_cells(spark, annc_root)
+        sec_cell = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        full = ann_index_refit(spark, annc_root)
+        sec_full = round(time.perf_counter() - t0, 3)
+        ann_cell_probe = {
+            "corpus_rows": corpus_rows,
+            "drifted_cells": cell["drifted_cells"],
+            "rewritten_cells": cell["rewritten_cells"],
+            "n_rows_rewritten": cell["n_rows_rewritten"],
+            "rewrite_fraction": round(
+                cell["n_rows_rewritten"] / corpus_rows, 3
+            ),
+            "sec_cell_refit": sec_cell,
+            "sec_full_refit": sec_full,
+            "full_refit_n_vectors": full["n_vectors"],
+        }
+        print(json.dumps({"ann_cell_refit": ann_cell_probe}))
+    finally:
+        _shutil.rmtree(annc_root, ignore_errors=True)
+
     summary = {
         "metric": "scale_probe_total",
         "factor": args.factor,
@@ -496,6 +535,7 @@ def main() -> None:
         "dedup_blocking": blocking,
         "ckpt_pruned_read": ckpt_probe,
         "ann_maintain": ann_probe,
+        "ann_cell_refit": ann_cell_probe,
     }
     print(json.dumps(summary))
     if args.emit_json:

@@ -75,8 +75,11 @@ def test_breach_triggers_exactly_one_refit(spark, index_root):
         n_centroids=8, m_subspaces=8, ks_codes=16,
     )
     ann_index_insert(_clusters(spark, range(4, 10)), index_root)
-    r = ann_index_maintain(spark, index_root, recall_bound=0.9, **KW)
+    r = ann_index_maintain(
+        spark, index_root, recall_bound=0.9, strategy="full", **KW
+    )
     assert r["refit"] is True
+    assert r["refit_strategy"] == "full"
     assert r["recall"] < 0.9  # the breach that triggered it
     assert r["recall_after"] is not None
     # the refit must not make the drifted population WORSE, and must
@@ -86,7 +89,9 @@ def test_breach_triggers_exactly_one_refit(spark, index_root):
     assert r["n_vectors"] == 4 * 60 + 6 * 60
     # at most one refit per breach: re-running at the achieved level is
     # a measurement, not another rebuild
-    r2 = ann_index_maintain(spark, index_root, recall_bound=0.75, **KW)
+    r2 = ann_index_maintain(
+        spark, index_root, recall_bound=0.75, strategy="full", **KW
+    )
     assert r2["refit"] is False
 
 
