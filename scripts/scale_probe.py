@@ -238,6 +238,45 @@ def main() -> None:
         blocking.append(st)
         print(json.dumps({"blocking_probe": st}))
 
+    # HIGH-DIM candidate route (VERDICT r10 #5): 128-dim broadly-clustered
+    # data (8 wide clusters, σ=0.6 — enough overlap that the triangle
+    # bound concentrates) + 50 planted duplicates. route='auto' must
+    # detect >25% cell-pair survival and hand candidates to banded
+    # angular LSH: candidate_volume ≪ brute_force_volume with every
+    # planted pair recovered (exact duplicates collide with certainty).
+    rng = np.random.RandomState(11)
+    centers8 = rng.randn(8, 128)
+    base_pts = centers8[np.arange(8000) % 8] + 0.6 * rng.randn(8000, 128)
+    rows_hd = [
+        (i, [float(x) for x in row]) for i, row in enumerate(base_pts)
+    ]
+    rows_hd += [(100000 + i, rows_hd[i][1]) for i in range(50)]  # plants
+    emb_hd = spark.createDataFrame(
+        rows_hd, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    st = {"data": "highdim-128-clustered+plants"}
+    t0 = time.perf_counter()
+    out = embedding_near_duplicates_blocked(
+        emb_hd, threshold=0.95, stats_out=st, route="auto",
+        single_block_rows=2048,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    st["sec"] = round(time.perf_counter() - t0, 3)
+    st["n_result_pairs"] = len(found)
+    st["planted_recovered"] = sum(
+        (i, 100000 + i) in found for i in range(50)
+    )
+    blocking.append(st)
+    print(json.dumps({"blocking_probe": st}))
+    if st.get("routed") != "lsh":
+        raise AssertionError(
+            f"high-dim probe expected the LSH route to engage: {st}"
+        )
+    if st["planted_recovered"] != 50:
+        raise AssertionError(
+            f"high-dim probe lost planted duplicates: {st}"
+        )
+
     # Partition-pruned checkpoint reads (VERDICT r07 #4): grow a
     # checkpointed manifest table 10× then 100× in partitions and read
     # ONE fixed partition each time — the file-list rows the driver

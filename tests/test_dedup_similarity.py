@@ -239,3 +239,90 @@ def test_small_corpus_short_circuit_equals_exact(spark):
         assert sorted(map(tuple, out_df.collect())) == exact, f"t={t}"
         plan = out_df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # single task, no shuffle
+
+
+def test_lsh_route_recovers_planted_dups_no_false_positives(spark):
+    """Banded angular LSH candidates + exact verify (VERDICT r10 #5):
+    on a 128-dim corpus with planted exact AND noisy near-dups the
+    route must (a) recover every planted pair at threshold 0.9 — exact
+    duplicates collide with certainty, noisy ones within the documented
+    recall bound at this seed — (b) emit ZERO false positives (exact
+    verify), and (c) generate candidates ≪ brute force."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates_lsh,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(128)]) for i in range(800)]
+    plants = [(100000 + i, rows[i][1]) for i in range(15)]  # exact
+    plants += [
+        (100000 + i, [x + rng.gauss(0, 0.03) for x in rows[i][1]])
+        for i in range(15, 25)
+    ]  # noisy (cosine ≈ 0.999 at 128 dims)
+    df = spark.createDataFrame(
+        rows + plants, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    stats: dict = {}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates_lsh(
+            df, threshold=0.9, stats_out=stats
+        ).collect()
+    }
+    want = {(i, 100000 + i) for i in range(25)}
+    assert got == want  # full recall here, zero false positives
+    assert stats["candidate_volume"] < 0.05 * stats["brute_force_volume"]
+    assert stats["recall_lower_bound_at_threshold"] > 0.9
+
+
+def test_blocked_auto_route_escapes_distance_concentration(spark):
+    """route='auto': when >25% of cell pairs survive coarsening (the
+    distance-concentration regime), the blocked operator must hand
+    candidates to the LSH route and record it in stats_out; the result
+    must match route='lsh' exactly."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates_blocked,
+        embedding_near_duplicates_lsh,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(600)]
+    rows += [(100000 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    stats: dict = {}
+    auto = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_blocked(
+                df, threshold=0.95, stats_out=stats, route="auto",
+                single_block_rows=64, target_block_rows=64,
+            ).collect(),
+        )
+    )
+    assert stats["routed"] == "lsh"
+    assert stats["n_cell_pairs_survived"] > 0.25 * stats["n_cell_pairs_total"]
+    direct = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_lsh(df, threshold=0.95).collect(),
+        )
+    )
+    assert auto == direct
+    # default route stays exact: no reroute, identical pair set here
+    # (exact duplicates are found by both)
+    exact_stats: dict = {}
+    exact = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_blocked(
+                df, threshold=0.95, stats_out=exact_stats,
+                single_block_rows=64, target_block_rows=64,
+            ).collect(),
+        )
+    )
+    assert "routed" not in exact_stats
+    assert exact == auto
