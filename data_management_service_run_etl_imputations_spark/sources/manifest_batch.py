@@ -1678,7 +1678,11 @@ def _dispatch_util_statement(spark, stmt: str):
                 if "__asof_" not in k  # aliases are statement plumbing
             }
         for k, t in sorted(reg_items.items()):
-            in_cat = k in cat
+            # cataloged means THIS binding: a session view shadowing a
+            # catalog name at a different path must not claim it
+            in_cat = k in cat and os.path.abspath(
+                cat[k]
+            ) == os.path.abspath(t[1])
             rows.append((t[0], t[1], True, in_cat, t[3], t[2]))
         for k in sorted(set(cat) - set(reg_items)):
             rows.append((k, cat[k], False, True, None, None))
@@ -2162,6 +2166,13 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       ALTER COLUMN c TYPE t | RENAME COLUMN a TO b | DROP COLUMN c`` —
       see
       :func:`_dispatch_util_statement`
+    - table lifecycle (r11): ``CREATE OR REPLACE TABLE name LOCATION
+      'path' [PARTITIONED BY (cols)] AS SELECT …`` (atomic head swap),
+      ``TRUNCATE TABLE v`` (whole-table metadata delete, history
+      preserved), ``DROP TABLE [IF EXISTS] v [PURGE]``, ``SHOW TABLES``
+      (session registry ∪ attached catalog), ``ATTACH WAREHOUSE
+      'dir'`` / ``DETACH WAREHOUSE`` (durable cross-session catalog,
+      :mod:`catalog_store`; CREATE/DROP mirror into it while attached)
 
     Non-DML statements also get SQL TIME TRAVEL: ``… FROM v VERSION AS
     OF n`` / ``v TIMESTAMP AS OF epoch`` references rewrite to pinned
