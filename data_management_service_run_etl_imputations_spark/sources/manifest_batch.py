@@ -1295,6 +1295,22 @@ def _parse_assignments(set_part: str) -> "dict[str, str]":
     return assignments
 
 
+def _managed_location(name: str) -> "str | None":
+    """MANAGED-TABLE location for a CREATE without LOCATION: under the
+    attached warehouse as ``<warehouse>/<name>`` (Delta's managed-table
+    layout). Returns None when no warehouse is attached — the statement
+    then falls through to native spark.sql, so vanilla ``CREATE TABLE t
+    AS …`` behavior is unchanged for users who never attached."""
+    import os
+
+    from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+        attached_warehouse,
+    )
+
+    wh = attached_warehouse()
+    return os.path.join(wh, name) if wh else None
+
+
 def _mirror_catalog_set(view_name: str, path: str) -> None:
     """Mirror a CREATE/REPLACE into the ATTACHED durable catalog (no-op
     when no warehouse is attached) — keeps the cross-session registry in
@@ -1467,14 +1483,19 @@ def _dispatch_util_statement(spark, stmt: str):
     # manifest partition — the small-dim shape; Delta parity).
     m = re.match(
         r"CREATE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
-        r"LOCATION\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s+"
+        r"(?:LOCATION\s+'([^']+)'\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*"
         r"AS\s+(.+)$",
         stmt,
         re.I | re.S,
     )
+    # LOCATION omitted → MANAGED table at <warehouse>/<name>, ours only
+    # while a warehouse is attached; unattached no-LOCATION CTAS stays
+    # native spark.sql behavior
+    if m and m.group(2) is None and _managed_location("x") is None:
+        m = None
     if m:
         view_name = _unquote_ident(m.group(1))
-        path = m.group(2)
+        path = m.group(2) or _managed_location(view_name)
         pcols = [
             _unquote_ident(c)
             for c in (m.group(3) or "").split(",")
@@ -1517,19 +1538,21 @@ def _dispatch_util_statement(spark, stmt: str):
     # optional: absent → unpartitioned. decimal(p,s) commas are
     # paren-protected from the column split.
     m = re.match(
-        r"CREATE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s*\((.+?)\)\s+"
-        r"LOCATION\s+'([^']+)'\s*"
+        r"CREATE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s*\((.+?)\)\s*"
+        r"(?:LOCATION\s+'([^']+)'\s*)?"
         r"(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$",
         stmt,
         re.I | re.S,
     )
+    if m and m.group(3) is None and _managed_location("x") is None:
+        m = None  # unattached no-LOCATION form stays native
     if m:
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
             manifest_create_table,
         )
 
         view_name = _unquote_ident(m.group(1))
-        path = m.group(3)
+        path = m.group(3) or _managed_location(view_name)
         cols: "list[tuple[str, str]]" = []
         for item in _split_top(m.group(2), ","):
             im = re.match(
@@ -1563,7 +1586,7 @@ def _dispatch_util_statement(spark, stmt: str):
     # aliasing is how a replace destroys the wrong table.
     m = re.match(
         r"CREATE\s+OR\s+REPLACE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
-        r"LOCATION\s+'([^']+)'\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s+"
+        r"(?:LOCATION\s+'([^']+)'\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*"
         r"AS\s+(.+)$",
         stmt,
         re.I | re.S,
@@ -1574,8 +1597,28 @@ def _dispatch_util_statement(spark, stmt: str):
         )
 
         view_name = _unquote_ident(m.group(1))
-        path = m.group(2)
         reg = _SQL_TABLES.get(view_name.lower())
+        path = m.group(2)
+        if path is None:
+            # no LOCATION: replace in place when the name is known
+            # (registered view wins, then attached catalog); else the
+            # managed location; unattached unknown names stay native
+            if reg is not None:
+                path = reg[1]
+            else:
+                from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+                    attached_warehouse,
+                    catalog_tables,
+                )
+
+                wh = attached_warehouse()
+                cat = catalog_tables(wh) if wh else {}
+                path = cat.get(view_name.lower()) or _managed_location(
+                    view_name
+                )
+            if path is None:
+                m = None
+    if m:
         if reg is not None and os.path.abspath(reg[1]) != os.path.abspath(
             path
         ):

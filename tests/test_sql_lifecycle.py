@@ -426,3 +426,56 @@ class TestCatalog:
         catalog_set(warehouse, "y", "/p2")
         t = catalog_tables(warehouse)
         assert set(t) == {"x", "foreign", "y"}
+
+
+class TestManagedTables:
+    """CREATE without LOCATION while a warehouse is attached = a MANAGED
+    table at <warehouse>/<name> (Delta's managed layout); unattached,
+    the no-LOCATION forms stay native spark.sql statements."""
+
+    def test_managed_ctas_create_replace_drop(self, spark, warehouse):
+        manifest_sql(spark, f"ATTACH WAREHOUSE '{warehouse}'")
+        name = _name("mgd")
+        r = manifest_sql(
+            spark,
+            f"CREATE TABLE {name} PARTITIONED BY (p) AS "
+            "SELECT id AS k, id % 2 AS p FROM range(8)",
+        )
+        assert r["statement"] == "create-table-as"
+        assert os.path.isdir(os.path.join(warehouse, name))
+        assert name.lower() in catalog_tables(warehouse)
+        # replace in place without restating the location
+        manifest_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE {name} AS SELECT id AS y FROM range(3)",
+        )
+        assert manifest_sql(spark, f"SELECT * FROM {name}").count() == 3
+        manifest_sql(spark, f"DROP TABLE {name} PURGE")
+        assert not os.path.exists(os.path.join(warehouse, name))
+        assert name.lower() not in catalog_tables(warehouse)
+
+    def test_managed_empty_create(self, spark, warehouse):
+        manifest_sql(spark, f"ATTACH WAREHOUSE '{warehouse}'")
+        name = _name("mgd2")
+        r = manifest_sql(spark, f"CREATE TABLE {name} (a INT, b STRING)")
+        assert r["statement"] == "create-table"
+        assert os.path.isdir(os.path.join(warehouse, name))
+        manifest_sql(spark, f"INSERT INTO {name} VALUES (1, 'x')")
+        assert manifest_sql(spark, f"SELECT * FROM {name}").count() == 1
+        manifest_sql(spark, f"DROP TABLE {name} PURGE")
+
+    def test_unattached_no_location_stays_native(self, spark):
+        """Without an attached warehouse the no-LOCATION CTAS must fall
+        through to spark.sql (native catalog), not be hijacked."""
+        manifest_catalog_detach()
+        name = _name("native")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        try:
+            out = manifest_sql(
+                spark, f"CREATE TABLE {name} AS SELECT 1 AS a"
+            )
+            # native spark.sql returns a DataFrame, not our op dict
+            assert not isinstance(out, dict)
+            assert name.lower() not in _SQL_TABLES
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
