@@ -1389,6 +1389,12 @@ def ann_index_refit_cells(
         )
     else:
         drifted = sorted(int(c) for c in cells)
+        unknown = [c for c in drifted if c not in coarse]
+        if unknown:
+            raise ValueError(
+                f"ann_index_refit_cells: cells {unknown} are not in the "
+                f"index's centroid table (have 0..{len(coarse) - 1})"
+            )
     out = {
         "drifted_cells": drifted,
         "rewritten_cells": [],
