@@ -164,24 +164,52 @@ def manifest_catalog_attach(
     warehouse_dir: str,
     follow_head: bool = True,
     prune: bool = True,
+    missing: str = "strict",
 ) -> dict[str, str]:
     """Attach a warehouse: read the durable catalog and register every
     table as a SQL view in THIS session (follow_head by default — an
     attached table tracks its moving head per-statement, the behavior a
     catalog table has in Delta). Subsequent ``CREATE TABLE``/
     ``DROP TABLE`` statements through :func:`manifest_sql` keep the
-    durable catalog in sync; ``SHOW TABLES`` lists it. Returns
-    {name: path} of the attached tables. Attaching an empty/new
-    warehouse is valid (creates the registry on first CREATE)."""
+    durable catalog in sync; ``SHOW TABLES`` lists it. Also resolves
+    ``CREATE`` statements WITHOUT a ``LOCATION`` to managed tables at
+    ``<warehouse>/<name>`` while attached. Returns {name: path} of the
+    attached tables. Attaching an empty/new warehouse is valid (creates
+    the registry on first CREATE).
+
+    ``missing``: a catalog entry whose table no longer exists on disk
+    (deleted outside ``DROP TABLE``) is a STALE entry. ``"strict"``
+    (default) refuses the whole attach with the entry named — a
+    half-attached session is worse than a loud inventory problem;
+    ``"skip"`` registers every healthy table and leaves the stale names
+    out of the returned mapping (they stay in the catalog for repair —
+    ``DROP TABLE name`` removes them)."""
     from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
         manifest_sql_register,
     )
 
+    if missing not in ("strict", "skip"):
+        raise ValueError(f"missing must be strict|skip, got {missing!r}")
     tables = catalog_tables(warehouse_dir)
-    for name, path in tables.items():
+    stale = {
+        n: p
+        for n, p in tables.items()
+        if not os.path.isdir(os.path.join(p, "_commits"))
+    }
+    if stale and missing == "strict":
+        raise ValueError(
+            f"manifest_catalog_attach: stale catalog entr"
+            f"{'ies' if len(stale) > 1 else 'y'} (no table on disk): "
+            f"{sorted(stale.items())} — the table(s) were removed "
+            "outside DROP TABLE. Re-attach with missing='skip' to "
+            "register the healthy tables, then DROP TABLE the stale "
+            "names to repair the catalog"
+        )
+    attached = {n: p for n, p in tables.items() if n not in stale}
+    for name, path in attached.items():
         manifest_sql_register(
             spark, name, path, follow_head=follow_head, prune=prune
         )
     with _ATTACH_LOCK:
         _ATTACHED["warehouse"] = os.path.abspath(warehouse_dir)
-    return tables
+    return attached

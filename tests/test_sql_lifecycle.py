@@ -479,3 +479,22 @@ class TestManagedTables:
             assert name.lower() not in _SQL_TABLES
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_attach_stale_entry_strict_and_skip(self, spark, warehouse):
+        """A catalog entry whose table was deleted OUTSIDE DROP TABLE:
+        strict attach refuses loudly naming it; missing='skip' attaches
+        the healthy tables and DROP TABLE repairs the catalog."""
+        good = _name("good")
+        path = os.path.join(warehouse, "good_t")
+        _seed(spark, path, 3)
+        catalog_set(warehouse, good, path)
+        catalog_set(warehouse, "ghost", os.path.join(warehouse, "nope"))
+        with pytest.raises(ValueError, match="ghost"):
+            manifest_catalog_attach(spark, warehouse)
+        attached = manifest_catalog_attach(spark, warehouse, missing="skip")
+        assert good.lower() in attached and "ghost" not in attached
+        assert manifest_sql(spark, f"SELECT * FROM {good}").count() == 3
+        # repair: DROP TABLE removes the stale name from the catalog
+        manifest_sql(spark, "DROP TABLE ghost")
+        assert "ghost" not in catalog_tables(warehouse)
+        manifest_sql(spark, f"DROP TABLE {good} PURGE")
