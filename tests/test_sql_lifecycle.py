@@ -498,3 +498,36 @@ class TestManagedTables:
         manifest_sql(spark, "DROP TABLE ghost")
         assert "ghost" not in catalog_tables(warehouse)
         manifest_sql(spark, f"DROP TABLE {good} PURGE")
+
+    def test_create_forms_with_hostile_literals(self, spark, warehouse):
+        """Keyword-shaped STRING LITERALS must not confuse the optional
+        LOCATION/PARTITIONED BY scan, and native USING-clause CREATEs
+        stay native even while attached."""
+        manifest_sql(spark, f"ATTACH WAREHOUSE '{warehouse}'")
+        name = _name("hostile")
+        manifest_sql(
+            spark,
+            f"CREATE TABLE {name} AS "
+            "SELECT 'LOCATION ''/tmp/x''' AS a, "
+            "'PARTITIONED BY (y)' AS b FROM range(2)",
+        )
+        try:
+            df = manifest_sql(spark, f"SELECT * FROM {name}")
+            assert df.count() == 2
+            assert os.path.isdir(os.path.join(warehouse, name))
+            row = df.first()
+            assert row["a"] == "LOCATION '/tmp/x'"
+            assert row["b"] == "PARTITIONED BY (y)"
+        finally:
+            manifest_sql(spark, f"DROP TABLE {name} PURGE")
+        # a USING clause is native Spark DDL — ours must not hijack it
+        nat = _name("native_using")
+        spark.sql(f"DROP TABLE IF EXISTS {nat}")
+        try:
+            out = manifest_sql(
+                spark, f"CREATE TABLE {nat} (a INT) USING parquet"
+            )
+            assert not isinstance(out, dict)
+            assert nat.lower() not in _SQL_TABLES
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {nat}")
