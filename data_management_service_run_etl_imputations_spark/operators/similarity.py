@@ -248,6 +248,26 @@ def embedding_near_duplicates_blocked(
     """
     import math
 
+    if route not in ("exact", "auto", "lsh"):
+        raise ValueError(f"route must be exact|auto|lsh, got {route!r}")
+    if route == "lsh":
+        # forced LSH: take it BEFORE the quantizer — paying the
+        # cardinality probe, sample collect, k-means fit, and
+        # full-corpus assignment only to discard them would be two
+        # wasted corpus passes (code-review r11)
+        lsh_stats: dict = {}
+        out = embedding_near_duplicates_lsh(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            seed=seed,
+            stats_out=lsh_stats if stats_out is not None else None,
+        )
+        if stats_out is not None:
+            stats_out.update({**lsh_stats, "routed": "lsh"})
+        return out
+
     d_bound = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
 
     norm = _norm(F.col(vec_col))
@@ -509,33 +529,52 @@ def embedding_near_duplicates_blocked(
     # documented recall (exact duplicates found with certainty) instead
     # of exact-but-quadratic super-blocks. ``route="exact"`` (default)
     # keeps the exact guarantee regardless of cost — the oracle-checked
-    # catalog queries use it.
-    if route not in ("exact", "auto", "lsh"):
-        raise ValueError(f"route must be exact|auto|lsh, got {route!r}")
+    # catalog queries use it. The reroute is RECALL-GATED: bands are
+    # sized so borderline pairs at ``threshold`` are found with
+    # probability ≥ 0.98 (bands = ⌈ln(0.02)/ln(1−p_band)⌉ for
+    # p_band = (1−θ/π)^12); if no band count ≤ 64 reaches that floor
+    # (loose thresholds, e.g. t ≤ 0.8 needs ~60, t = 0.5 needs ~500),
+    # auto stays EXACT — trading a silent 10–80% recall collapse for
+    # honest all-pairs cost is never the right default (code-review
+    # r11).
     total_after = len(cells) * (len(cells) + 1) // 2
-    if route == "lsh" or (
-        route == "auto" and len(pairs) > 0.25 * total_after
-    ):
-        lsh_stats: dict = {}
-        out = embedding_near_duplicates_lsh(
-            df,
-            id_col=id_col,
-            vec_col=vec_col,
-            threshold=threshold,
-            seed=seed,
-            stats_out=lsh_stats if stats_out is not None else None,
+    if route == "auto" and len(pairs) > 0.25 * total_after:
+        _lsh_planes = 12
+        theta = math.acos(max(-1.0, min(1.0, threshold)))
+        p_band = (1.0 - theta / math.pi) ** _lsh_planes
+        need_bands = (
+            math.ceil(math.log(0.02) / math.log(1.0 - p_band))
+            if 0.0 < p_band < 1.0
+            else 16
         )
-        if stats_out is not None:
-            stats_out.update(
-                {
-                    **lsh_stats,
-                    "routed": "lsh",
-                    "n_cell_pairs_total": total_after,
-                    "n_cell_pairs_survived": len(pairs),
-                    "coarsened": coarsened,
-                }
+        if need_bands <= 64:
+            lsh_stats: dict = {}
+            out = embedding_near_duplicates_lsh(
+                df,
+                id_col=id_col,
+                vec_col=vec_col,
+                threshold=threshold,
+                n_planes=_lsh_planes,
+                bands=max(16, need_bands),
+                seed=seed,
+                stats_out=lsh_stats if stats_out is not None else None,
             )
-        return out
+            if stats_out is not None:
+                stats_out.update(
+                    {
+                        **lsh_stats,
+                        "routed": "lsh",
+                        "n_cell_pairs_total": total_after,
+                        "n_cell_pairs_survived": len(pairs),
+                        "coarsened": coarsened,
+                    }
+                )
+            return out
+        elif stats_out is not None:
+            # concentration detected but LSH can't meet the recall
+            # floor at this threshold — staying exact, recorded so the
+            # telemetry shows the decision
+            stats_out["lsh_declined_bands_needed"] = need_bands
 
     if stats_out is not None:
         # pruning-evidence hook for scale probes: how many cell pairs
@@ -965,8 +1004,12 @@ def embedding_near_duplicates_lsh(
 
         P(found | cos = t) = 1 − (1 − (1 − arccos(t)/π)^n_planes)^bands
 
-    Defaults (12 planes × 16 bands): ≥ 0.9986 at t = 0.95, ≥ 0.97 at
-    t = 0.9 — and EXACT duplicates (cos = 1) are found with certainty:
+    Defaults (12 planes × 16 bands): 0.9946 at t = 0.95, 0.9333 at
+    t = 0.9 (the bound holds at the pair's ACTUAL cosine, so only
+    pairs sitting exactly at the threshold see the worst case; the
+    auto-route in :func:`embedding_near_duplicates_blocked` sizes
+    ``bands`` up to keep the at-threshold bound ≥ 0.98) — and EXACT
+    duplicates (cos = 1) are found with certainty:
     identical vectors share every band bucket deterministically, which
     is why the planted-duplicate oracle stays green through this route.
     Raise ``bands`` for borderline-pair recall; raise ``n_planes`` to
@@ -983,7 +1026,15 @@ def embedding_near_duplicates_lsh(
     splits hot buckets geometrically."""
     import math
 
-    dims = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None:
+        # empty corpus: no pairs (same guard as the blocked sibling —
+        # an upstream filter yielding zero rows is a valid empty
+        # result, not a dims-probe crash)
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dims = len(head[0])
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((bands * n_planes, dims))
 
@@ -1367,9 +1418,25 @@ def ann_index_refit_cells(
     live = manifest_read(spark, vectors_path).localCheckpoint()
 
     # per-cell member means — n_centroids×dims groups after map-side
-    # combine; the collect is centroid-table-sized, never corpus-sized
+    # combine; the collect is centroid-table-sized, never corpus-sized.
+    # With EXPLICIT cells the pass is restricted to those cells'
+    # partitions (the docstring's "skip detection" contract: a caller
+    # who already named the churned cells must not pay a corpus-wide
+    # aggregate for means it would discard — code-review r11)
+    if cells is not None:
+        drifted = sorted(int(c) for c in cells)
+        unknown = [c for c in drifted if c not in coarse]
+        if unknown:
+            raise ValueError(
+                f"ann_index_refit_cells: cells {unknown} are not in the "
+                f"index's centroid table (have 0..{len(coarse) - 1})"
+            )
+        mean_src = live.filter(F.col("cell").isin(drifted))
+    else:
+        drifted = None
+        mean_src = live
     mean_rows = (
-        live.select("cell", F.posexplode("c_vec").alias("pos", "x"))
+        mean_src.select("cell", F.posexplode("c_vec").alias("pos", "x"))
         .groupBy("cell", "pos")
         .agg(F.avg("x").alias("m"))
         .collect()
@@ -1383,18 +1450,10 @@ def ann_index_refit_cells(
         for c, m in means.items()
         if c in coarse
     }
-    if cells is None:
+    if drifted is None:
         drifted = sorted(
             c for c, d in displacement.items() if d > displacement_threshold
         )
-    else:
-        drifted = sorted(int(c) for c in cells)
-        unknown = [c for c in drifted if c not in coarse]
-        if unknown:
-            raise ValueError(
-                f"ann_index_refit_cells: cells {unknown} are not in the "
-                f"index's centroid table (have 0..{len(coarse) - 1})"
-            )
     out = {
         "drifted_cells": drifted,
         "rewritten_cells": [],

@@ -1683,12 +1683,19 @@ def sql_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+        attached_warehouse,
+        manifest_catalog_attach,
         manifest_catalog_detach,
     )
     from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
         manifest_sql,
     )
 
+    # the attach below is process-global: remember the caller's
+    # warehouse so the finally can RESTORE it instead of detaching to
+    # None and silently stopping their catalog mirroring (code-review
+    # r11)
+    prev_wh = attached_warehouse()
     wh = _tmp("sql_lc_wh")
     base = f"lcb_{uuid.uuid4().hex[:8]}"
     summ = f"lcs_{uuid.uuid4().hex[:8]}"
@@ -1759,3 +1766,5 @@ def sql_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:  # noqa: BLE001 — view may not exist
             pass
         shutil.rmtree(wh, ignore_errors=True)
+        if prev_wh:
+            manifest_catalog_attach(spark, prev_wh, missing="skip")

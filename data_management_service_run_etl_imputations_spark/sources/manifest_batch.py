@@ -1326,6 +1326,33 @@ def _mirror_catalog_set(view_name: str, path: str) -> None:
         catalog_set(wh, view_name, path)
 
 
+def _guard_catalog_repoint(view_name: str, path: str) -> None:
+    """Refuse a CREATE/REPLACE whose name is already in the ATTACHED
+    durable catalog at a DIFFERENT location — without this, a
+    catalog-only name (registered by another session, or stale after a
+    ``missing='skip'`` attach) could be silently re-pointed and its
+    table orphaned (code-review r11: the session-registry guard alone
+    misses exactly this case). Same policy as the registry guard:
+    re-pointing a durable name must be explicit (DROP TABLE first)."""
+    import os
+
+    from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+        attached_warehouse,
+        catalog_tables,
+    )
+
+    wh = attached_warehouse()
+    if not wh:
+        return
+    cur = catalog_tables(wh).get(view_name.lower())
+    if cur is not None and os.path.abspath(cur) != os.path.abspath(path):
+        raise ValueError(
+            f"CREATE TABLE {view_name}: name is cataloged at {cur!r}, "
+            f"not {path!r} — re-pointing a durable name at a different "
+            "location must be explicit (DROP TABLE first)"
+        )
+
+
 def _dispatch_util_statement(spark, stmt: str):
     """Maintenance/metadata statements over registered manifest views —
     the Delta utility-SQL parity layer. Returns ``None`` when ``stmt``
@@ -1496,6 +1523,7 @@ def _dispatch_util_statement(spark, stmt: str):
     if m:
         view_name = _unquote_ident(m.group(1))
         path = m.group(2) or _managed_location(view_name)
+        _guard_catalog_repoint(view_name, path)
         pcols = [
             _unquote_ident(c)
             for c in (m.group(3) or "").split(",")
@@ -1553,6 +1581,7 @@ def _dispatch_util_statement(spark, stmt: str):
 
         view_name = _unquote_ident(m.group(1))
         path = m.group(3) or _managed_location(view_name)
+        _guard_catalog_repoint(view_name, path)
         cols: "list[tuple[str, str]]" = []
         for item in _split_top(m.group(2), ","):
             im = re.match(
@@ -1627,6 +1656,7 @@ def _dispatch_util_statement(spark, stmt: str):
                 f"at {reg[1]!r}, not {path!r} — re-pointing a name at a "
                 "different location must be explicit (DROP TABLE first)"
             )
+        _guard_catalog_repoint(view_name, path)
         pcols = [
             _unquote_ident(c)
             for c in (m.group(3) or "").split(",")
@@ -1688,7 +1718,13 @@ def _dispatch_util_statement(spark, stmt: str):
         name = _unquote_ident(m.group(2))
         path = reg[1] if reg is not None else cat[key]
         manifest_sql_unregister(spark, name)
-        if wh:
+        # remove the durable entry ONLY when it points at the binding
+        # being dropped — a session view shadowing a catalog name at a
+        # different path must not erase the unrelated table's durable
+        # entry (code-review r11)
+        if wh and key in cat and os.path.abspath(
+            cat[key]
+        ) == os.path.abspath(path):
             catalog_remove(wh, name)
         purged = False
         if m.group(3):

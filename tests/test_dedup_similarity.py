@@ -326,3 +326,82 @@ def test_blocked_auto_route_escapes_distance_concentration(spark):
     )
     assert "routed" not in exact_stats
     assert exact == auto
+
+
+def test_auto_route_declines_lsh_at_loose_thresholds(spark):
+    """code-review r11: the auto reroute is RECALL-GATED — at loose
+    thresholds where no reasonable band count meets the 0.98 floor,
+    auto must stay EXACT (recorded in stats) instead of silently
+    collapsing recall."""
+    import random
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_blocked,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    stats: dict = {}
+    got = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_blocked(
+                df, threshold=0.35, stats_out=stats, route="auto",
+                single_block_rows=32, target_block_rows=32,
+            ).collect(),
+        )
+    )
+    assert "routed" not in stats  # declined
+    assert stats["lsh_declined_bands_needed"] > 64
+    exact = sorted(
+        map(tuple, embedding_near_duplicates(df, threshold=0.35).collect())
+    )
+    assert got == exact  # the exact answer, whatever the cost
+
+
+def test_route_validation_and_forced_lsh_small_corpus(spark):
+    """code-review r11: route validation happens before the small-corpus
+    short-circuit, and route='lsh' is honored (not silently exact) even
+    below single_block_rows."""
+    import pytest as _pytest
+
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates_blocked,
+        embedding_near_duplicates_lsh,
+    )
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    rows += [(100 + i, rows[i][1]) for i in range(3)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="route must be"):
+        embedding_near_duplicates_blocked(df, route="bogus")
+    stats: dict = {}
+    got = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_blocked(
+                df, threshold=0.95, route="lsh", stats_out=stats
+            ).collect(),
+        )
+    )
+    assert stats["routed"] == "lsh"
+    want = sorted(
+        map(
+            tuple,
+            embedding_near_duplicates_lsh(df, threshold=0.95).collect(),
+        )
+    )
+    assert got == want and len(got) == 3
+
+
+def test_lsh_empty_corpus_returns_empty(spark):
+    from data_management_service_run_etl_imputations_spark.operators.similarity import (
+        embedding_near_duplicates_lsh,
+    )
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = embedding_near_duplicates_lsh(empty, threshold=0.9)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]

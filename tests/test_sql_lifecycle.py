@@ -531,3 +531,46 @@ class TestManagedTables:
             assert nat.lower() not in _SQL_TABLES
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {nat}")
+
+    def test_drop_shadowed_name_keeps_catalog_entry(self, spark, warehouse):
+        """code-review r11: a session view shadowing a catalog name at a
+        DIFFERENT path must not erase the unrelated durable entry."""
+        manifest_sql(spark, f"ATTACH WAREHOUSE '{warehouse}'")
+        name = _name("shadow")
+        real = os.path.join(warehouse, "real_t")
+        _seed(spark, real, 3)
+        catalog_set(warehouse, name, real)
+        other = os.path.join(warehouse, "other_t")
+        _seed(spark, other, 2)
+        manifest_sql_register(spark, name, other)  # the shadow
+        r = manifest_sql(spark, f"DROP TABLE {name}")
+        assert r["location"] == other
+        # the durable entry for the REAL table survives
+        assert catalog_tables(warehouse).get(name.lower()) == real
+        manifest_sql(spark, f"DROP TABLE {name}")  # now resolves via catalog
+        assert name.lower() not in catalog_tables(warehouse)
+
+    def test_create_refuses_repointing_catalog_only_name(self, spark, warehouse):
+        """code-review r11: a name in the attached catalog but NOT
+        session-registered must not be silently re-pointed by
+        CREATE [OR REPLACE] at a different location."""
+        manifest_sql(spark, f"ATTACH WAREHOUSE '{warehouse}'")
+        name = _name("catonly")
+        p1 = os.path.join(warehouse, "t1")
+        _seed(spark, p1, 3)
+        catalog_set(warehouse, name, p1)  # cataloged, never registered
+        p2 = os.path.join(warehouse, "t2")
+        for stmt in (
+            f"CREATE OR REPLACE TABLE {name} LOCATION '{p2}' AS SELECT 1 AS a",
+            f"CREATE TABLE {name} LOCATION '{p2}' AS SELECT 1 AS a",
+            f"CREATE TABLE {name} (a INT) LOCATION '{p2}'",
+        ):
+            with pytest.raises(ValueError, match="cataloged at"):
+                manifest_sql(spark, stmt)
+        assert catalog_tables(warehouse)[name.lower()] == p1
+        # replacing IN PLACE (no LOCATION → resolves via catalog) is fine
+        manifest_sql(
+            spark, f"CREATE OR REPLACE TABLE {name} AS SELECT 1 AS a"
+        )
+        assert catalog_tables(warehouse)[name.lower()] == p1
+        manifest_sql(spark, f"DROP TABLE {name} PURGE")
