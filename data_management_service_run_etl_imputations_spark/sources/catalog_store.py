@@ -22,6 +22,14 @@ Relocatability: a table path UNDER the warehouse directory is stored
 RELATIVE, so moving/mounting the warehouse elsewhere keeps the catalog
 valid; paths outside the warehouse are stored absolute (external
 tables, Delta's EXTERNAL semantics).
+
+Entry model (round 12): one namespace, two kinds. A snapshot value that
+is a STRING is a table path (the r11 format — every legacy snapshot
+parses unchanged); a value that is a DICT is a VIEW definition
+``{"view": <sql text>, "seq": <n>}``. Tables and views share the
+namespace exactly as SQL does (``CREATE VIEW x`` over an existing table
+``x`` refuses), and ``seq`` preserves creation order so an attach can
+re-create views that reference other views in a working order.
 """
 
 from __future__ import annotations
@@ -97,17 +105,34 @@ def _publish(warehouse_dir: str, version: int, tables: dict) -> None:
 
 
 def catalog_tables(warehouse_dir: str) -> dict[str, str]:
-    """{name: resolved_table_path} of the newest catalog snapshot."""
+    """{name: resolved_table_path} of the newest catalog snapshot
+    (TABLE entries only — view definitions via :func:`catalog_views`)."""
     _, tables = _latest_catalog(warehouse_dir)
     return {
-        n: _resolve_path(warehouse_dir, p) for n, p in sorted(tables.items())
+        n: _resolve_path(warehouse_dir, p)
+        for n, p in sorted(tables.items())
+        if isinstance(p, str)
     }
 
 
+def catalog_views(warehouse_dir: str) -> "dict[str, dict]":
+    """{name: {"view": sql, "seq": n}} of the newest snapshot, in
+    creation (``seq``) order — re-creating them in iteration order is
+    always sound for views that reference earlier views."""
+    _, tables = _latest_catalog(warehouse_dir)
+    views = {
+        n: e for n, e in tables.items() if isinstance(e, dict)
+    }
+    return dict(
+        sorted(views.items(), key=lambda kv: (kv[1].get("seq", 0), kv[0]))
+    )
+
+
 def catalog_set(warehouse_dir: str, name: str, path: str) -> int:
-    """Register (or re-point) ``name`` → ``path`` durably. Returns the
-    committed catalog version. Conflict-safe: a racing writer forces a
-    re-read + re-merge, never a lost update."""
+    """Register (or re-point) table ``name`` → ``path`` durably. Returns
+    the committed catalog version. Conflict-safe: a racing writer forces
+    a re-read + re-merge, never a lost update. Refuses to overwrite a
+    VIEW entry — one namespace, SQL's rule (DROP VIEW first)."""
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
         with_commit_retry,
     )
@@ -117,6 +142,11 @@ def catalog_set(warehouse_dir: str, name: str, path: str) -> int:
     def op():
         v, tables = _latest_catalog(warehouse_dir)
         tables = dict(tables)
+        if isinstance(tables.get(key), dict):
+            raise ValueError(
+                f"catalog name {name!r} is a VIEW — cannot re-point it "
+                "at a table path (DROP VIEW first)"
+            )
         tables[key] = _store_path(warehouse_dir, path)
         _publish(warehouse_dir, v + 1, tables)
         return v + 1
@@ -124,8 +154,51 @@ def catalog_set(warehouse_dir: str, name: str, path: str) -> int:
     return with_commit_retry(op)
 
 
+def catalog_set_view(warehouse_dir: str, name: str, sql_text: str) -> int:
+    """Store (or replace) a durable VIEW definition — the SQL text, not
+    a materialization; an attach re-creates it as a session view.
+    Replacing keeps the original ``seq`` (dependency order is defined by
+    creation time; a replaced definition keeps its slot so views created
+    after it that reference it still re-create in a working order).
+    Refuses to shadow a TABLE entry."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        with_commit_retry,
+    )
+
+    key = name.lower()
+
+    def op():
+        v, tables = _latest_catalog(warehouse_dir)
+        tables = dict(tables)
+        cur = tables.get(key)
+        if isinstance(cur, str):
+            raise ValueError(
+                f"catalog name {name!r} is a TABLE — CREATE VIEW cannot "
+                "shadow it (DROP TABLE first)"
+            )
+        seq = (
+            cur["seq"]
+            if isinstance(cur, dict) and "seq" in cur
+            else 1
+            + max(
+                (
+                    e.get("seq", 0)
+                    for e in tables.values()
+                    if isinstance(e, dict)
+                ),
+                default=0,
+            )
+        )
+        tables[key] = {"view": sql_text, "seq": seq}
+        _publish(warehouse_dir, v + 1, tables)
+        return v + 1
+
+    return with_commit_retry(op)
+
+
 def catalog_remove(warehouse_dir: str, name: str) -> bool:
-    """Remove ``name`` from the durable catalog. True when it existed."""
+    """Remove ``name`` (table or view) from the durable catalog. True
+    when it existed."""
     from data_management_service_run_etl_imputations_spark.sources.sinks import (
         with_commit_retry,
     )
@@ -139,6 +212,40 @@ def catalog_remove(warehouse_dir: str, name: str) -> bool:
         tables = {k: p for k, p in tables.items() if k != key}
         _publish(warehouse_dir, v + 1, tables)
         return True
+
+    return with_commit_retry(op)
+
+
+def catalog_rename(warehouse_dir: str, old: str, new: str) -> int:
+    """Re-point ``old`` → ``new`` (table or view) as ONE snapshot
+    commit — remove-old and add-new can never be observed separately,
+    so a concurrent attach sees either the old name or the new, never
+    both and never neither (the two-commit spelling would expose both
+    intermediate states). Returns the committed catalog version.
+    Refuses loudly when ``old`` is absent or ``new`` already exists."""
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        with_commit_retry,
+    )
+
+    ko, kn = old.lower(), new.lower()
+
+    def op():
+        v, tables = _latest_catalog(warehouse_dir)
+        if ko not in tables:
+            raise ValueError(
+                f"RENAME: {old!r} is not in the durable catalog at "
+                f"{warehouse_dir!r}"
+            )
+        if kn in tables:
+            raise ValueError(
+                f"RENAME: target name {new!r} already exists in the "
+                "durable catalog — renames never overwrite (DROP the "
+                "target first)"
+            )
+        tables = dict(tables)
+        tables[kn] = tables.pop(ko)
+        _publish(warehouse_dir, v + 1, tables)
+        return v + 1
 
     return with_commit_retry(op)
 
@@ -210,6 +317,29 @@ def manifest_catalog_attach(
         manifest_sql_register(
             spark, name, path, follow_head=follow_head, prune=prune
         )
+    # Views after tables (they reference them), ascending seq (they can
+    # reference earlier views). Re-creation VALIDATES each definition; a
+    # view over a table that no longer attaches is as stale as a stale
+    # table entry — same strict/skip policy.
+    from data_management_service_run_etl_imputations_spark.sources.manifest_batch import (
+        manifest_sql_view_register,
+    )
+
+    for name, entry in catalog_views(warehouse_dir).items():
+        try:
+            manifest_sql_view_register(
+                spark, name, entry["view"], seq=entry.get("seq")
+            )
+        except Exception as e:  # noqa: BLE001 — definition won't analyze
+            if missing == "strict":
+                raise ValueError(
+                    f"manifest_catalog_attach: durable view {name!r} "
+                    f"failed to re-create ({e}) — its definition no "
+                    "longer analyzes (a base table was dropped outside "
+                    "DROP TABLE?). Re-attach with missing='skip' to "
+                    "register everything else, then DROP VIEW "
+                    f"{name} to repair the catalog"
+                ) from e
     with _ATTACH_LOCK:
         _ATTACHED["warehouse"] = os.path.abspath(warehouse_dir)
     return attached

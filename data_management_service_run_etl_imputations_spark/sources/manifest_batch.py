@@ -555,6 +555,17 @@ class ManifestTableDataSource(DataSource):
 # SELECT falls through to spark.sql
 _SQL_TABLES: "dict[str, tuple[str, str, bool, int, bool]]" = {}
 
+# SQL VIEW definitions (round 12): view name (lowercased) ->
+# (original name, SQL text, seq). An engine view is a stored DEFINITION,
+# not a stored plan: Spark temp views freeze the ANALYZED plan at
+# creation, which would pin a view to whatever relation instance its
+# base tables had then — so manifest_sql re-creates a referenced view
+# from its text AFTER the per-statement rebind pass, making views
+# follow-head to exactly the degree their base tables are. ``seq`` is
+# creation order (views can reference earlier views; re-creation walks
+# ascending seq). Durable mirror: catalog_store.catalog_set_view.
+_SQL_VIEWS: "dict[str, tuple[str, str, int]]" = {}
+
 # views whose CURRENT binding may hold a filter-pruned cached scan:
 # Spark's Python-DataSource readInfo cache is per relation instance and
 # is served to later no-filter scans of the same relation (see
@@ -680,6 +691,53 @@ def manifest_sql_unregister(spark, view_name: str) -> bool:
     for v in victims:
         try:
             spark.catalog.dropTempView(v)
+        except Exception:  # noqa: BLE001 — already gone
+            pass
+    return t is not None
+
+
+def manifest_sql_view_register(
+    spark, view_name: str, sql_text: str, seq: "int | None" = None
+):
+    """Register a SQL VIEW as a stored DEFINITION: create the session
+    temp view now (which validates the text — bad SQL refuses here, not
+    at first use) and record the text so :func:`manifest_sql` can
+    RE-CREATE the view after any statement's base-table rebind (a Spark
+    temp view freezes its analyzed plan; the definition is what keeps a
+    view current over follow-head manifest tables). ``seq`` orders
+    re-creation (attach passes the durable catalog's creation order);
+    session-created views append after the current maximum. Refuses to
+    shadow a registered manifest TABLE — one namespace, SQL's rule."""
+    key = view_name.lower()
+    with _SQL_REG_LOCK:
+        if key in _SQL_TABLES:
+            raise ValueError(
+                f"CREATE VIEW {view_name}: name is a registered manifest "
+                "TABLE — views cannot shadow tables (DROP TABLE first)"
+            )
+        if seq is None:
+            cur = _SQL_VIEWS.get(key)
+            seq = (
+                cur[2]
+                if cur is not None
+                else 1
+                + max((s for _, _, s in _SQL_VIEWS.values()), default=0)
+            )
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW `{view_name}` AS {sql_text}"
+        )
+        _SQL_VIEWS[key] = (view_name, sql_text, seq)
+
+
+def manifest_sql_view_unregister(spark, view_name: str) -> bool:
+    """Drop an engine view's definition and temp view. True when it was
+    registered."""
+    key = view_name.lower()
+    with _SQL_REG_LOCK:
+        t = _SQL_VIEWS.pop(key, None)
+    if t is not None:
+        try:
+            spark.catalog.dropTempView(t[0])
         except Exception:  # noqa: BLE001 — already gone
             pass
     return t is not None
@@ -1248,6 +1306,12 @@ def _rewrite_alias(expr: str, alias_map: "dict[str, str]") -> str:
 
 def _resolve_sql_table(ident: str) -> "tuple[str, str]":
     name = _unquote_ident(ident).lower()
+    if name in _SQL_VIEWS and name not in _SQL_TABLES:
+        raise ValueError(
+            f"{ident!r} is a VIEW — DML and table-maintenance verbs "
+            "target tables only (query the view, or run the verb "
+            "against its base table)"
+        )
     if name not in _SQL_TABLES:
         raise ValueError(
             f"{ident!r} is not a registered manifest view — call "
@@ -1674,7 +1738,13 @@ def _dispatch_util_statement(spark, stmt: str):
     m = re.match(
         r"TRUNCATE\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*$", stmt, re.I
     )
-    if m and _unquote_ident(m.group(1)).lower() in _SQL_TABLES:
+    # ours for registered tables AND for engine views — the latter so
+    # _resolve_sql_table refuses with the engine's "is a VIEW" error
+    # instead of native analysis noise
+    if m and (
+        _unquote_ident(m.group(1)).lower() in _SQL_TABLES
+        or _unquote_ident(m.group(1)).lower() in _SQL_VIEWS
+    ):
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
             manifest_truncate,
         )
@@ -1746,29 +1816,39 @@ def _dispatch_util_statement(spark, stmt: str):
         from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
             attached_warehouse,
             catalog_tables,
+            catalog_views,
         )
 
         wh = attached_warehouse()
         cat = catalog_tables(wh) if wh else {}
+        cat_v = catalog_views(wh) if wh else {}
         rows = []
         with _SQL_REG_LOCK:
             reg_items = {
                 k: t for k, t in _SQL_TABLES.items()
                 if "__asof_" not in k  # aliases are statement plumbing
             }
+            reg_views = dict(_SQL_VIEWS)
         for k, t in sorted(reg_items.items()):
             # cataloged means THIS binding: a session view shadowing a
             # catalog name at a different path must not claim it
             in_cat = k in cat and os.path.abspath(
                 cat[k]
             ) == os.path.abspath(t[1])
-            rows.append((t[0], t[1], True, in_cat, t[3], t[2]))
+            rows.append((t[0], t[1], True, in_cat, t[3], t[2], "table"))
         for k in sorted(set(cat) - set(reg_items)):
-            rows.append((k, cat[k], False, True, None, None))
+            rows.append((k, cat[k], False, True, None, None, "table"))
+        for k, (name, _sql, _s) in sorted(reg_views.items()):
+            rows.append(
+                (name, None, True, k in cat_v, None, None, "view")
+            )
+        for k in sorted(set(cat_v) - set(reg_views)):
+            rows.append((k, None, False, True, None, None, "view"))
         return spark.createDataFrame(
             rows,
             "table STRING, location STRING, registered BOOLEAN, "
-            "cataloged BOOLEAN, bound_version INT, follow_head BOOLEAN",
+            "cataloged BOOLEAN, bound_version INT, follow_head BOOLEAN, "
+            "kind STRING",
         )
 
     # ATTACH WAREHOUSE '<dir>' / DETACH WAREHOUSE — the SQL spelling of
@@ -1793,6 +1873,276 @@ def _dispatch_util_statement(spark, stmt: str):
 
         prev = manifest_catalog_detach()
         return {"statement": "detach-warehouse", "warehouse": prev}
+
+    # ALTER TABLE <old> RENAME TO <new> — a REGISTRY-level re-point:
+    # the table's location and data are untouched (external-table
+    # semantics; the manifest knows nothing of its SQL name), the
+    # session binding flips atomically under the registry lock, and
+    # while a warehouse is attached the durable catalog re-points in
+    # ONE snapshot commit (catalog_store.catalog_rename — a concurrent
+    # attach sees the old name or the new, never both/neither).
+    # Renames never overwrite: an existing target name (table, view,
+    # session, or catalog) refuses loudly. Core Spark verb: ours only
+    # for names we know (registered or attached-catalog); anything else
+    # falls through to spark.sql unchanged.
+    m = re.match(
+        r"ALTER\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s+RENAME\s+TO\s+"
+        r"(`[^`]+`|[A-Za-z_][\w.]*)\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            attached_warehouse,
+            catalog_rename,
+            catalog_tables,
+            catalog_views,
+        )
+
+        old = _unquote_ident(m.group(1))
+        new = _unquote_ident(m.group(2))
+        ko, kn = old.lower(), new.lower()
+        wh = attached_warehouse()
+        cat = catalog_tables(wh) if wh else {}
+        with _SQL_REG_LOCK:
+            reg = _SQL_TABLES.get(ko)
+            if ko in _SQL_VIEWS:
+                raise ValueError(
+                    f"ALTER TABLE {old} RENAME TO: {old!r} is a VIEW — "
+                    "drop and re-create the view under the new name"
+                )
+            if reg is None and ko not in cat:
+                m = None  # not ours — native ALTER TABLE handles it
+            else:
+                if kn in _SQL_TABLES or kn in _SQL_VIEWS:
+                    raise ValueError(
+                        f"RENAME TO {new}: target name is already "
+                        "registered in this session — renames never "
+                        "overwrite (DROP it first)"
+                    )
+                path = reg[1] if reg is not None else cat[ko]
+                # durable catalog first (the only step another session
+                # can observe): ONE commit, re-checks existence/target
+                # under the optimistic-concurrency retry loop. Only
+                # when the catalog entry is THIS binding — a session
+                # view shadowing a catalog name at a different path
+                # must not re-point the unrelated durable entry.
+                if wh and ko in cat and os.path.abspath(
+                    cat[ko]
+                ) == os.path.abspath(path):
+                    catalog_rename(wh, old, new)
+                elif wh and (
+                    kn in cat or kn in catalog_views(wh)
+                ):
+                    raise ValueError(
+                        f"RENAME TO {new}: target name exists in the "
+                        "attached catalog — renames never overwrite"
+                    )
+                if reg is not None:
+                    follow, bound_v, pref = reg[2], reg[3], reg[4]
+                    manifest_sql_unregister(spark, old)
+                    manifest_sql_register(
+                        spark,
+                        new,
+                        path,
+                        version=(
+                            bound_v if not follow and bound_v > 0 else None
+                        ),
+                        follow_head=follow,
+                        prune=pref,
+                    )
+    if m:
+        return {
+            "statement": "rename-table",
+            "old": old,
+            "new": new,
+            "location": path,
+        }
+
+    # CREATE [OR REPLACE] VIEW <name> AS <query> — an engine view: a
+    # stored DEFINITION (SQL text), re-created from text after every
+    # statement's base-table rebind so it is exactly as current as the
+    # tables it reads (a Spark temp view alone would freeze its
+    # analyzed plan). While a warehouse is attached the text persists
+    # in the durable catalog (catalog_store.catalog_set_view) and
+    # manifest_catalog_attach re-creates it in a fresh session. Ours
+    # when a warehouse is attached OR the definition references a
+    # registered manifest table/engine view; vanilla CREATE VIEW for
+    # vanilla users falls through to spark.sql unchanged.
+    m = re.match(
+        r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(`[^`]+`|[A-Za-z_]\w*)\s+"
+        r"AS\s+(.+)$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            attached_warehouse,
+            catalog_set_view,
+            catalog_tables,
+        )
+
+        replace = bool(m.group(1))
+        view_name = _unquote_ident(m.group(2))
+        body = m.group(3).strip()
+        key = view_name.lower()
+        wh = attached_warehouse()
+        if not wh and not _references_engine_name(body):
+            m = None  # vanilla view for a vanilla user — stay native
+    if m:
+        if re.search(
+            r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b|__asof_", body, re.I
+        ):
+            raise ValueError(
+                f"CREATE VIEW {view_name}: view definitions must not "
+                "time-travel (the pinned alias would dangle) — clone a "
+                "pinned snapshot instead: CREATE TABLE t SHALLOW CLONE "
+                "s VERSION AS OF n"
+            )
+        cat = catalog_tables(wh) if wh else {}
+        if key in cat:
+            raise ValueError(
+                f"CREATE VIEW {view_name}: name is a cataloged TABLE — "
+                "views cannot shadow tables (DROP TABLE first)"
+            )
+        if not replace and key in _SQL_VIEWS:
+            raise ValueError(
+                f"CREATE VIEW {view_name}: view exists — use CREATE OR "
+                "REPLACE VIEW"
+            )
+        if wh and not replace:
+            from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+                catalog_views,
+            )
+
+            if key in catalog_views(wh):
+                raise ValueError(
+                    f"CREATE VIEW {view_name}: view exists in the "
+                    "attached catalog — use CREATE OR REPLACE VIEW"
+                )
+        manifest_sql_view_register(spark, view_name, body)
+        if wh:
+            catalog_set_view(wh, view_name, body)
+        return {
+            "statement": "create-view",
+            "view": view_name,
+            "durable": bool(wh),
+        }
+
+    # DROP VIEW [IF EXISTS] <name> — ours for engine views (session
+    # definition and/or attached-catalog entry); native otherwise.
+    m = re.match(
+        r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_][\w.]*)\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            attached_warehouse,
+            catalog_remove,
+            catalog_views,
+        )
+
+        name = _unquote_ident(m.group(2))
+        key = name.lower()
+        wh = attached_warehouse()
+        in_cat = wh is not None and key in catalog_views(wh)
+        if key not in _SQL_VIEWS and not in_cat:
+            m = None  # not ours — native DROP VIEW (honors IF EXISTS)
+    if m:
+        manifest_sql_view_unregister(spark, name)
+        if in_cat:
+            catalog_remove(wh, name)
+        return {"statement": "drop-view", "view": name, "dropped": True}
+
+    # CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF n |
+    # TIMESTAMP AS OF e] [LOCATION 'path'] — the SQL spelling of
+    # sinks.manifest_clone: a ZERO-COPY independent table whose v1 is
+    # the source's snapshot (hard-linked files, one manifest write, no
+    # Spark job — metadata-speed at any data size). Delta's syntax. A
+    # time-travel clause on a REGISTERED source was already rewritten
+    # to a pinned alias by the statement pass (the alias's bound
+    # version is the clone point); the raw clause parsed here serves
+    # catalog-only sources. LOCATION optional while attached (managed
+    # location <warehouse>/<name>). Engine-specific syntax: an unknown
+    # source refuses loudly.
+    m = re.match(
+        r"CREATE\s+TABLE\s+(`[^`]+`|[A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+"
+        r"(`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+([0-9][\w.]*))?"
+        r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+            attached_warehouse,
+            catalog_tables,
+        )
+        from data_management_service_run_etl_imputations_spark.sources.sinks import (
+            manifest_clone,
+        )
+
+        view_name = _unquote_ident(m.group(1))
+        src_ident = _unquote_ident(m.group(2))
+        src_key = src_ident.lower()
+        wh = attached_warehouse()
+        cat = catalog_tables(wh) if wh else {}
+        version = as_of = None
+        if src_key in _SQL_TABLES:
+            t = _SQL_TABLES[src_key]
+            src_path = t[1]
+            # a pinned binding (incl. a rewritten time-travel alias)
+            # clones ITS snapshot; a follow-head binding clones the
+            # head version the rebind pass just resolved
+            if t[3] > 0:
+                version = t[3]
+        elif src_key in cat:
+            src_path = cat[src_key]
+        else:
+            raise ValueError(
+                f"SHALLOW CLONE: source {src_ident!r} is not a "
+                "registered manifest view or attached-catalog table "
+                f"(registered: {sorted(_SQL_TABLES)})"
+            )
+        if m.group(3):
+            # raw clause survives only for catalog-only sources (a
+            # registered source's clause was rewritten to an alias);
+            # it overrides the binding-derived version either way
+            if m.group(3).upper() == "VERSION":
+                version, as_of = int(m.group(4)), None
+            else:
+                version, as_of = None, float(m.group(4))
+        dst = m.group(5) or _managed_location(view_name)
+        if dst is None:
+            raise ValueError(
+                f"SHALLOW CLONE {view_name}: no LOCATION given and no "
+                "warehouse attached — add LOCATION 'path' or ATTACH "
+                "WAREHOUSE first"
+            )
+        _guard_catalog_repoint(view_name, dst)
+        if (
+            view_name.lower() in _SQL_TABLES
+            or view_name.lower() in _SQL_VIEWS
+        ):
+            raise ValueError(
+                f"SHALLOW CLONE {view_name}: name is already registered "
+                "— clones never overwrite (DROP TABLE first)"
+            )
+        if wh:
+            from data_management_service_run_etl_imputations_spark.sources.catalog_store import (
+                catalog_views,
+            )
+
+            if view_name.lower() in catalog_views(wh):
+                raise ValueError(
+                    f"SHALLOW CLONE {view_name}: name is a cataloged "
+                    "VIEW — clones never overwrite (DROP VIEW first)"
+                )
+        r = manifest_clone(src_path, dst, version=version, as_of=as_of)
+        manifest_sql_register(spark, view_name, dst, follow_head=True)
+        _mirror_catalog_set(view_name, dst)
+        return {"statement": "shallow-clone", "source": src_path, **r}
 
     m = re.match(
         r"DESCRIBE\s+DETAIL\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*$", stmt, re.I
@@ -2156,7 +2506,71 @@ def _rebind_referenced_views(spark, stmt: str) -> None:
 
     text = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ", stmt)
     with _SQL_REG_LOCK:
+        text, used_views = _expand_engine_views(text)
         _rebind_referenced_views_locked(spark, text)
+        # Re-create every referenced engine VIEW from its stored text,
+        # ascending creation order (dependencies first): a temp view
+        # froze its analyzed plan at creation, so after the rebind above
+        # its base relations may be stale instances — re-creation is
+        # what makes a view exactly as current as its base tables.
+        for key in sorted(used_views, key=lambda k: _SQL_VIEWS[k][2]):
+            name, vsql, _s = _SQL_VIEWS[key]
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS {vsql}"
+            )
+
+
+def _references_engine_name(text: str) -> bool:
+    """True when the (quote-stripped) text word-matches any registered
+    manifest table or engine view name — the routing test for verbs
+    that are ours only when they touch engine state (CREATE VIEW)."""
+    import re
+
+    t = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ", text)
+    with _SQL_REG_LOCK:
+        names = [v[0] for v in _SQL_TABLES.values()] + [
+            v[0] for v in _SQL_VIEWS.values()
+        ]
+    return any(
+        re.search(
+            r"(?<![\w`])" + re.escape(n) + r"(?![\w`])", t, re.I
+        )
+        for n in names
+    )
+
+
+def _expand_engine_views(text: str) -> "tuple[str, set]":
+    """Append the (quote-stripped) definitions of every engine view the
+    text references — transitively, to a fixpoint — so the rebind pass
+    sees THROUGH views to the manifest tables they scan. A view
+    referenced n times appends its body min(n, 2) times: the rebind
+    pass treats a table seen twice as multi-referenced (prune=False for
+    the statement), and counts beyond 2 change nothing. Caller holds
+    ``_SQL_REG_LOCK``. Returns (expanded text, referenced view keys)."""
+    import re
+
+    used: set = set()
+    if not _SQL_VIEWS:
+        return text, used
+    changed = True
+    while changed:
+        changed = False
+        for key, (name, vsql, _s) in list(_SQL_VIEWS.items()):
+            if key in used:
+                continue
+            n = len(
+                re.findall(
+                    r"(?<![\w`])" + re.escape(name) + r"(?![\w`])",
+                    text,
+                    re.I,
+                )
+            )
+            if n:
+                used.add(key)
+                body = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", " ", vsql)
+                text = text + " " + " ".join([body] * min(n, 2))
+                changed = True
+    return text, used
 
 
 def _rebind_referenced_views_locked(spark, text: str) -> None:
@@ -2249,9 +2663,20 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
       'path' [PARTITIONED BY (cols)] AS SELECT …`` (atomic head swap),
       ``TRUNCATE TABLE v`` (whole-table metadata delete, history
       preserved), ``DROP TABLE [IF EXISTS] v [PURGE]``, ``SHOW TABLES``
-      (session registry ∪ attached catalog), ``ATTACH WAREHOUSE
+      (session registry ∪ attached catalog, ``kind`` column
+      distinguishes tables from views), ``ATTACH WAREHOUSE
       'dir'`` / ``DETACH WAREHOUSE`` (durable cross-session catalog,
       :mod:`catalog_store`; CREATE/DROP mirror into it while attached)
+    - lifecycle round 12: ``ALTER TABLE old RENAME TO new``
+      (registry-level re-point, location untouched; durable catalog
+      re-points in ONE snapshot commit; renames never overwrite),
+      ``CREATE [OR REPLACE] VIEW name AS q`` / ``DROP VIEW [IF EXISTS]
+      name`` (views as stored DEFINITIONS — re-created after each
+      statement's rebind so they stay exactly as current as their base
+      tables; persisted in the attached catalog and re-created by
+      ``manifest_catalog_attach``), and ``CREATE TABLE t SHALLOW CLONE
+      s [VERSION|TIMESTAMP AS OF …] [LOCATION 'p']`` (zero-copy clone
+      via :func:`sinks.manifest_clone`)
 
     Non-DML statements also get SQL TIME TRAVEL: ``… FROM v VERSION AS
     OF n`` / ``v TIMESTAMP AS OF epoch`` references rewrite to pinned

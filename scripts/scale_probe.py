@@ -277,6 +277,89 @@ def main() -> None:
             f"high-dim probe lost planted duplicates: {st}"
         )
 
+    # ONE ORDER UP (VERDICT r11 #5): uniform 768-dim — the regime where
+    # the triangle bound provably cannot prune (distance concentration)
+    # and the LSH route's closed form is exact — at 20k and 80k rows.
+    # Claims under test: candidate volume tracks
+    # bands·n²/2^(n_planes+1) (within 3× either way — banded collisions
+    # on finite samples jitter, the EXPONENT is the law), the measured
+    # size exponent is ~2, and at 80k the 50 planted exact duplicates
+    # still verify out with certainty.
+    import pandas as _pd_mod
+
+    @F.pandas_udf("array<double>")
+    def gen768(ids: _pd_mod.Series) -> _pd_mod.Series:
+        out = []
+        for i in ids:
+            b = int(i) - 10_000_000 if int(i) >= 10_000_000 else int(i)
+            r = np.random.RandomState(b % (2**31 - 1))
+            out.append(r.standard_normal(768))
+        return _pd_mod.Series(out)
+
+    lsh_scale = []
+    for n_base, plants in ((20000, 0), (80000, 50)):
+        ids = spark.range(n_base).select(F.col("id").alias("vec_id"))
+        if plants:
+            ids = ids.unionByName(
+                spark.range(plants).select(
+                    (F.col("id") + 10_000_000).alias("vec_id")
+                )
+            )
+        emb_u = ids.repartition(32).select(
+            "vec_id", gen768("vec_id").alias("embedding")
+        )
+        st = {"data": f"uniform-768-n{n_base}"}
+        t0 = time.perf_counter()
+        out = embedding_near_duplicates_blocked(
+            emb_u, threshold=0.95, stats_out=st, route="auto",
+            single_block_rows=2048,
+        )
+        if plants:
+            found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+            st["n_result_pairs"] = len(found)
+            st["planted_recovered"] = sum(
+                (i, 10_000_000 + i) in found for i in range(plants)
+            )
+        st["sec"] = round(time.perf_counter() - t0, 3)
+        if st.get("routed") != "lsh":
+            raise AssertionError(f"uniform-768 expected LSH route: {st}")
+        expected = (
+            st["bands"] * st["n_rows"] ** 2 / 2 ** (st["n_planes"] + 1)
+        )
+        st["candidate_volume_expected"] = int(expected)
+        ratio = st["candidate_volume"] / expected
+        st["candidate_vs_expected"] = round(ratio, 3)
+        if not (1 / 3 <= ratio <= 3):
+            raise AssertionError(
+                f"uniform-768 candidates off the closed form: {st}"
+            )
+        blocking.append(st)
+        lsh_scale.append(st)
+        print(json.dumps({"blocking_probe": st}))
+    import math as _math
+
+    exponent = _math.log(
+        lsh_scale[1]["candidate_volume"] / lsh_scale[0]["candidate_volume"]
+    ) / _math.log(lsh_scale[1]["n_rows"] / lsh_scale[0]["n_rows"])
+    lsh_scale_summary = {
+        "measured_size_exponent": round(exponent, 3),
+        "candidate_fraction_of_brute_80k": round(
+            lsh_scale[1]["candidate_volume"]
+            / lsh_scale[1]["brute_force_volume"],
+            4,
+        ),
+    }
+    print(json.dumps({"lsh_scale": lsh_scale_summary}))
+    if not (1.6 <= exponent <= 2.4):
+        raise AssertionError(
+            f"LSH candidate growth exponent {exponent} is not ~2 — the "
+            f"banded model broke: {lsh_scale}"
+        )
+    if lsh_scale[1].get("planted_recovered") != 50:
+        raise AssertionError(
+            f"uniform-768 80k lost planted duplicates: {lsh_scale[1]}"
+        )
+
     # Partition-pruned checkpoint reads (VERDICT r07 #4): grow a
     # checkpointed manifest table 10× then 100× in partitions and read
     # ONE fixed partition each time — the file-list rows the driver
@@ -532,38 +615,58 @@ def main() -> None:
         ann_index_refit_cells,
     )
 
-    annc_root = os.path.join(args.work, f"annc_{_uuid.uuid4().hex[:8]}")
-    try:
-        # CONCENTRATED churn: two unseen clusters land in a subset of
-        # the 8 cells; the rest of the corpus is untouched. The claim
-        # under test: the cell-local pass rewrites only the affected
-        # cells' rows, and costs a fraction of the full refit on the
-        # SAME drifted index.
-        ann_index_build(_clusters(range(4), per=120), annc_root,
-                        n_centroids=8, m_subspaces=8, ks_codes=16)
-        ann_index_insert(_clusters([4, 5], per=60), annc_root)
-        corpus_rows = 4 * 120 + 2 * 60
-        t0 = time.perf_counter()
-        cell = ann_index_refit_cells(spark, annc_root)
-        sec_cell = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        full = ann_index_refit(spark, annc_root)
-        sec_full = round(time.perf_counter() - t0, 3)
-        ann_cell_probe = {
-            "corpus_rows": corpus_rows,
-            "drifted_cells": cell["drifted_cells"],
-            "rewritten_cells": cell["rewritten_cells"],
-            "n_rows_rewritten": cell["n_rows_rewritten"],
-            "rewrite_fraction": round(
-                cell["n_rows_rewritten"] / corpus_rows, 3
-            ),
-            "sec_cell_refit": sec_cell,
-            "sec_full_refit": sec_full,
-            "full_refit_n_vectors": full["n_vectors"],
-        }
-        print(json.dumps({"ann_cell_refit": ann_cell_probe}))
-    finally:
-        _shutil.rmtree(annc_root, ignore_errors=True)
+    # ONE ORDER UP (VERDICT r11 #5): 6,000-vector corpus (10× the r11
+    # probe). Two independent drifted indexes over the SAME base corpus
+    # — a small drift (one unseen cluster, 120 rows) and a large drift
+    # (two unseen clusters, 1,200 rows) — so the claim "cell-local
+    # refit cost tracks the drifted-member count, not the corpus" is a
+    # measured comparison at fixed corpus size, plus the cell-vs-full
+    # cost split on the large-drift index.
+    ann_cell_probe = []
+    for label, drift_ids, drift_per in (
+        ("drift-small", [4], 120),
+        ("drift-large", [4, 5], 600),
+    ):
+        annc_root = os.path.join(
+            args.work, f"annc_{_uuid.uuid4().hex[:8]}"
+        )
+        try:
+            ann_index_build(_clusters(range(4), per=1200), annc_root,
+                            n_centroids=8, m_subspaces=8, ks_codes=16)
+            ann_index_insert(
+                _clusters(drift_ids, per=drift_per), annc_root
+            )
+            corpus_rows = 4 * 1200 + len(drift_ids) * drift_per
+            t0 = time.perf_counter()
+            cell = ann_index_refit_cells(spark, annc_root)
+            sec_cell = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            full = ann_index_refit(spark, annc_root)
+            sec_full = round(time.perf_counter() - t0, 3)
+            entry = {
+                "probe": label,
+                "corpus_rows": corpus_rows,
+                "drift_rows": len(drift_ids) * drift_per,
+                "drifted_cells": cell["drifted_cells"],
+                "rewritten_cells": cell["rewritten_cells"],
+                "n_rows_rewritten": cell["n_rows_rewritten"],
+                "rewrite_fraction": round(
+                    cell["n_rows_rewritten"] / corpus_rows, 3
+                ),
+                "sec_cell_refit": sec_cell,
+                "sec_full_refit": sec_full,
+                "full_refit_n_vectors": full["n_vectors"],
+            }
+            ann_cell_probe.append(entry)
+            print(json.dumps({"ann_cell_refit": entry}))
+        finally:
+            _shutil.rmtree(annc_root, ignore_errors=True)
+    small, large = ann_cell_probe
+    if small["n_rows_rewritten"] >= large["n_rows_rewritten"]:
+        raise AssertionError(
+            "cell-local rewrite volume did not track drift size: "
+            f"{ann_cell_probe}"
+        )
 
     summary = {
         "metric": "scale_probe_total",
@@ -572,6 +675,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "dedup_blocking": blocking,
+        "lsh_scale": lsh_scale_summary,
         "ckpt_pruned_read": ckpt_probe,
         "ann_maintain": ann_probe,
         "ann_cell_refit": ann_cell_probe,
