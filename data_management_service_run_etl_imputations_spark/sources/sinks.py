@@ -3765,7 +3765,12 @@ def _merge_probe_candidates(
             F.max(c).alias(f"__hi_{c}"),
             F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{c}"),
         ]
-    env = src_keys.agg(*env_aggs).first().asDict()
+    # collect()[0], not first(): take(1) on a multi-partition agg probes
+    # partitions incrementally (1, then 4, …) — up to 3 jobs for one
+    # row; collect() is always exactly one job here (round-12 merge
+    # commit-latency profile: the probe envelope was 3 of a no-op
+    # merge's 14 jobs)
+    env = src_keys.agg(*env_aggs).collect()[0].asDict()
     if n_src_keys is None:
         n_src_keys = int(env["__n_src"])
     if stats:
@@ -4027,6 +4032,137 @@ def _split_rewrite_carry(
     return rewrite, carry
 
 
+def _merge_insert_only(
+    spark,
+    path: str,
+    version: int,
+    content: dict,
+    src: DataFrame,
+    src_keys: DataFrame,
+    n_src_keys: int,
+    keys: list[str],
+    partition_col: "str | list[str]",
+    fmt: str,
+    txn: "tuple[str, int] | None",
+    auto_compact_min_files: int | None,
+    insert_values: "dict[str, str] | None",
+) -> dict[str, int]:
+    """INSERT-ONLY MERGE fast path (round 12): ``WHEN NOT MATCHED THEN
+    INSERT`` with no matched clauses cannot change ANY existing row, so
+    the general plan's matched-file rewrite is pure write
+    amplification — at 100 TB, the idempotent re-run of a daily load
+    (the reference's S7 anti-join, `function_app.py:305-312`) would
+    re-copy every file holding yesterday's keys just to carry their
+    rows through the full-outer join unchanged. This path is the plan
+    the verb means: ANTI-JOIN the source against the zone-map-pruned
+    candidate files' keys (deletes applied — a key surviving only in
+    deleted rows must insert), then commit the surviving rows as an
+    APPEND (every live file of the touched partitions carries by
+    reference, ``files_rewritten`` is 0 by construction). A fully
+    matched source commits NOTHING — a no-op re-run does not bump the
+    table version, so history and CDF show exactly the loads that
+    changed something. Job count drops from ~9 (probe + pass-2 load +
+    full-outer + action counts) to ~4; the general path remains for any
+    merge with matched clauses. Legacy manifests without per-partition
+    file lists fall back to the general path (their carry set cannot be
+    expressed)."""
+    anti = src.alias("s")
+    parts: dict = dict(content.get("partitions", {}))
+    n_cand = 0
+    if parts:
+        all_live = _live_file_rels(content, parts)
+        if all_live:
+            cand, n_src_keys = _merge_probe_candidates(
+                spark, path, content, src_keys, n_src_keys, keys,
+                all_live,
+            )
+            n_cand = len(cand)
+            if cand:
+                tk = _apply_deletes(
+                    spark,
+                    path,
+                    _load_table_files(
+                        spark, path, content, cand,
+                        with_pos=_has_pos_deletes(content),
+                    ),
+                    content,
+                ).select(*keys).alias("__t")
+                cond = None
+                for k in keys:
+                    c = F.col(f"s.{k}").eqNullSafe(F.col(f"__t.{k}"))
+                    cond = c if cond is None else cond & c
+                anti = anti.join(tk, cond, "left_anti")
+
+    # target-typed projection (Delta casts source to target), plus
+    # schema evolution for INSERT *: source columns the target lacks are
+    # appended (the commit tail widens the recorded schema)
+    tgt_schema = (
+        spark.createDataFrame([], content["schema"]).schema
+        if content.get("schema")
+        else src.schema
+    )
+    t_types = {f.name: f.dataType for f in tgt_schema.fields}
+    src_cols = set(src.columns)
+    cols = []
+    for c in t_types:
+        if insert_values is not None:
+            e = (
+                F.expr(insert_values[c])
+                if c in insert_values
+                else F.lit(None)
+            )
+        else:
+            e = F.col(f"s.{c}") if c in src_cols else F.lit(None)
+        cols.append(e.cast(t_types[c]).alias(c))
+    if insert_values is None:
+        for c in src.columns:
+            if c not in t_types:
+                cols.append(F.col(f"s.{c}").alias(c))
+    ins = anti.select(*cols).localCheckpoint()
+    pcols = _pcols(partition_col)
+    # one job answers both "anything to insert?" and "which partitions"
+    pc_rows = ins.groupBy(*pcols).agg(
+        F.count(F.lit(1)).alias("__n")
+    ).collect()
+    n_ins = int(sum(r["__n"] for r in pc_rows))
+    if n_ins == 0:
+        return {"updated": 0, "deleted": 0, "inserted": 0}
+    touched = sorted(
+        _part_key_tuple(tuple(r[c] for c in pcols), pcols)
+        for r in pc_rows
+    )
+    files: dict = content.get("files", {})
+    carry = {k: list(files[k]) for k in touched if files.get(k)}
+    _stage_and_commit(
+        path,
+        ins,
+        touched,
+        partition_col,
+        fmt,
+        version,
+        content,
+        _txn_meta(content, txn) if txn is not None else None,
+        op="merge",
+        allow_fast_forward=False,
+        carry_files=carry,
+        op_metrics_extra={
+            "probe_files": n_cand,
+            "probe_exact": False,
+            "insert_only": True,
+            "files_rewritten": 0,
+            "rows_updated": 0,
+            "rows_deleted": 0,
+            "rows_inserted": n_ins,
+            "keys": list(keys),
+        },
+    )
+    if auto_compact_min_files is not None and touched:
+        _auto_compact(
+            spark, path, touched, pcols, fmt, auto_compact_min_files
+        )
+    return {"updated": 0, "deleted": 0, "inserted": n_ins}
+
+
 def manifest_merge(
     source: DataFrame,
     path: str,
@@ -4127,8 +4263,17 @@ def manifest_merge(
         source = _apply_generated(source, gen)
     src = source.localCheckpoint()  # evaluated once, reused three times
     src_keys = src.select(*keys).dropDuplicates()
-    n_src_keys = src_keys.count()
-    if n_src_keys < src.count():
+    # ONE agg job serves both sides of the duplicate-key guard
+    # (count_distinct over a literal STRUCT groups null fields exactly
+    # like dropDuplicates' null-safe equality, and the struct itself is
+    # never NULL) — the two separate .count() jobs here were a fifth of
+    # a small merge's job budget (round-12 commit-latency profile)
+    guard = src.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.count_distinct(F.struct(*keys)).alias("__nk"),
+    ).collect()[0]
+    n_src_keys = int(guard["__nk"])
+    if n_src_keys < int(guard["__total"]):
         # two source rows matching one target row would duplicate it
         # through the full outer join — the same loud failure Delta's
         # MERGE raises ("multiple source rows matched")
@@ -4139,6 +4284,21 @@ def manifest_merge(
 
     if n_src_keys == 0:
         return {"updated": 0, "deleted": 0, "inserted": 0}
+
+    if (
+        not matched_update
+        and matched_delete is None
+        and insert_not_matched
+        and ("files" in content or not parts)
+    ):
+        # no matched clause can touch an existing row — take the
+        # append-only anti-join plan (zero file rewrites, no-op source
+        # commits nothing); see _merge_insert_only
+        return _merge_insert_only(
+            spark, path, version, content, src, src_keys, n_src_keys,
+            keys, partition_col, fmt, txn, auto_compact_min_files,
+            insert_values,
+        )
 
     # pass 1 (column-pruned, INDEX-PRUNED, FILE-exact): which FILES hold
     # matched keys? The zone-map/bloom sidecars cut the probe to files
