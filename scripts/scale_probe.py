@@ -36,6 +36,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pandas as pd  # noqa: E402 — module-global: pandas_udf type-hint
+# inference resolves the (stringified, future-annotations) signature
+# against MODULE globals, so a function-local alias cannot work
 from pyspark.sql import functions as F  # noqa: E402
 
 # Key DOMAINS: every column in a domain (PK side and every FK referencing
@@ -285,16 +288,14 @@ def main() -> None:
     # on finite samples jitter, the EXPONENT is the law), the measured
     # size exponent is ~2, and at 80k the 50 planted exact duplicates
     # still verify out with certainty.
-    import pandas as _pd_mod
-
     @F.pandas_udf("array<double>")
-    def gen768(ids: _pd_mod.Series) -> _pd_mod.Series:
+    def gen768(ids: pd.Series) -> pd.Series:
         out = []
         for i in ids:
             b = int(i) - 10_000_000 if int(i) >= 10_000_000 else int(i)
             r = np.random.RandomState(b % (2**31 - 1))
             out.append(r.standard_normal(768))
-        return _pd_mod.Series(out)
+        return pd.Series(out)
 
     lsh_scale = []
     for n_base, plants in ((20000, 0), (80000, 50)):
