@@ -230,10 +230,18 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # lineitem is the LEFT (streamed) operand of every join it is in:
+    # written dim-first, the static planner's pruned-column size estimate
+    # put lineitem itself UNDER the 10 MB broadcast threshold at bench
+    # scale and built a 600k-row hash relation of the fact table (guide
+    # §3.1: check the build side). Fact-first, the smaller operand of each
+    # join is the build side at any scale — broadcast when it fits, SMJ
+    # via AQE when it doesn't — and lineitem streams through one codegen
+    # stage with zero pre-aggregation exchanges.
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
-        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
