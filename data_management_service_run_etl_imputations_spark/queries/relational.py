@@ -120,10 +120,13 @@ def j6_fuzzy_containment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python in the hot path (the reference runs an O(fact×dim) iterrows loop).
     """
     docs = load_table(spark, sf_dir, "documents")
-    dim = spark.createDataFrame(
-        [(10, "spark", 1), (20, "window", 2), (30, "vector", 3),
-         (40, "customer", 4), (50, "zzznever", 5)],
-        "kid INT, name STRING, ord INT",
+    # VALUES literal (LocalRelation), not createDataFrame (Python RDD):
+    # the operator's bounded plan-time dim probe then collects driver-side
+    # with no Spark job — same reasoning as plans/fixtures.py.
+    dim = spark.sql(
+        "SELECT * FROM VALUES (10, 'spark', 1), (20, 'window', 2), "
+        "(30, 'vector', 3), (40, 'customer', 4), (50, 'zzznever', 5) "
+        "AS t(kid, name, ord)"
     )
     out = fuzzy_containment_lookup(
         docs,
