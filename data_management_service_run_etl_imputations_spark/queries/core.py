@@ -51,19 +51,34 @@ def flagship_daily_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
-    return (
+    # Aggregate on the NARROW key (date, custkey) and attach c_name by a
+    # broadcast join AFTER the aggregate (guide §2.3: shuffle keys, not
+    # payloads): c_name is functionally dependent on c_custkey (customer's
+    # primary key), so grouping by it only widened every partial-agg row
+    # and the exchange by an ~18-byte string — measured 1.19 → 0.88 s min
+    # interleaved at sf0.1, row-for-row parity. The post-agg inner join
+    # drops exactly the custkey-absent groups the pre-agg join dropped.
+    agg = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.to_date("o_orderdate").alias("fecha"),
-            F.col("c_custkey").alias("customer_key"),
-            F.col("c_name").alias("customer_name"),
+            F.col("o_custkey").alias("customer_key"),
         )
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.sum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+    return agg.join(
+        F.broadcast(customer), agg.customer_key == customer.c_custkey
+    ).select(
+        "fecha",
+        "customer_key",
+        F.col("c_name").alias("customer_name"),
+        "revenue",
+        "sum_qty",
+        "n_lines",
     )
 
 

@@ -412,13 +412,21 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    return (
+    # Narrow-key aggregate: group on o_custkey alone and attach c_name via
+    # broadcast AFTER the aggregate (c_name is functionally dependent on the
+    # customer primary key) — the revenue shuffle carries no string payload;
+    # the join still precedes the limit, so custkey-absent groups drop
+    # exactly as before. TakeOrdered then runs over the joined aggregate.
+    agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("c_custkey", "c_name")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        agg.join(F.broadcast(customer.select("c_custkey", "c_name")), "c_custkey")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
+        .select("c_custkey", "c_name", "revenue")
     )
 
 
