@@ -143,19 +143,29 @@ def fuzzy_containment_lookup(
         F.instr(F.lower(F.col(fact_text)), F.col("__dim_text")) > 0,
         "left",
     )
-    # First match wins: argmin over the dim order as a hash aggregate —
-    # min_by gets map-side partial combine, measured ~8× faster than the
-    # equivalent row_number window at sf0.1. A no-match fact row survives
-    # the left join as one all-null dim row → min_by yields null (the
-    # reference's None, function_app.py:256). Other fact columns are
-    # constant within the group, so first() is exact.
+    # First match wins: argmin over the dim order as a hash aggregate with
+    # map-side partial combine (measured ~8× faster than the equivalent
+    # row_number window at sf0.1). min(struct(order, id)) — NOT
+    # min_by(id, order) — so the theta path agrees with the projection
+    # path's struct-min semantics on EVERY input: a null order sorts first
+    # (Spark struct ordering is nulls-first ascending; min_by would skip
+    # the row — the two strategies used to diverge there), and order ties
+    # break deterministically by id (min_by picks an arbitrary one). A
+    # no-match fact row survives the left join as one all-null dim row →
+    # min(struct(null, null)) → null id (the reference's None,
+    # function_app.py:256). Other fact columns are constant within the
+    # group, so first() is exact.
     other_cols = [c for c in fact.columns if c != fact_key]
     out = joined.groupBy(fact_key).agg(
-        F.min_by("__dim_id", "__dim_order").alias(out_col),
+        F.min(
+            F.struct(
+                F.col("__dim_order").alias("o"), F.col("__dim_id").alias("i")
+            )
+        ).alias("__best"),
         *[F.first(c).alias(c) for c in other_cols],
     )
     keep = [c for c in fact.columns if not (drop_key and c == fact_key)]
-    return out.select(*keep, out_col)
+    return out.select(*keep, F.col("__best")["i"].alias(out_col))
 
 
 def fuzzy_containment_lookup_udf(

@@ -80,3 +80,77 @@ def test_fuzzy_lookup_deterministic_across_runs(spark, dim):
         for _ in range(3)
     ]
     assert runs[0] == runs[1] == runs[2]
+
+
+# --- r12: sorted-COALESCE projection encoding (operators/joins.py) ---------
+# The projection path emits a coalesce(when...) chain (codegen-able,
+# short-circuiting) when every dim id is non-null, claiming exact
+# equivalence with min-over-(ord, id). These tests pin the equivalence on
+# the shapes where the encodings could diverge: duplicate ord (tie broken
+# by id), null ord (sorts FIRST, Spark struct ordering is nulls-first
+# ascending), and a null dim id (must fall back to the struct-min form,
+# because coalesce would skip a winning null branch).
+
+
+def _both_paths(spark, dim_rows, dim_schema, facts):
+    dim = spark.createDataFrame(dim_rows, dim_schema)
+    fact_df = spark.createDataFrame(list(enumerate(facts)), "k INT, company STRING")
+    out = {}
+    for label, max_expr in (("projection", 1024), ("theta", 0)):
+        res = fuzzy_containment_lookup(
+            fact_df, dim, "company", "nombre", "empresa_id", "out",
+            dim_order="ord", fact_key="k", max_dim_expr_rows=max_expr,
+        )
+        out[label] = {r.k: r.out for r in res.collect()}
+    return out
+
+
+def test_fuzzy_duplicate_ord_tie_breaks_by_id(spark):
+    # two rows share ord=1; both match "ab": min struct picks the lower id
+    out = _both_paths(
+        spark,
+        [(7, "ab", 1), (3, "ab", 1), (9, "xy", 2)],
+        "empresa_id INT, nombre STRING, ord INT",
+        ["zzab", "xy", "none"],
+    )
+    assert out["projection"] == out["theta"] == {0: 3, 1: 9, 2: None}
+
+
+def test_fuzzy_null_ord_sorts_first(spark):
+    # the null-ord row must win over ord=1 when both match (nulls-first)
+    out = _both_paths(
+        spark,
+        [(5, "ab", None), (2, "ab", 1)],
+        "empresa_id INT, nombre STRING, ord INT",
+        ["ab!", "q"],
+    )
+    assert out["projection"] == out["theta"] == {0: 5, 1: None}
+
+
+def test_fuzzy_null_dim_id_falls_back_and_matches_theta(spark):
+    # first-matching row has a NULL id: the lookup result must be null,
+    # not the next matching row's id — the coalesce encoding cannot
+    # express that, so the operator must take the struct-min form here
+    out = _both_paths(
+        spark,
+        [(None, "ab", 1), (2, "ab", 2)],
+        "empresa_id INT, nombre STRING, ord INT",
+        ["ab", "q"],
+    )
+    assert out["projection"] == out["theta"] == {0: None, 1: None}
+
+
+def test_fuzzy_projection_path_is_codegen_coalesce(spark):
+    # plan shape: non-null ids -> coalesce chain, no interpreted
+    # higher-order first-match (array_min/filter/lambda) anywhere
+    dim = spark.createDataFrame(
+        [(1, "ab", 1), (2, "xy", 2)], "empresa_id INT, nombre STRING, ord INT"
+    )
+    fact_df = spark.createDataFrame([(0, "ab")], "k INT, company STRING")
+    out = fuzzy_containment_lookup(
+        fact_df, dim, "company", "nombre", "empresa_id", "out",
+        dim_order="ord", fact_key="k",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "coalesce" in plan
+    assert "array_min" not in plan and "lambdafunction" not in plan
