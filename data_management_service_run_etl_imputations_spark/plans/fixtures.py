@@ -61,10 +61,10 @@ def build_fixture_frames(spark: SparkSession) -> dict[str, DataFrame]:
     LocalRelation's collect/take/broadcast all short-circuit driver-side
     with NO Spark job, so the pipelines' plan-time dim probes (J6's
     bounded dim collect) and the broadcast builds of the tiny dims stop
-    paying per-job latency — measured 8 jobs/2.0 s of plan-time work
-    dropping to 2 jobs/0.6 s on the manifest-MERGE headline (guide §2.4:
-    remove work outright rather than speed it up). Values are rendered
-    with explicit casts so the schema equals FIXTURE_SCHEMAS exactly."""
+    paying per-job latency — the manifest-MERGE headline's plan-build
+    phase measured 8 Spark jobs before, 0 after (guide §2.4: remove work
+    outright rather than speed it up). Values are rendered with explicit
+    casts so the schema equals FIXTURE_SCHEMAS exactly."""
     _SQL_TYPE = {"string": "STRING", "double": "DOUBLE", "int": "INT"}
     frames: dict[str, DataFrame] = {}
     for name, rows in FIXTURE_ROWS.items():
