@@ -77,7 +77,10 @@ def fuzzy_containment_lookup(
         dim_rows = [r for r in dim_rows if r[1] is not None]
         if not dim_rows:
             return fact.withColumn(out_col, F.lit(None).cast(id_type))
-        if all(r[0] is not None for r in dim_rows):
+        has_nan_order = any(
+            isinstance(r[2], float) and r[2] != r[2] for r in dim_rows
+        )
+        if all(r[0] is not None for r in dim_rows) and not has_nan_order:
             # Sorted-COALESCE encoding (the common case: non-null dim ids).
             # "First match by dim order" = min over (ord, id) structs; with
             # the rows SORTED at plan time by the same (nulls-first ord, id)
@@ -92,11 +95,18 @@ def fuzzy_containment_lookup(
             # ~1.25× on the j6 bench shape (0.42→0.32 s min interleaved;
             # scan cost dominates at that text size, the projection itself
             # shrinks much more).
+            # NaN order values are routed to the struct-min fallback
+            # above (Python sorted() is unordered w.r.t. NaN while Spark
+            # sorts NaN greater than any non-NaN — the branch order here
+            # could disagree with the theta path's min(struct); ADVICE
+            # r12), so this key sees only None/comparable orders.
             ordered = sorted(
                 dim_rows,
                 key=lambda r: (r[2] is not None, r[2], r[0]),
             )
             low = "__fuzzy_lowered"
+            while low in fact.columns:
+                low = f"_{low}"  # never clobber a real fact column
             branches = [
                 F.when(
                     F.instr(F.col(low), F.lit(str(r[1]).lower())) > 0,

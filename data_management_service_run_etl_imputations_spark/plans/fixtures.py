@@ -51,7 +51,15 @@ def _spark_literal(v, sql_type: str) -> str:
     if v is None:
         return f"CAST(NULL AS {sql_type})"
     if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+        # Spark SQL string literals parse backslash escapes by default
+        # (spark.sql.parser.escapedStringLiterals=false): escape the
+        # backslash itself, then double the quotes (ADVICE r12)
+        return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # repr() would render bare identifiers (nan/inf) that fail
+        # analysis; Spark accepts the string forms via CAST
+        s = "NaN" if v != v else ("Infinity" if v > 0 else "-Infinity")
+        return f"CAST('{s}' AS {sql_type})"
     return f"CAST({v!r} AS {sql_type})"
 
 
@@ -64,7 +72,10 @@ def build_fixture_frames(spark: SparkSession) -> dict[str, DataFrame]:
     paying per-job latency — the manifest-MERGE headline's plan-build
     phase measured 8 Spark jobs before, 0 after (guide §2.4: remove work
     outright rather than speed it up). Values are rendered with explicit
-    casts so the schema equals FIXTURE_SCHEMAS exactly."""
+    casts so the column names and TYPES equal FIXTURE_SCHEMAS exactly
+    (nullability may resolve narrower for all-non-null columns — the
+    engine's schema comparisons are simpleString-based, which is
+    nullability-insensitive; ADVICE r12)."""
     _SQL_TYPE = {"string": "STRING", "double": "DOUBLE", "int": "INT"}
     frames: dict[str, DataFrame] = {}
     for name, rows in FIXTURE_ROWS.items():

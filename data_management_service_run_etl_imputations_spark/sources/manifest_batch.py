@@ -1147,6 +1147,89 @@ class ManifestAppendWriter(DataSourceArrowWriter):
         )
 
 
+# --- JVM-side staged append (write-half twin of _resolved_table_schema) ----
+#
+# ``df.write.format("manifest").save()`` pays two Python boundaries per
+# statement: a create-data-source worker at plan time just to construct
+# the writer, and per-partition Python write tasks that re-serialize
+# every row through Arrow into pyarrow.parquet. Neither is needed when
+# the caller is the engine's own SQL dispatcher: it constructs
+# ``ManifestAppendWriter`` DRIVER-SIDE (same validation, same stage
+# layout, same commit-conflict loop, same history record) and stages
+# the rows with Spark's native parquet writer — the identical staging
+# mechanism every Python engine (``sinks._stage_and_commit``) already
+# uses on the same tables. The public DataSource writer path is
+# untouched for direct ``df.write.format("manifest")`` users.
+
+# Partition-column types whose manifest key is PROVABLY identical under
+# the DataSource writer's Python-side str(value) and the staged-dir
+# convention's CAST(col AS STRING) + dir-name unescape: ints/strings/
+# dates format identically in both engines (and NULL maps to
+# NULL_PARTITION_KEY on both). Types with cross-engine formatting
+# drift (boolean 'True' vs 'true', float repr, timestamp tz) keep the
+# Python writer so keys stay byte-identical with prior commits.
+_FAST_KEY_TYPES = frozenset(
+    ("string", "int", "bigint", "smallint", "tinyint", "date")
+)
+
+
+def _fast_staged_append(df, path: str, options: dict, overwrite: bool) -> bool:
+    """Stage ``df`` under the writer's immutable ``data/<uuid>`` prefix
+    with the JVM parquet writer, then publish through
+    ``ManifestAppendWriter.commit`` in-process. Returns ``False`` when a
+    partition-column type is outside the key-identical set (the caller
+    falls back to the DataSource writer); validation errors raise
+    exactly as the writer's plan-time construction would."""
+    import os
+
+    from data_management_service_run_etl_imputations_spark.session import (
+        ensure_runtime_confs,
+    )
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _part_copy_cols,
+        _staged_partition_dirs,
+        _with_part_copies,
+    )
+
+    w = ManifestAppendWriter(df.schema, options, overwrite)
+    type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if any(type_of.get(c) not in _FAST_KEY_TYPES for c in w.pcols):
+        return False
+    # an injected vanilla session would otherwise write INT96 timestamps
+    ensure_runtime_confs(df.sparkSession)
+    stage_abs = os.path.join(path, *w.stage.split("/"))
+    try:
+        if w.pcols:
+            (
+                _with_part_copies(df, w.pcols)
+                .write.partitionBy(*_part_copy_cols(w.pcols))
+                .parquet(stage_abs)
+            )
+        else:
+            df.write.parquet(stage_abs)
+        written = _staged_partition_dirs(
+            path, w.stage, "parquet", len(w.pcols)
+        )
+        # 0-row files (schema-only artifacts of an empty unpartitioned
+        # write) are dropped so an empty INSERT stays the same no-op —
+        # no files, no commit, no version — as the Python writer, whose
+        # tasks skip empty batches
+        entries = [
+            (k, rel, size, rows)
+            for k, (_d, file_entries) in written.items()
+            for rel, size, rows in file_entries
+            if rows != 0
+        ]
+        if not entries:
+            w.abort([])
+            return True
+        w.commit([_AppendMessage(entries=entries)])
+    except BaseException:
+        w.abort([])
+        raise
+    return True
+
+
 # --- SQL DML dispatcher ------------------------------------------------
 #
 # spark.sql("DELETE FROM t WHERE …") cannot reach a Python DataSource
@@ -1623,17 +1706,23 @@ def _dispatch_util_statement(spark, stmt: str):
                 f"PARTITIONED BY column(s) {missing} are not produced "
                 f"by the CTAS query (have {src.columns})"
             )
-        spark.dataSource.register(ManifestTableDataSource)
-        writer = (
-            src.write.format("manifest")
-            .mode("append")
-            .option("path", path)
-        )
+        opts = {"path": path}
         if pcols:
-            writer = writer.option("partition_cols", ",".join(pcols))
+            opts["partition_cols"] = ",".join(pcols)
         else:
-            writer = writer.option("unpartitioned", "true")
-        writer.save()
+            opts["unpartitioned"] = "true"
+        if not _fast_staged_append(src, path, opts, overwrite=False):
+            spark.dataSource.register(ManifestTableDataSource)
+            writer = (
+                src.write.format("manifest")
+                .mode("append")
+                .option("path", path)
+            )
+            if pcols:
+                writer = writer.option("partition_cols", ",".join(pcols))
+            else:
+                writer = writer.option("unpartitioned", "true")
+            writer.save()
         manifest_sql_register(spark, view_name, path, follow_head=True)
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
             manifest_history,
@@ -3000,14 +3089,18 @@ def manifest_sql(spark, statement: str, mode: str | None = None):
                 "mode": "append",
                 "rows_inserted": r["inserted"],
             }
-        writer = aligned.write.format("manifest").option("path", path)
+        opts = {"path": path}
         if overwrite:
-            writer = writer.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            )
-        else:
-            writer = writer.mode("append")
-        writer.save()
+            opts["partitionOverwriteMode"] = "dynamic"
+        if not _fast_staged_append(aligned, path, opts, overwrite=overwrite):
+            writer = aligned.write.format("manifest").option("path", path)
+            if overwrite:
+                writer = writer.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                )
+            else:
+                writer = writer.mode("append")
+            writer.save()
         from data_management_service_run_etl_imputations_spark.sources.sinks import (
             manifest_history,
         )

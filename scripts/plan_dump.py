@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for catalog queries to plans/r12/<name>_<tag>.txt.
+"""Dump .explain("formatted") for catalog queries to plans/$PLAN_ROUND (default r13)/<name>_<tag>.txt.
 
 Usage: PYTHONPATH=/root/repo python scripts/plan_dump.py <tag> [query ...]
   tag: suffix (e.g. "before" / "after")
@@ -32,7 +32,7 @@ def main() -> int:
     reg = catalog.queries()
     if not names:
         names = list(catalog.headline_queries())
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLAN_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = reg[name]

@@ -154,3 +154,37 @@ def test_fuzzy_projection_path_is_codegen_coalesce(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "coalesce" in plan
     assert "array_min" not in plan and "lambdafunction" not in plan
+
+
+# --- r13 (ADVICE r12 hardening): NaN dim order + temp-column collision -----
+
+
+def test_fuzzy_nan_ord_routes_to_struct_min_and_matches_theta(spark):
+    # Spark sorts NaN GREATER than any non-NaN while Python sorted() is
+    # unordered w.r.t. NaN — a NaN-order dim must take the struct-min
+    # form so both physical paths agree: ord=1.0 beats ord=NaN.
+    out = _both_paths(
+        spark,
+        [(5, "ab", float("nan")), (2, "ab", 1.0)],
+        "empresa_id INT, nombre STRING, ord DOUBLE",
+        ["ab!", "q"],
+    )
+    assert out["projection"] == out["theta"] == {0: 2, 1: None}
+
+
+def test_fuzzy_fact_column_named_like_temp_is_preserved(spark):
+    # a fact column literally named __fuzzy_lowered must survive the
+    # projection path untouched (the temp name uniquifies around it)
+    dim = spark.createDataFrame(
+        [(1, "ab", 1)], "empresa_id INT, nombre STRING, ord INT"
+    )
+    fact_df = spark.createDataFrame(
+        [(0, "AB", "keep-me")], "k INT, company STRING, __fuzzy_lowered STRING"
+    )
+    res = fuzzy_containment_lookup(
+        fact_df, dim, "company", "nombre", "empresa_id", "out",
+        dim_order="ord", fact_key="k",
+    )
+    row = res.collect()[0]
+    assert row.out == 1
+    assert row["__fuzzy_lowered"] == "keep-me"
