@@ -78,10 +78,22 @@ def shingle_hashes(
     :func:`shingles_col`. Equal token sequences ⇔ equal hashes (w.h.p.);
     dedup happens AFTER hashing as a codegen hash aggregate.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
-    ).select("id", "pos", F.xxhash64("tok").alias("th"))
+    # token count travels WITH the exploded rows (4 bytes each) instead
+    # of a second count-over-partition window: that window's spec
+    # (partitionBy(id), no orderBy → unbounded frame) could not share
+    # the lead window's node, and its whole-partition buffering pass
+    # alone measured ~1.1 s of the 2.3 s sf0.1 shingle wall (r13).
+    # size(__toks) == the exploded row count per doc, so values are
+    # identical.
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
+        .select(
+            "id",
+            F.size("__toks").alias("__n"),
+            F.posexplode("__toks").alias("pos", "tok"),
+        )
+        .select("id", "__n", "pos", F.xxhash64("tok").alias("th"))
+    )
 
     w = Window.partitionBy("id").orderBy("pos")
     # h = Σ (th_i mod 2^30) · (31^(k-1-i) mod 2^30)  mod (2^61-1) — every
@@ -96,10 +108,8 @@ def shingle_hashes(
         combined = F.pmod(
             combined + term * F.lit(weight).cast("long"), F.lit(MINHASH_PRIME)
         )
-    n_toks = F.count(F.lit(1)).over(Window.partitionBy("id"))
     sh = (
         toks.withColumn("h", combined)
-        .withColumn("__n", n_toks)
         .filter((F.col("pos") <= F.col("__n") - k) | (F.col("pos") == 0))
         .select("id", "h")
     )
@@ -235,7 +245,15 @@ def verify_pairs_exact_jaccard(
         )
         sh = sh.join(ids, "id", "left_semi")
     sh = sh.dropDuplicates(["id", "shingle"]).localCheckpoint(eager=False)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # one evaluation feeds BOTH size joins below: without the lineage cut
+    # the optimizer plans two independent Exchange+HashAggregate passes
+    # over the shingle checkpoint for sa and sb (r12 audit dump, nodes
+    # 19-22 / 27-30) — guide §2.4, remove work outright
+    sizes = (
+        sh.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .localCheckpoint(eager=False)
+    )
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (
@@ -337,9 +355,14 @@ def minhash_lsh_candidates(
     # Lineage cut: the banded frame feeds BOTH sides of the self-join —
     # without it Spark recomputes the signature aggregation per side.
     sig = sig.localCheckpoint(eager=False)
+    # The self-join shuffles METADATA ONLY (id, band, bucket — ~20 B/row);
+    # the 32-long signature arrays are re-attached to the few surviving
+    # pairs afterwards (guide §2.3/§8: decide placement on a lightweight
+    # proxy, move the payload once). Carrying sig through both sides of
+    # the band-bucket exchange shipped ~13× more bytes per row for rows
+    # that overwhelmingly collide with nothing.
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -353,7 +376,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -366,11 +389,12 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),

@@ -537,6 +537,93 @@ def _resolved_table_schema(path: str, version: int | None, as_of: float | None):
     return StructType.fromJson(json.loads(content["schema_json"]))
 
 
+# Native-read gate (r13, the read-side twin of the r12 schema fix and
+# the r13 staged-append): snapshots small enough that the whole file
+# list comfortably lives in one plan. Above the threshold the Python
+# DataSource keeps the metadata-pruned scan that makes 10⁷-file tables
+# plannable; below it, per-file Python read tasks and the worker
+# round-trips cost more than the entire scan.
+_NATIVE_READ_MAX_FILES = 64
+
+
+def _native_read_frame(spark, path: str, version: int):
+    """A plain ``spark.read.parquet(<live files>)`` DataFrame for the
+    bound snapshot, or ``None`` when the snapshot needs the Python
+    DataSource. Taken only when results are PROVABLY byte-identical:
+    parquet format, no pending merge-on-read deletes, no column mapping,
+    and every live directory's schema equals the table schema (so no
+    executor-side null-fill/up-cast is ever needed), with the whole
+    snapshot at most ``$MANIFEST_SQL_NATIVE_READ_MAX_FILES`` (default
+    64) files — the dimension-table shape, where plan-time partition
+    pruning cannot pay for Python scan tasks. Snapshot isolation is
+    preserved by construction: the file list is resolved here, once,
+    and baked into the plan."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from data_management_service_run_etl_imputations_spark.sources.sinks import (
+        _live_dirs,
+        _load_files_pruned,
+        _materialize,
+        _pruned_resolve,
+    )
+
+    try:
+        max_files = int(
+            os.environ.get("MANIFEST_SQL_NATIVE_READ_MAX_FILES", "")
+            or _NATIVE_READ_MAX_FILES
+        )
+    except ValueError:
+        max_files = _NATIVE_READ_MAX_FILES
+    if max_files <= 0:
+        return None
+
+    resolved = _pruned_resolve(path, version)
+    if resolved is not None:
+        meta, files_plan = resolved
+        # partitions ≤ files: reject oversized tables BEFORE hydrating
+        # any file list (the lazy plan exists precisely for them)
+        if len(meta.get("partitions", {})) > max_files:
+            return None
+        content = {
+            **meta,
+            "files": _load_files_pruned(
+                path, files_plan, sorted(meta.get("partitions", {}))
+            ),
+        }
+    else:
+        content = _materialize(path, version)
+    if content.get("fmt", "parquet") != "parquet":
+        return None
+    if "files" not in content:
+        return None  # legacy dir-listing manifest: DS path only
+    if content.get("deletes") or content.get("col_ids"):
+        return None
+    schema_json = content.get("schema_json")
+    if not schema_json:
+        return None
+    schema = StructType.fromJson(json.loads(schema_json))
+    want = schema.simpleString()
+    dir_schemas = content.get("dir_schemas", {})
+    live = _live_dirs(content)
+    if any(dir_schemas.get(d, want) != want for d in live):
+        return None  # evolved table: old dirs need null-fill — DS path
+    files = content.get("files", {})
+    rels = [
+        e[0]
+        for k in sorted(set(content.get("partitions", {})) | set(files))
+        for e in files.get(k, [])
+    ]
+    if len(rels) > max_files:
+        return None
+    if not rels:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, *r.split("/")) for r in rels]
+    return spark.read.schema(schema).parquet(*paths)
+
+
 class ManifestTableDataSource(DataSource):
     """``manifest`` format: snapshot-isolated batch reads of a manifest
     table with partition/zone-map pruning pushed through Spark's filter
@@ -660,24 +747,36 @@ def manifest_sql_register(
             int(version) if version is not None else None,
             as_of=float(as_of) if as_of is not None else None,
         )
-        reader = spark.read.format("manifest").option("path", path)
-        if bound_v > 0:
-            # pin the DataFrame explicitly to the version we recorded —
-            # closes the race where a commit lands between our resolution
-            # and the DataSource's own (the view and _SQL_TABLES would
-            # disagree about what "current" means)
-            reader = reader.option("version", str(bound_v))
-        if not prune:
-            reader = reader.option("prune", "false")
-        # Supply the schema DRIVER-side (same meta read DataSource.schema()
-        # would perform, minus the fresh Python plan-worker it would run
-        # in): measured 143 ms → 7 ms per load. Every SQL statement that
-        # re-binds a view pays this, so it dominates DDL/DML-heavy flows
-        # (sql_table_lifecycle: 9 rebinds/run). Version is pinned above, so
-        # the schema resolved here is exactly the one schema() would see.
-        df = reader.schema(
-            _resolved_table_schema(path, bound_v if bound_v > 0 else None, None)
-        ).load()
+        # Native parquet scan for plain dimension-sized snapshots (r13):
+        # byte-identical results with zero Python read tasks; falls back
+        # to the DataSource for every state that needs executor-side
+        # logic (deletes, column mapping, evolution null-fill) or whose
+        # file list outgrows one plan. Native plans push filters and
+        # prune columns in the JVM, so the prune-contract bookkeeping
+        # below is simply inert for them.
+        df = _native_read_frame(spark, path, bound_v) if bound_v > 0 else None
+        if df is None:
+            reader = spark.read.format("manifest").option("path", path)
+            if bound_v > 0:
+                # pin the DataFrame explicitly to the version we recorded —
+                # closes the race where a commit lands between our resolution
+                # and the DataSource's own (the view and _SQL_TABLES would
+                # disagree about what "current" means)
+                reader = reader.option("version", str(bound_v))
+            if not prune:
+                reader = reader.option("prune", "false")
+            # Supply the schema DRIVER-side (same meta read
+            # DataSource.schema() would perform, minus the fresh Python
+            # plan-worker it would run in): measured 143 ms → 7 ms per
+            # load. Every SQL statement that re-binds a view pays this,
+            # so it dominates DDL/DML-heavy flows (sql_table_lifecycle:
+            # 9 rebinds/run). Version is pinned above, so the schema
+            # resolved here is exactly the one schema() would see.
+            df = reader.schema(
+                _resolved_table_schema(
+                    path, bound_v if bound_v > 0 else None, None
+                )
+            ).load()
         df.createOrReplaceTempView(view_name)
         _SQL_TABLES[view_name.lower()] = (
             view_name,
