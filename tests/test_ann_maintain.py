@@ -23,6 +23,11 @@ from data_management_service_run_etl_imputations_spark.operators.similarity impo
 )
 
 
+# r13 driver-window tier: this file is in the SLOW families (measured
+# from the full-suite durations log); deselect with -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def index_root():
     root = f"{tempfile.gettempdir()}/annm_{uuid.uuid4().hex[:10]}"

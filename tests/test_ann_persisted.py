@@ -25,6 +25,11 @@ from data_management_service_run_etl_imputations_spark.sources.sinks import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# r13 driver-window tier: this file is in the SLOW families (measured
+# from the full-suite durations log); deselect with -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def index_root():
     root = f"{tempfile.gettempdir()}/annp_{uuid.uuid4().hex[:10]}"

@@ -41,6 +41,11 @@ KEYS_PER_THREAD = 6
 OPS_PER_THREAD = 4
 
 
+# r13 driver-window tier: this file is in the SLOW families (measured
+# from the full-suite durations log); deselect with -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture()
 def roots():
     base = f"{tempfile.gettempdir()}/cdfstress_{uuid.uuid4().hex[:10]}"

@@ -1,5 +1,12 @@
 
 
+import pytest
+
+# r13 driver-window tier: this file is in the SLOW families (measured
+# from the full-suite durations log); deselect with -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 def test_connected_components_multihop_and_singletons(spark):
     """A-B, B-C chain collapses to one component (min id wins across hops);
     D-E is its own; F (no edges) stays a singleton labeled by itself."""

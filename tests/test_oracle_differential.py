@@ -32,6 +32,11 @@ TABLES = (
 ).split()
 
 
+# r13 driver-window tier: this file is in the SLOW families (measured
+# from the full-suite durations log); deselect with -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 def _duckdb_conn():
     con = duckdb.connect()
     for t in TABLES:

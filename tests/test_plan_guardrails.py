@@ -51,6 +51,11 @@ ALLOWED_CROSS = {
 SKIP = {name for name in catalog.queries() if name.startswith("streaming_")}
 
 
+# r13 driver-window tier: this file is in the SLOW families (measured
+# from the full-suite durations log); deselect with -m "not slow".
+pytestmark = pytest.mark.slow
+
+
 @pytest.mark.parametrize(
     "name", sorted(set(catalog.queries()) - SKIP)
 )
